@@ -1,0 +1,196 @@
+"""kmcp-tpu command-line interface.
+
+Mirrors the reference CLI surface (kmcp compute/index/search/merge/profile
++ utils subcommands, /root/reference/kmcp/cmd/root.go) with argparse.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import __version__
+
+
+def _int_list(s: str) -> list[int]:
+    return [int(x) for x in s.split(",") if x.strip()]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="kmcp-tpu",
+        description="TPU-native metagenomic search and profiling "
+        "(KMCP-capability re-implementation)",
+    )
+    p.add_argument("--version", action="version", version=__version__)
+    p.add_argument("-j", "--threads", type=int, default=0, help="threads (0=auto)")
+    p.add_argument("-q", "--quiet", action="store_true")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    # ------------------------------------------------------------ compute
+    c = sub.add_parser("compute", help="generate k-mer/sketch files from genomes")
+    c.add_argument("files", nargs="*", help="FASTA/Q files")
+    c.add_argument("-I", "--in-dir", default=None)
+    c.add_argument("-O", "--out-dir", required=True)
+    c.add_argument("-k", "--kmer", type=_int_list, default=[21])
+    c.add_argument("--circular", action="store_true")
+    c.add_argument("-D", "--scale", type=int, default=1)
+    c.add_argument("-W", "--minimizer-w", type=int, default=0)
+    c.add_argument("-S", "--syncmer-s", type=int, default=0)
+    c.add_argument("-n", "--split-number", type=int, default=0)
+    c.add_argument("-s", "--split-size", type=int, default=0)
+    c.add_argument("-l", "--split-overlap", type=int, default=-1)
+    c.add_argument("--split-min-ref", type=int, default=1000)
+    c.add_argument("--by-seq", action="store_true")
+    c.add_argument("-r", "--file-regexp", default=None)
+    c.add_argument("-N", "--ref-name-regexp", default="")
+    c.add_argument("-B", "--seq-name-filter", action="append", default=[])
+    c.add_argument("--force", action="store_true")
+
+    # -------------------------------------------------------------- index
+    i = sub.add_parser("index", help="build the bit-sliced Bloom index")
+    i.add_argument("-I", "--in-dir", required=True)
+    i.add_argument("-O", "--out-dir", required=True)
+    i.add_argument("-n", "--num-hash", type=int, default=1)
+    i.add_argument("-f", "--false-positive-rate", type=float, default=0.3)
+    i.add_argument("-b", "--block-size", type=int, default=0)
+    i.add_argument("-x", "--block-sizeX-kmers-t", type=int, default=10_000_000)
+    i.add_argument("-X", "--block-sizeX", type=int, default=256)
+    i.add_argument("-8", "--block-size8-kmers-t", dest="block_size8_kmers_t",
+                   type=int, default=20_000_000)
+    i.add_argument("-1", "--block-size1-kmers-t", dest="block_size1_kmers_t",
+                   type=int, default=200_000_000)
+    i.add_argument("-a", "--alias", default="")
+    i.add_argument("--dry-run", action="store_true")
+    i.add_argument("--force", action="store_true")
+
+    # ------------------------------------------------------------- search
+    s = sub.add_parser("search", help="search sequences against a database")
+    s.add_argument("files", nargs="*")
+    s.add_argument("-d", "--db-dir", required=True)
+    s.add_argument("-1", "--read1", dest="read1", default=None)
+    s.add_argument("-2", "--read2", dest="read2", default=None)
+    s.add_argument("-o", "--out-file", default="-")
+    s.add_argument("-m", "--min-query-len", type=int, default=30)
+    s.add_argument("-c", "--min-kmers", type=int, default=10)
+    s.add_argument("-t", "--min-query-cov", type=float, default=0.55)
+    s.add_argument("-T", "--min-target-cov", type=float, default=0.0)
+    s.add_argument("-f", "--max-fpr", type=float, default=0.01)
+    s.add_argument("-u", "--kmer-dedup-threshold", type=int, default=256)
+    s.add_argument("-g", "--query-whole-file", action="store_true")
+    s.add_argument("-G", "--use-filename", action="store_true")
+    s.add_argument("--query-id", default="")
+    s.add_argument("-n", "--keep-top-scores", type=int, default=0)
+    s.add_argument("-N", "--name-map", action="append", default=[])
+    s.add_argument("-D", "--default-name-map", action="store_true")
+    s.add_argument("-K", "--keep-unmatched", action="store_true")
+    s.add_argument("-H", "--no-header-row", action="store_true")
+    s.add_argument("-s", "--sort-by", default="qcov",
+                   choices=["qcov", "tcov", "jacc"])
+    s.add_argument("-S", "--do-not-sort", action="store_true")
+    s.add_argument("--try-se", action="store_true")
+    s.add_argument("--backend", default="numpy", choices=["numpy", "jax"])
+    s.add_argument("--batch-size", type=int, default=8192)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.command == "compute":
+        from .commands.compute import FASTX_RE, ComputeOptions, run_compute
+
+        opt = ComputeOptions(
+            ks=args.kmer,
+            circular=args.circular,
+            scale=args.scale,
+            minimizer_w=args.minimizer_w,
+            syncmer_s=args.syncmer_s,
+            split_number=args.split_number,
+            split_size=args.split_size,
+            split_overlap=args.split_overlap,
+            split_min_ref=args.split_min_ref,
+            by_seq=args.by_seq,
+            file_regexp=args.file_regexp or FASTX_RE,
+            ref_name_regexp=args.ref_name_regexp,
+            seq_name_filter=args.seq_name_filter,
+            threads=args.threads,
+        )
+        run_compute(
+            out_dir=args.out_dir,
+            in_dir=args.in_dir,
+            files=args.files,
+            opt=opt,
+            force=args.force,
+        )
+        return 0
+
+    if args.command == "index":
+        from .index.build import run_index
+
+        run_index(
+            in_dir=args.in_dir,
+            out_dir=args.out_dir,
+            num_hashes=args.num_hash,
+            fpr=args.false_positive_rate,
+            block_size=args.block_size,
+            threads=args.threads,
+            threshold_x=args.block_sizeX_kmers_t,
+            block_size_x=args.block_sizeX,
+            threshold_8=args.block_size8_kmers_t,
+            threshold_1=args.block_size1_kmers_t,
+            alias=args.alias,
+            force=args.force,
+            dry_run=args.dry_run,
+        )
+        return 0
+
+    if args.command == "search":
+        from .commands.search import run_search
+        from .search.engine import SearchOptions
+
+        name_map = {}
+        for nm_file in args.name_map:
+            with open(nm_file) as f:
+                for line in f:
+                    parts = line.rstrip("\n").split("\t")
+                    if len(parts) >= 2:
+                        name_map[parts[0]] = parts[1]
+        opt = SearchOptions(
+            min_query_len=args.min_query_len,
+            min_kmers=args.min_kmers,
+            min_query_cov=args.min_query_cov,
+            min_target_cov=args.min_target_cov,
+            max_fpr=args.max_fpr,
+            kmer_dedup_threshold=args.kmer_dedup_threshold,
+            sort_by=args.sort_by,
+            do_not_sort=args.do_not_sort,
+            keep_top_scores=args.keep_top_scores,
+            try_se=args.try_se,
+            keep_unmatched=args.keep_unmatched,
+            name_map=name_map,
+            load_default_name_map=args.default_name_map,
+            backend=args.backend,
+        )
+        run_search(
+            db_dir=args.db_dir,
+            files=args.files,
+            read1=args.read1,
+            read2=args.read2,
+            out_file=args.out_file,
+            opt=opt,
+            whole_file=args.query_whole_file,
+            use_filename=args.use_filename,
+            query_id=args.query_id,
+            no_header_row=args.no_header_row,
+            batch_queries=args.batch_size,
+            verbose=not args.quiet,
+        )
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,276 @@
+"""Index construction: k-mer sets -> bit-sliced Bloom signature blocks.
+
+Reimplements the reference's block partitioning and Bloom build
+(/root/reference/kmcp/cmd/index.go:640-1319) on dense uint32 matrices:
+
+- chunk files are sorted ascending by k-mer count and grouped into blocks
+  of ``block_size`` (default ``max(8, min(n, (n//threads + 7)//8*8))``,
+  index.go:671-682);
+- three k-mer-count thresholds re-tier the block size mid-stream exactly
+  like the reference's state machine (index.go:782-894): files above
+  ``-x`` go into blocks of ``-X``, above ``-8`` into blocks of 8, above
+  ``-1`` into single-file blocks;
+- within a block, each run of 8 files is sorted by (name, chunk index)
+  (index.go:1084);
+- per block: ``num_sigs = calc_signature_size(max kmers, h, fpr)`` and each
+  target's hash locations set bit t of row ``loc`` (index.go:1023,1107-1259).
+
+The resulting per-target Bloom columns are bit-identical to the
+reference's (same positions, same per-block sizing); only the physical
+packing differs (uint32 LSB-first words instead of byte-interleaved
+8-target groups).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import numpy as np
+
+from ..kmer import kset as ksetmod
+from ..kmer.kset import KsetFileInfo, read_kset
+from .format import (
+    BlockMeta,
+    DBInfo,
+    write_block,
+    write_db_info,
+    write_name_mapping,
+)
+from .sizing import calc_signature_size, hash_locations, roundup64
+
+
+def default_block_size(n_files: int, threads: int) -> int:
+    s = (int(n_files / threads) + 7) // 8 * 8
+    if s > n_files:
+        s = n_files
+    if s < 8:
+        s = 8
+    return s
+
+
+def partition_blocks(
+    infos: list[KsetFileInfo],
+    block_size: int = 0,
+    threads: int = 0,
+    threshold_x: int = 10_000_000,
+    block_size_x: int = 256,
+    threshold_8: int = 20_000_000,
+    threshold_1: int = 200_000_000,
+) -> list[list[KsetFileInfo]]:
+    """Faithful re-derivation of the index.go:782-894 state machine."""
+    threads = threads or (os.cpu_count() or 1)
+    infos = sorted(infos, key=lambda i: i.kmers)  # stable; index.go:667
+    n = len(infos)
+    s_block = block_size if block_size > 0 else default_block_size(n, threads)
+
+    skip_block_x = block_size_x >= s_block
+    if skip_block_x:
+        block_size_x = s_block
+
+    blocks: list[list[KsetFileInfo]] = []
+    batch: list[KsetFileInfo] = []
+    flag = flag8 = flag_x = False
+    last: KsetFileInfo | None = None
+
+    def emit():
+        nonlocal batch
+        if batch:
+            blocks.append(batch)
+            batch = []
+
+    for i in range(n + 1):
+        if i == n:
+            if (flag or flag8 or flag_x) and last is not None:
+                batch.append(last)
+                last = None
+            emit()
+            break
+        info = infos[i]
+        if info.kmers == 0:
+            continue
+        if flag or flag8 or flag_x:
+            if last is not None:
+                batch.append(last)
+                last = None
+            if flag:
+                last = info  # each big file gets its own block
+            elif info.kmers > threshold_1:
+                flag = True
+                last = info
+            elif skip_block_x:
+                batch.append(info)
+                if len(batch) < s_block:
+                    continue
+            elif info.kmers > threshold_8:
+                if flag8:
+                    batch.append(info)
+                    if len(batch) < s_block:
+                        continue
+                else:
+                    s_block = 8
+                    flag8 = True
+                    last = info
+            else:  # flag_x tier
+                batch.append(info)
+                if len(batch) < s_block:
+                    continue
+        elif skip_block_x:
+            if info.kmers > threshold_8:
+                if info.kmers > threshold_1:
+                    flag = True
+                else:
+                    s_block = block_size_x
+                    flag_x = True
+                last = info
+            else:
+                batch.append(info)
+                if len(batch) < s_block:
+                    continue
+        else:
+            if info.kmers > threshold_x:
+                if info.kmers > threshold_1:
+                    flag = True
+                elif info.kmers > threshold_8:
+                    s_block = 8
+                    flag8 = True
+                else:
+                    s_block = block_size_x
+                    flag_x = True
+                last = info
+            else:
+                batch.append(info)
+                if len(batch) < s_block:
+                    continue
+        emit()
+
+    return blocks
+
+
+def order_block_targets(block: list[KsetFileInfo]) -> list[KsetFileInfo]:
+    """Within a block, every run of 8 files is sorted by (name, chunk idx)
+    (index.go:1051-1105)."""
+    out: list[KsetFileInfo] = []
+    for i in range(0, len(block), 8):
+        out.extend(sorted(block[i : i + 8], key=lambda x: (x.name, x.index)))
+    return out
+
+
+def build_block_bits(
+    targets: list[KsetFileInfo], num_sigs: int, num_hashes: int
+) -> np.ndarray:
+    """Scatter each target's hash locations into its bit column."""
+    num_targets = len(targets)
+    num_words = (num_targets + 31) // 32
+    bits = np.zeros((num_sigs, num_words), dtype=np.uint32)
+    col = np.empty(num_sigs, dtype=bool)
+    for t, info in enumerate(targets):
+        hashes, _ = read_kset(info.path)
+        locs = hash_locations(hashes, num_hashes, num_sigs).ravel()
+        col[:] = False
+        col[locs] = True
+        bits[:, t >> 5] |= col.astype(np.uint32) << np.uint32(t & 31)
+    return bits
+
+
+def run_index(
+    in_dir: str,
+    out_dir: str,
+    num_hashes: int = 1,
+    fpr: float = 0.3,
+    block_size: int = 0,
+    threads: int = 0,
+    threshold_x: int = 10_000_000,
+    block_size_x: int = 256,
+    threshold_8: int = 20_000_000,
+    threshold_1: int = 200_000_000,
+    alias: str = "",
+    force: bool = False,
+    dry_run: bool = False,
+    round_pow2: bool = False,
+) -> DBInfo:
+    infos = ksetmod.read_info(in_dir)
+    if not infos:
+        raise SystemExit(f"kmcp-tpu index: no .kset files listed in {in_dir}")
+
+    # parameter consistency comes from the first kset header
+    _, meta0 = read_kset(infos[0].path)
+
+    blocks = partition_blocks(
+        infos,
+        block_size=block_size,
+        threads=threads,
+        threshold_x=threshold_x,
+        block_size_x=block_size_x,
+        threshold_8=threshold_8,
+        threshold_1=threshold_1,
+    )
+
+    if os.path.exists(out_dir):
+        if not force:
+            raise SystemExit(
+                f"kmcp-tpu index: out dir exists: {out_dir} (use --force)"
+            )
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+
+    block_files: list[str] = []
+    total_kmers = 0
+    all_names: list[str] = []
+    for bid, block in enumerate(blocks):
+        targets = order_block_targets(block)
+        max_elements = max(t.kmers for t in targets)
+        num_sigs = calc_signature_size(max_elements, num_hashes, fpr)
+        if round_pow2:
+            num_sigs = roundup64(num_sigs)
+        if dry_run:
+            print(
+                f"[index] block {bid:03d}: {len(targets)} targets, "
+                f"max k-mers {max_elements}, num_sigs {num_sigs}",
+                file=sys.stderr,
+            )
+            continue
+        bits = build_block_bits(targets, num_sigs, num_hashes)
+        meta = BlockMeta(
+            names=[t.name for t in targets],
+            gsizes=[t.genome_size for t in targets],
+            indices=[t.index + (t.indexes << 16) for t in targets],
+            sizes=[t.kmers for t in targets],
+            num_sigs=num_sigs,
+            num_targets=len(targets),
+        )
+        block_files.append(write_block(out_dir, bid, bits, meta))
+        total_kmers += sum(t.kmers for t in targets)
+        all_names.extend(meta.names)
+
+    info = DBInfo(
+        alias=alias or os.path.basename(os.path.normpath(out_dir)),
+        ks=meta0.ks,
+        canonical=meta0.canonical,
+        scaled=meta0.scaled,
+        scale=meta0.scale,
+        minimizer=meta0.minimizer,
+        minimizer_w=meta0.minimizer_w,
+        syncmer=meta0.syncmer,
+        syncmer_s=meta0.syncmer_s,
+        split_seq=meta0.split_seq,
+        split_num=meta0.split_num,
+        split_size=meta0.split_size,
+        split_overlap=meta0.split_overlap,
+        num_hashes=num_hashes,
+        fpr=fpr,
+        num_names=sum(len(b) for b in blocks),
+        block_size=block_size or default_block_size(len(infos), threads or (os.cpu_count() or 1)),
+        total_kmers=total_kmers,
+        blocks=block_files,
+    )
+    if not dry_run:
+        write_db_info(out_dir, info)
+        write_name_mapping(out_dir, sorted(set(all_names)))
+        print(
+            f"[index] built {len(block_files)} block(s), "
+            f"{info.num_names} targets, {total_kmers} k-mers -> {out_dir}",
+            file=sys.stderr,
+        )
+    return info

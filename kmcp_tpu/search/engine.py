@@ -1,0 +1,417 @@
+"""Batched search engine: query reads vs bit-sliced Bloom DBs.
+
+Replaces the reference's three-tier channel scatter/gather
+(UnikIndexDBSearchEngine / UnikIndexDB / UnikIndex,
+/root/reference/kmcp/cmd/util-db-search.go:192-1151) with a batched
+data-parallel pipeline:
+
+  reads -> k-mer hash batches (padded [B, Kmax]) -> per-block count kernel
+        -> vectorized thresholding -> sparse match extraction -> rows
+
+Semantics preserved from the reference:
+- query k-mers are deduplicated only when more than
+  ``kmer_dedup_threshold`` (256) k-mers (util-db-search.go:874-908);
+  qCov denominators therefore count duplicate k-mers for short reads
+- paired-end mates hash into one k-mer set (util-db-search.go:800-805)
+- multi-k fallback: ks tried descending, retry with smaller k on no match
+- ``try_se``: paired query with no hits retried as read1-only then read2
+- thresholds (util-db-search.go:7466-7493): count >= min_kmers,
+  count > qKmers*min_query_cov (strict), tCov >= min_target_cov,
+  Theorem-2 query FPR <= max_fpr
+- sorting: qcov desc (tie tcov desc) / tcov / jacc (tie mKmers desc)
+- ``keep_top_scores``: keep the first N distinct score groups, plus the
+  first element of group N+1 when truncation happens mid-scan — the
+  reference's exact loop behavior (util-db-search.go:284-311)
+- multi-DB AND-intersection keyed by (target, chunkIdx): keeps the first
+  DB's match but takes qCov/tCov/jacc from the DB with fewer matched
+  k-mers; NumKmers/FPR keep the first DB's values
+  (util-db-search.go:359-474)
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..index.format import (
+    DBInfo,
+    read_block_bits,
+    read_block_meta,
+    read_db_info,
+)
+from ..kmer.sketches import generate_kmers
+from .fpr import QueryFPRCache
+from .kernel import JaxBlockCounter, count_matches_numpy, derive_locations
+
+
+@dataclass
+class SearchOptions:
+    min_query_len: int = 30
+    min_kmers: int = 10
+    min_query_cov: float = 0.55
+    min_target_cov: float = 0.0
+    max_fpr: float = 0.01
+    kmer_dedup_threshold: int = 256
+    sort_by: str = "qcov"  # qcov | tcov | jacc
+    do_not_sort: bool = False
+    keep_top_scores: int = 0
+    try_se: bool = False
+    keep_unmatched: bool = False
+    name_map: dict[str, str] = field(default_factory=dict)
+    load_default_name_map: bool = False
+    backend: str = "numpy"  # numpy | jax
+    batch_size: int = 4096
+    paired_fpr_buf: bool = False
+
+
+@dataclass
+class Match:
+    target: str
+    chunk_idx: int
+    chunks: int
+    gsize: int
+    num_kmers: int
+    fpr: float
+    qcov: float
+    tcov: float
+    jacc: float
+
+
+@dataclass
+class QueryResult:
+    query_idx: int
+    query_id: str
+    query_len: int
+    num_kmers: int
+    k: int
+    matches: list[Match]
+
+
+class Block:
+    def __init__(self, db_dir: str, block_id: int, backend: str):
+        self.meta = read_block_meta(db_dir, block_id)
+        self.bits = read_block_bits(db_dir, block_id)
+        self.sizes = np.asarray(self.meta.sizes, dtype=np.float64)
+        self.backend = backend
+        self._jax_counter = None
+
+    def counts(self, hashes, mask, num_hashes) -> np.ndarray:
+        if self.backend == "jax":
+            if self._jax_counter is None:
+                self._jax_counter = JaxBlockCounter(
+                    np.ascontiguousarray(self.bits), num_hashes
+                )
+            c = self._jax_counter(hashes, mask)
+        else:
+            c = count_matches_numpy(self.bits, hashes, mask, num_hashes)
+        return c[:, : self.meta.num_targets]
+
+
+class SearchDB:
+    """One database directory (= the reference's UnikIndexDB)."""
+
+    def __init__(self, db_dir: str, opt: SearchOptions):
+        self.path = db_dir
+        self.info: DBInfo = read_db_info(db_dir)
+        self.opt = opt
+        self.blocks = [
+            Block(db_dir, i, opt.backend) for i in range(len(self.info.blocks))
+        ]
+        buf = 499 if opt.paired_fpr_buf else 249
+        self.query_fpr = QueryFPRCache(self.info.fpr, buf)
+        self.ks_desc = sorted(self.info.ks, reverse=True)
+
+    def generate_query_kmers(self, seq: bytes, k: int) -> np.ndarray:
+        info = self.info
+        return generate_kmers(
+            seq,
+            k,
+            canonical=info.canonical,
+            circular=False,
+            scale=info.scale if info.scaled else 1,
+            minimizer_w=info.minimizer_w if info.minimizer else 0,
+            syncmer_s=info.syncmer_s if info.syncmer else 0,
+        )
+
+
+def _dedup_if_large(kmers: np.ndarray, threshold: int) -> np.ndarray:
+    if len(kmers) > threshold:
+        return np.unique(kmers)
+    return kmers
+
+
+def _sort_key(matches: list[Match], sort_by: str):
+    if sort_by == "qcov":
+        return sorted(matches, key=lambda m: (-m.qcov, -m.tcov))
+    if sort_by == "tcov":
+        return sorted(matches, key=lambda m: (-m.tcov, -m.num_kmers))
+    if sort_by == "jacc":
+        return sorted(matches, key=lambda m: (-m.jacc, -m.num_kmers))
+    raise ValueError(sort_by)
+
+
+def _score(m: Match, sort_by: str) -> float:
+    return {"qcov": m.qcov, "tcov": m.tcov, "jacc": m.jacc}[sort_by]
+
+
+def _top_n_scores(matches: list[Match], n: int, sort_by: str) -> list[Match]:
+    """util-db-search.go:284-311 truncation (faithful, incl. keeping the
+    first element of the (n+1)-th distinct score group on break)."""
+    if n <= 0 or not matches:
+        return matches
+    count = 0
+    p_score = 1024.0
+    i = 0
+    for i, m in enumerate(matches):
+        s = _score(m, sort_by)
+        if s < p_score:
+            count += 1
+            if count > n:
+                break
+            p_score = s
+    return matches[: i + 1]
+
+
+class SearchEngine:
+    """Multi-database batched search (= UnikIndexDBSearchEngine)."""
+
+    def __init__(self, db_dirs: list[str], opt: SearchOptions):
+        self.opt = opt
+        self.dbs = [SearchDB(d, opt) for d in db_dirs]
+        for db in self.dbs:
+            if opt.min_query_cov <= db.info.fpr:
+                raise SystemExit(
+                    f"min-query-cov ({opt.min_query_cov}) must be > "
+                    f"single-filter FPR of the database ({db.info.fpr})"
+                )
+
+    # ---------------------------------------------------------------- batch
+
+    def search_batch(
+        self,
+        queries: list[tuple[str, bytes, bytes | None]],
+        start_idx: int = 0,
+    ) -> list[QueryResult]:
+        """Search a batch of (id, seq, seq2-or-None) queries.
+
+        Returns one QueryResult per query, in input order.
+        """
+        opt = self.opt
+        results: list[QueryResult | None] = [None] * len(queries)
+
+        per_db: list[list[list[Match] | None]] = []
+        meta: list[tuple[int, int, int]] = []  # (qlen, nkmers, k) per query
+
+        for db_i, db in enumerate(self.dbs):
+            db_res, db_meta = self._search_batch_one_db(db, queries)
+            per_db.append(db_res)
+            if db_i == 0:
+                meta = db_meta
+
+        for qi in range(len(queries)):
+            qid, seq, seq2 = queries[qi]
+            qlen, nkmers, k = meta[qi]
+            if len(self.dbs) == 1:
+                matches = per_db[0][qi]
+            else:
+                matches = self._intersect_dbs([d[qi] for d in per_db])
+            matches = matches or []
+            if matches:
+                if not opt.do_not_sort:
+                    matches = _sort_key(matches, opt.sort_by)
+                    matches = _top_n_scores(
+                        matches, opt.keep_top_scores, opt.sort_by
+                    )
+                if opt.name_map:
+                    for m in matches:
+                        if m.target in opt.name_map:
+                            m.target = opt.name_map[m.target]
+            results[qi] = QueryResult(
+                query_idx=start_idx + qi,
+                query_id=qid,
+                query_len=qlen,
+                num_kmers=nkmers,
+                k=k,
+                matches=matches,
+            )
+        return results  # type: ignore[return-value]
+
+    # ------------------------------------------------------------- one db
+
+    def _search_batch_one_db(self, db: SearchDB, queries):
+        """Multi-k fallback + try-se retries, batched per attempt round."""
+        opt = self.opt
+        n = len(queries)
+        out: list[list[Match] | None] = [None] * n
+        meta: list[tuple[int, int, int] | None] = [None] * n
+
+        # attempt schedule per query: (k, mode) where mode 0=both mates,
+        # 1=read1 only, 2=read2 only
+        ks = db.ks_desc
+        pending = list(range(n))
+        attempts: dict[int, int] = {qi: 0 for qi in pending}
+        per_query_plan: dict[int, list[tuple[int, int]]] = {}
+        for qi, (qid, seq, seq2) in enumerate(queries):
+            plan = []
+            for k in ks:
+                plan.append((k, 0))
+                if opt.try_se and seq2 is not None:
+                    plan.append((k, 1))
+                    plan.append((k, 2))
+            per_query_plan[qi] = plan
+
+        while pending:
+            # build kmer sets for this round
+            round_items = []  # (qi, kmers, qlen, k)
+            next_pending = []
+            for qi in pending:
+                qid, seq, seq2 = queries[qi]
+                plan = per_query_plan[qi]
+                ai = attempts[qi]
+                if ai >= len(plan):
+                    continue
+                k, mode = plan[ai]
+                if mode == 0:
+                    if len(seq) < opt.min_query_len and not (
+                        seq2 is not None and len(seq2) >= opt.min_query_len
+                    ):
+                        # too short: empty result (util-db-search.go:778-786)
+                        meta[qi] = (
+                            len(seq) + (len(seq2) if seq2 else 0),
+                            0,
+                            k,
+                        )
+                        out[qi] = None
+                        continue
+                    km = db.generate_query_kmers(seq, k)
+                    if seq2 is not None:
+                        km2 = db.generate_query_kmers(seq2, k)
+                        km = np.concatenate([km, km2])
+                    qlen = len(seq) + (len(seq2) if seq2 else 0)
+                elif mode == 1:
+                    km = db.generate_query_kmers(seq, k)
+                    qlen = len(seq)
+                else:
+                    km = db.generate_query_kmers(seq2, k)
+                    qlen = len(seq2)
+                km = _dedup_if_large(km, opt.kmer_dedup_threshold)
+                meta[qi] = (qlen, len(km), k)
+                if len(km) < opt.min_kmers:
+                    # too few k-mers: give up entirely — the reference
+                    # returns without multi-k / try-se retries
+                    # (util-db-search.go:854-869)
+                    continue
+                round_items.append((qi, km, qlen, k))
+
+            if round_items:
+                self._count_round(db, round_items, meta, out)
+                for qi, km, qlen, k in round_items:
+                    if out[qi]:
+                        continue
+                    attempts[qi] += 1
+                    if attempts[qi] < len(per_query_plan[qi]):
+                        next_pending.append(qi)
+            pending = next_pending
+
+        # finalize meta for queries never searched
+        for qi in range(n):
+            if meta[qi] is None:
+                qid, seq, seq2 = queries[qi]
+                meta[qi] = (
+                    len(seq) + (len(seq2) if seq2 else 0),
+                    0,
+                    ks[0],
+                )
+        return out, meta
+
+    def _count_round(self, db: SearchDB, round_items, meta, out):
+        """Run the count kernel over one padded batch, threshold, extract."""
+        opt = self.opt
+        bs = opt.batch_size
+        found: list[int] = []
+        for lo in range(0, len(round_items), bs):
+            chunk = round_items[lo : lo + bs]
+            kmax = max(len(km) for _, km, _, _ in chunk)
+            B = len(chunk)
+            hashes = np.zeros((B, kmax), dtype=np.uint64)
+            mask = np.zeros((B, kmax), dtype=bool)
+            for r, (_qi, km, _qlen, _k) in enumerate(chunk):
+                hashes[r, : len(km)] = km
+                mask[r, : len(km)] = True
+            nkmers = mask.sum(axis=1).astype(np.int64)
+
+            for block in db.blocks:
+                counts = block.counts(hashes, mask, db.info.num_hashes)
+                self._extract_matches(
+                    db, block, counts, nkmers, chunk, meta, out
+                )
+            for _r, (qi, _km, _qlen, _k) in enumerate(chunk):
+                if out[qi]:
+                    found.append(qi)
+        return found
+
+    def _extract_matches(self, db, block, counts, nkmers, chunk, meta, out):
+        opt = self.opt
+        sizes = block.sizes  # float64 per target
+        nk = nkmers[:, None].astype(np.float64)
+        c = counts.astype(np.float64)
+        cond = (
+            (counts >= opt.min_kmers)
+            & (c > nk * opt.min_query_cov)
+            & (c / sizes[None, :] >= opt.min_target_cov)
+        )
+        rows, cols = np.nonzero(cond)
+        if len(rows) == 0:
+            return
+        bmeta = block.meta
+        for r, t in zip(rows.tolist(), cols.tolist()):
+            qi, km, qlen, k = chunk[r]
+            n = int(nkmers[r])
+            cnt = int(counts[r, t])
+            fpr_v = db.query_fpr(n, cnt)
+            if fpr_v > opt.max_fpr:
+                continue
+            tsize = sizes[t]
+            m = Match(
+                target=bmeta.names[t],
+                chunk_idx=bmeta.indices[t] & 0xFFFF,
+                chunks=bmeta.indices[t] >> 16,
+                gsize=bmeta.gsizes[t],
+                num_kmers=cnt,
+                fpr=fpr_v,
+                qcov=cnt / n,
+                tcov=cnt / tsize,
+                jacc=cnt / (n + tsize - cnt),
+            )
+            if out[qi] is None:
+                out[qi] = []
+            out[qi].append(m)
+
+    # ---------------------------------------------------------- multi-db
+
+    @staticmethod
+    def _intersect_dbs(per_db: list[list[Match] | None]) -> list[Match] | None:
+        """AND-intersection across databases (util-db-search.go:359-474)."""
+        if any(m is None for m in per_db):
+            return None
+        first = per_db[0]
+        acc: dict[tuple[str, int], Match] = {}
+        for m in first:
+            acc[(m.target, m.chunk_idx)] = Match(**vars(m))
+        for other in per_db[1:]:
+            shared = set()
+            for m in other:
+                key = (m.target, m.chunk_idx)
+                if key in acc:
+                    m0 = acc[key]
+                    if m.num_kmers < m0.num_kmers:
+                        m0.qcov = m.qcov
+                        m0.tcov = m.tcov
+                        m0.jacc = m.jacc
+                    shared.add(key)
+            acc = {k: v for k, v in acc.items() if k in shared}
+            if not acc:
+                return None
+        return list(acc.values())

@@ -1,0 +1,256 @@
+"""Unit tests: Bloom sizing/locations, FPR math, kset roundtrip, block
+partitioning, count kernels (numpy vs jax vs brute force), engine
+semantics (thresholds, sorting, top-N quirk, multi-DB intersection)."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from kmcp_tpu.index.sizing import (
+    calc_fpr,
+    calc_signature_size,
+    hash_locations,
+    hash_values,
+)
+from kmcp_tpu.index.build import (
+    build_block_bits,
+    default_block_size,
+    order_block_targets,
+    partition_blocks,
+)
+from kmcp_tpu.kmer.kset import KsetFileInfo, KsetMeta, read_kset, write_kset
+from kmcp_tpu.search.fpr import QueryFPRCache, binomial_coeff, query_fpr
+from kmcp_tpu.search.kernel import (
+    count_matches_numpy,
+    derive_locations,
+    make_jax_counter,
+)
+from kmcp_tpu.search.engine import Match, _top_n_scores, SearchEngine
+
+RNG = np.random.default_rng(7)
+
+
+# ------------------------------------------------------------------ sizing
+
+
+def test_calc_signature_size_formula():
+    # f = ceil(-h/ln(1-fpr^(1/h)) * n)  (util-hash.go:42-50)
+    assert calc_signature_size(300000, 1, 0.25) == math.ceil(
+        -1 / math.log(1 - 0.25) * 300000
+    )
+    assert calc_signature_size(1000, 3, 0.01) == math.ceil(
+        -3 / math.log(1 - 0.01 ** (1 / 3)) * 1000
+    )
+
+
+def test_calc_fpr_monotone():
+    s = calc_signature_size(1000, 1, 0.3)
+    assert calc_fpr(1000, 1, s) <= 0.3 + 1e-9
+    assert calc_fpr(500, 1, s) < calc_fpr(1000, 1, s)
+
+
+def test_hash_values_uint32_wrap():
+    h = np.array([0xFFFFFFFF_FFFFFFFE], dtype=np.uint64)
+    v = hash_values(h, 3)
+    a, b = 0xFFFFFFFF, 0xFFFFFFFE
+    expect = [(a + b * i) & 0xFFFFFFFF for i in range(3)]
+    assert v[0].tolist() == expect
+
+
+def test_hash_locations_mod():
+    h = RNG.integers(0, 2**63, 100, dtype=np.uint64)
+    locs = hash_locations(h, 1, 12345)
+    assert (locs[:, 0] == h % 12345).all()
+
+
+# -------------------------------------------------------------------- fpr
+
+
+def test_query_fpr_values():
+    # closed forms: k=0 -> 1 - (1-p)^n
+    p = 0.3
+    for n in (10, 50):
+        assert query_fpr(n, 0, p) == pytest.approx(1 - (1 - p) ** n, abs=1e-12)
+    # k=n -> p^n (tail beyond all-matched)
+    assert query_fpr(5, 5, p) == pytest.approx(0.0, abs=1e-12)
+    # monotone decreasing in k
+    vals = [query_fpr(100, k, p) for k in range(0, 100, 10)]
+    assert all(a >= b - 1e-15 for a, b in zip(vals, vals[1:]))
+
+
+def test_query_fpr_cache_matches_direct():
+    c = QueryFPRCache(0.3, 249)
+    for n, k in [(131, 70), (131, 80), (260, 150), (10, 3)]:
+        assert c(n, k) == query_fpr(n, k, 0.3)
+
+
+def test_binomial_coeff():
+    assert binomial_coeff(10, 3) == 120.0
+    assert binomial_coeff(100, 50) == pytest.approx(
+        float(math.comb(100, 50)), rel=1e-12
+    )
+
+
+# -------------------------------------------------------------------- kset
+
+
+def test_kset_roundtrip(tmp_path):
+    h = np.unique(RNG.integers(1, 2**64 - 1, 1000, dtype=np.uint64))
+    meta = KsetMeta(ks=[21], seq_id="x", frag_idx=3, genome_size=99)
+    p = str(tmp_path / "a.kset")
+    write_kset(p, h, meta)
+    h2, meta2 = read_kset(p)
+    assert (np.asarray(h2) == h).all()
+    assert meta2.seq_id == "x" and meta2.frag_idx == 3 and meta2.genome_size == 99
+
+
+# --------------------------------------------------------------- partition
+
+
+def _infos(kmer_counts):
+    return [
+        KsetFileInfo(path=f"f{i}", name=f"n{i}", index=0, indexes=1,
+                     kmers=c, genome_size=c)
+        for i, c in enumerate(kmer_counts)
+    ]
+
+
+def test_default_block_size():
+    assert default_block_size(150, 40) == 8
+    assert default_block_size(9, 40) == 8
+    assert default_block_size(9, 1) == 9
+    assert default_block_size(1000, 16) == 64
+
+
+def test_partition_simple():
+    blocks = partition_blocks(_infos([10] * 150), threads=40)
+    assert [len(b) for b in blocks] == [8] * 18 + [6]
+    blocks = partition_blocks(_infos([10] * 9), threads=40)
+    assert [len(b) for b in blocks] == [8, 1]
+
+
+def test_partition_big_files_tiering():
+    # 20 small + 2 above -x (10M) + 1 above -8 (20M) + 1 above -1 (200M)
+    counts = [100] * 20 + [11_000_000, 12_000_000] + [30_000_000] + [300_000_000]
+    blocks = partition_blocks(_infos(counts), block_size=16, block_size_x=4)
+    sizes = [sorted(i.kmers for i in b) for b in blocks]
+    # small files fill blocks of 16; the -x tier files in blocks of 4;
+    # the -8 file in blocks of 8; the -1 file alone
+    assert sizes[0] == [100] * 16
+    assert sizes[1] == [100] * 4
+    assert [11_000_000, 12_000_000] in sizes
+    assert [30_000_000] in sizes
+    assert [300_000_000] in sizes
+
+
+def test_order_block_targets_name_sorted_per_8():
+    infos = _infos([1] * 10)
+    for i, inf in enumerate(infos):
+        inf.name = f"z{9-i}"
+    ordered = order_block_targets(infos)
+    assert [o.name for o in ordered[:8]] == sorted(i.name for i in infos[:8])
+    assert [o.name for o in ordered[8:]] == sorted(i.name for i in infos[8:])
+
+
+# ------------------------------------------------------------------ kernel
+
+
+def _brute_counts(bits, hashes, mask, num_hashes):
+    S, W = bits.shape
+    B, K = hashes.shape
+    T = W * 32
+    out = np.zeros((B, T), dtype=np.int32)
+    locs = derive_locations(hashes, num_hashes, S)
+    for b in range(B):
+        for k in range(K):
+            if not mask[b, k]:
+                continue
+            for t in range(T):
+                hit = all(
+                    (bits[locs[b, k, j], t // 32] >> (t % 32)) & 1
+                    for j in range(num_hashes)
+                )
+                out[b, t] += hit
+    return out
+
+
+@pytest.mark.parametrize("num_hashes", [1, 3])
+def test_count_kernel_vs_brute(num_hashes):
+    S, W = 997, 2
+    bits = RNG.integers(0, 2**32, (S, W), dtype=np.uint32)
+    B, K = 4, 17
+    hashes = RNG.integers(1, 2**63, (B, K), dtype=np.uint64)
+    mask = RNG.random((B, K)) > 0.2
+    got = count_matches_numpy(bits, hashes, mask, num_hashes)
+    want = _brute_counts(bits, hashes, mask, num_hashes)
+    assert (got == want).all()
+
+
+@pytest.mark.parametrize("num_hashes", [1, 2])
+def test_jax_kernel_matches_numpy(num_hashes):
+    import jax.numpy as jnp
+
+    S, W = 1543, 3
+    bits = RNG.integers(0, 2**32, (S, W), dtype=np.uint32)
+    B, K = 6, 33
+    hashes = RNG.integers(1, 2**63, (B, K), dtype=np.uint64)
+    mask = RNG.random((B, K)) > 0.3
+    want = count_matches_numpy(bits, hashes, mask, num_hashes)
+    fn = make_jax_counter(num_hashes)
+    loc = derive_locations(hashes, num_hashes, S).astype(np.int32)
+    got = np.asarray(fn(jnp.asarray(bits), jnp.asarray(loc), jnp.asarray(mask)))
+    assert (got == want).all()
+
+
+def test_build_block_bits_sets_expected_bits(tmp_path):
+    h = np.array([5, 17, 100003], dtype=np.uint64)
+    p = str(tmp_path / "t.kset")
+    write_kset(p, h, KsetMeta(ks=[21]))
+    info = KsetFileInfo(path=p, name="t", index=0, indexes=1, kmers=3,
+                        genome_size=10)
+    num_sigs = 101
+    bits = build_block_bits([info, info], num_sigs, 1)
+    locs = (h % np.uint64(num_sigs)).astype(int)
+    for loc in locs:
+        assert bits[loc, 0] & 1
+        assert bits[loc, 0] & 2
+    assert bits.sum() == len(set(locs.tolist())) * 3
+
+
+# ------------------------------------------------------------------ engine
+
+
+def _m(qcov, tcov=0.0, jacc=0.0, nk=0):
+    return Match(target="t", chunk_idx=0, chunks=1, gsize=1,
+                 num_kmers=nk, fpr=0.0, qcov=qcov, tcov=tcov, jacc=jacc)
+
+
+def test_top_n_scores_quirk():
+    ms = [_m(0.9), _m(0.8), _m(0.8), _m(0.7)]
+    # n=1: keeps the 0.9 group plus the first element of the next distinct
+    # score group — the reference's exact loop behavior
+    assert [m.qcov for m in _top_n_scores(ms, 1, "qcov")] == [0.9, 0.8]
+    # n=2: scanning hits 0.7 (3rd distinct) at index 3 -> keep [:4]
+    assert len(_top_n_scores(ms, 2, "qcov")) == 4
+    assert len(_top_n_scores(ms, 0, "qcov")) == 4
+    assert len(_top_n_scores(ms, 5, "qcov")) == 4
+
+
+def test_intersect_dbs():
+    a = [Match("x", 0, 1, 10, 50, 1e-9, 0.9, 0.5, 0.4, ) if False else
+         Match(target="x", chunk_idx=0, chunks=1, gsize=10, num_kmers=50,
+               fpr=1e-9, qcov=0.9, tcov=0.5, jacc=0.4),
+         Match(target="y", chunk_idx=1, chunks=2, gsize=10, num_kmers=30,
+               fpr=1e-9, qcov=0.6, tcov=0.3, jacc=0.2)]
+    b = [Match(target="x", chunk_idx=0, chunks=1, gsize=10, num_kmers=40,
+               fpr=1e-8, qcov=0.8, tcov=0.45, jacc=0.35)]
+    out = SearchEngine._intersect_dbs([a, b])
+    assert len(out) == 1
+    m = out[0]
+    # qcov/tcov/jacc updated from the smaller-count DB; num_kmers/fpr kept
+    assert m.qcov == 0.8 and m.num_kmers == 50 and m.fpr == 1e-9
+    # no-match results arrive as None (never an empty list)
+    assert SearchEngine._intersect_dbs([a, []]) is None
+    assert SearchEngine._intersect_dbs([a, None]) is None
