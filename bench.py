@@ -1,0 +1,138 @@
+"""Benchmark: short-read search throughput vs the reference's demo log.
+
+Builds (once, cached under .bench/) the demo-profiling database —
+15 genomes, k=21, 10 chunks each, fpr 0.3, 1 hash: the exact
+configuration of the reference's published demo run — then searches a
+deterministic batch of 150 bp reads sampled from the same genomes and
+reports reads/second.
+
+Baseline: the reference's checked-in demo log
+(/root/reference/demo-profiling/mock.kmcp.gz.log): 14.671 million
+queries/minute = 244,517 reads/s on a 40-thread CPU server.
+
+Prints ONE JSON line:
+  {"metric": "search_reads_per_s", "value": N, "unit": "reads/s",
+   "vs_baseline": N/244517, ...extras}
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+REF = "/root/reference/demo-profiling/refs"
+BASELINE_READS_PER_S = 14.671e6 / 60.0  # mock.kmcp.gz.log
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+N_READS = int(os.environ.get("BENCH_READS", "200000"))
+READ_LEN = 150
+
+
+def ensure_db(native: bool = True) -> str:
+    name = "demo-k21-n10.native.db" if native else "demo-k21-n10.db"
+    db_dir = os.path.join(CACHE, name)
+    if os.path.isfile(os.path.join(db_dir, "db.json")):
+        return db_dir
+    from kmcp_tpu.commands.compute import ComputeOptions, run_compute
+    from kmcp_tpu.index.build import run_index
+
+    kdir = os.path.join(CACHE, "demo-k21-n10")
+    os.makedirs(CACHE, exist_ok=True)
+    t0 = time.time()
+    if not os.path.isfile(os.path.join(kdir, "_info.tsv")):
+        run_compute(
+            out_dir=kdir,
+            in_dir=REF,
+            opt=ComputeOptions(
+                ks=[21],
+                split_number=10,
+                split_overlap=150,
+                ref_name_regexp=r"^([\w\.\_]+\.\d+)",
+                seq_name_filter=["plasmid"],
+            ),
+            force=True,
+        )
+    t1 = time.time()
+    run_index(
+        in_dir=kdir, out_dir=db_dir, num_hashes=1, fpr=0.3, threads=40,
+        force=True, tpu_native=native,
+    )
+    print(
+        f"[bench] db build: compute {t1-t0:.1f}s, index {time.time()-t1:.1f}s",
+        file=sys.stderr,
+    )
+    return db_dir
+
+
+def make_reads(n: int) -> list[bytes]:
+    """Deterministic 150 bp reads sampled from the demo genomes,
+    abundance-weighted roughly like the mock community."""
+    from kmcp_tpu.seqio.fastx import read_fastx
+
+    rng = np.random.default_rng(20260817)
+    genomes = []
+    for f in sorted(os.listdir(REF)):
+        if not f.endswith(".fa.gz"):
+            continue
+        seq = b"".join(r.seq for r in read_fastx(os.path.join(REF, f)))
+        genomes.append(seq)
+    weights = np.array([len(g) for g in genomes], dtype=np.float64)
+    weights /= weights.sum()
+    gi = rng.choice(len(genomes), size=n, p=weights)
+    reads = []
+    for i in gi:
+        g = genomes[i]
+        p = rng.integers(0, len(g) - READ_LEN)
+        reads.append(g[p : p + READ_LEN])
+    return reads
+
+
+def main() -> None:
+    backend = os.environ.get("BENCH_BACKEND", "jax")
+    db_dir = ensure_db(native=os.environ.get("BENCH_NATIVE", "1") == "1")
+    reads = make_reads(N_READS)
+
+    from kmcp_tpu.search.engine import SearchEngine, SearchOptions
+    from kmcp_tpu.search.tsv import write_results
+
+    opt = SearchOptions(backend=backend, batch_size=8192)
+    engine = SearchEngine([db_dir], opt)
+
+    queries = [(f"r{i}", s, None) for i, s in enumerate(reads)]
+
+    # warmup (compile + caches)
+    engine.search_batch(queries[:8192], 0)
+
+    t0 = time.time()
+    total = matched = 0
+    out = open(os.devnull, "w")
+    bs = opt.batch_size
+    for lo in range(0, len(queries), bs):
+        res = engine.search_batch(queries[lo : lo + bs], lo)
+        t, m = write_results(out, res)
+        total += t
+        matched += m
+    dt = time.time() - t0
+    rps = total / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "search_reads_per_s",
+                "value": round(rps, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(rps / BASELINE_READS_PER_S, 3),
+                "reads": total,
+                "matched_pct": round(matched / total * 100, 2),
+                "seconds": round(dt, 2),
+                "backend": backend,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -63,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("-a", "--alias", default="")
     i.add_argument("--dry-run", action="store_true")
     i.add_argument("--force", action="store_true")
+    i.add_argument(
+        "--tpu-native", action="store_true",
+        help="wide-block layout optimized for TPU gather (not bit-compatible "
+        "with reference block partitioning)",
+    )
+    i.add_argument("--native-block-targets", type=int, default=4096)
 
     # ------------------------------------------------------------- search
     s = sub.add_parser("search", help="search sequences against a database")
@@ -143,6 +149,8 @@ def main(argv: list[str] | None = None) -> int:
             alias=args.alias,
             force=args.force,
             dry_run=args.dry_run,
+            tpu_native=args.tpu_native,
+            native_block_targets=args.native_block_targets,
         )
         return 0
 

@@ -189,6 +189,8 @@ def run_index(
     force: bool = False,
     dry_run: bool = False,
     round_pow2: bool = False,
+    tpu_native: bool = False,
+    native_block_targets: int = 4096,
 ) -> DBInfo:
     infos = ksetmod.read_info(in_dir)
     if not infos:
@@ -197,15 +199,25 @@ def run_index(
     # parameter consistency comes from the first kset header
     _, meta0 = read_kset(infos[0].path)
 
-    blocks = partition_blocks(
-        infos,
-        block_size=block_size,
-        threads=threads,
-        threshold_x=threshold_x,
-        block_size_x=block_size_x,
-        threshold_8=threshold_8,
-        threshold_1=threshold_1,
-    )
+    if tpu_native:
+        # TPU-native layout: a few WIDE blocks (many targets per Bloom row)
+        # so the device gather fetches large contiguous rows, instead of
+        # the reference's cache-line-sized 8-target groups.  Bloom sizing
+        # is still per block by its largest member; sorting by k-mer count
+        # keeps similarly-sized targets together to bound memory blowup.
+        srt = sorted(infos, key=lambda i: i.kmers)
+        bs = native_block_targets
+        blocks = [srt[i : i + bs] for i in range(0, len(srt), bs)]
+    else:
+        blocks = partition_blocks(
+            infos,
+            block_size=block_size,
+            threads=threads,
+            threshold_x=threshold_x,
+            block_size_x=block_size_x,
+            threshold_8=threshold_8,
+            threshold_1=threshold_1,
+        )
 
     if os.path.exists(out_dir):
         if not force:

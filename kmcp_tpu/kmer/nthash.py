@@ -127,6 +127,22 @@ def _window_hashes(codes: np.ndarray, k: int):
     return fh, rh, valid
 
 
+def _scan_windows(buf: bytes, k: int, canonical: bool):
+    """All-window hashes + validity for a raw byte buffer.
+
+    Prefers the C++ rolling scanner (native/nthash.cpp); falls back to the
+    NumPy prefix-XOR path.  Both produce identical values.
+    """
+    from . import native
+
+    res = native.scan(buf, k, canonical)
+    if res is not None:
+        return res
+    codes = encode_seq(buf)
+    fh, rh, valid = _window_hashes(codes, k)
+    return (np.minimum(fh, rh) if canonical else fh), valid
+
+
 def hash_all(
     seq: bytes | bytearray | np.ndarray,
     k: int,
@@ -140,18 +156,17 @@ def hash_all(
     ``sketches.NewHashIterator(seq, k, canonical, circular)`` +
     ``NextHash()`` loop (compute.go:752, util-db-search.go:1057).
     """
-    codes = encode_seq(seq)
-    L = codes.shape[0]
+    if isinstance(seq, np.ndarray):
+        seq = seq.tobytes()
+    else:
+        seq = bytes(seq)
+    L = len(seq)
     if L < k or k < 1:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
     if circular and L > k - 1:
-        codes = np.concatenate([codes, codes[: k - 1]])
+        seq = seq + seq[: k - 1]
 
-    fh, rh, valid = _window_hashes(codes, k)
-    if canonical:
-        h = np.minimum(fh, rh)
-    else:
-        h = fh
+    h, valid = _scan_windows(seq, k, canonical)
     pos = np.nonzero(valid)[0]
     return h[pos], pos
 
@@ -176,6 +191,71 @@ def hash_windows(
         codes = np.concatenate([codes, codes[: k - 1]])
     fh, rh, valid = _window_hashes(codes, k)
     return fh, rh, np.minimum(fh, rh), valid
+
+
+def hash_reads_batch(
+    seqs: list[bytes],
+    k: int,
+    canonical: bool = True,
+    k_max_pad: int = 0,
+    max_hash: int | None = None,
+):
+    """Hash a batch of short reads in ONE vectorized pass.
+
+    Joins all reads with a single 'N' separator (invalid windows at the
+    junctions are dropped automatically — the same mechanism the reference
+    uses with k-1 'N' joins) and runs the prefix-XOR ntHash once over the
+    concatenated buffer.  Returns a padded ``[B, Kmax]`` uint64 hash matrix,
+    a ``[B, Kmax]`` validity mask, and the per-read k-mer counts.
+
+    Per-read results are identical to ``hash_all(seq, k)`` for each read —
+    duplicates kept, sequence order preserved (matching the reference's
+    per-query k-mer generation, util-db-search.go:1092-1105, including the
+    ``code > 0`` drop).
+    """
+    B = len(seqs)
+    if B == 0:
+        z = np.zeros((0, 0), dtype=np.uint64)
+        return z, np.zeros((0, 0), dtype=bool), np.zeros(0, dtype=np.int64)
+    joined = b"N".join(bytes(s) for s in seqs)
+    L = len(joined)
+
+    # read r occupies [starts[r], starts[r] + len_r)
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    starts = np.zeros(B, dtype=np.int64)
+    np.cumsum(lens[:-1] + 1, out=starts[1:])
+
+    if L < k:
+        kmax = max(1, k_max_pad)
+        return (
+            np.zeros((B, kmax), dtype=np.uint64),
+            np.zeros((B, kmax), dtype=bool),
+            np.zeros(B, dtype=np.int64),
+        )
+
+    h, valid = _scan_windows(joined, k, canonical)
+    # drop hash == 0 like the reference
+    valid = valid & (h != 0)
+    if max_hash is not None:
+        valid = valid & (h <= np.uint64(max_hash))
+    pos = np.nonzero(valid)[0]
+    hv = h[pos]
+    # Windows of read r occupy the contiguous range [starts[r], starts[r+1])
+    # (junction windows are invalid), so B binary searches of the sorted
+    # ``pos`` array give per-read extents — O(B log N), not O(N log B).
+    bounds = np.searchsorted(pos, starts)
+    counts = np.empty(B, dtype=np.int64)
+    counts[:-1] = np.diff(bounds)
+    counts[-1] = len(pos) - bounds[-1]
+    kmax = max(int(counts.max()) if B else 0, k_max_pad, 1)
+    rid = np.repeat(np.arange(B, dtype=np.int64), counts)
+    # column index = rank of the k-mer within its read
+    col = np.arange(len(pos), dtype=np.int64) - np.repeat(bounds, counts)
+    out = np.zeros((B, kmax), dtype=np.uint64)
+    mask = np.zeros((B, kmax), dtype=bool)
+    out[rid, col] = hv
+    mask[rid, col] = True
+    return out, mask, counts
 
 
 # ---------------------------------------------------------------------------

@@ -8,11 +8,17 @@ data-parallel pipeline:
   reads -> k-mer hash batches (padded [B, Kmax]) -> per-block count kernel
         -> vectorized thresholding -> sparse match extraction -> rows
 
+Plain-k-mer queries (the profiling workload) are hashed in one vectorized
+pass per batch (``hash_reads_batch``); sketch queries fall back to the
+per-read generators.
+
 Semantics preserved from the reference:
 - query k-mers are deduplicated only when more than
   ``kmer_dedup_threshold`` (256) k-mers (util-db-search.go:874-908);
   qCov denominators therefore count duplicate k-mers for short reads
 - paired-end mates hash into one k-mer set (util-db-search.go:800-805)
+- fewer than ``min_kmers`` k-mers aborts the query with no retries
+  (util-db-search.go:854-869)
 - multi-k fallback: ks tried descending, retry with smaller k on no match
 - ``try_se``: paired query with no hits retried as read1-only then read2
 - thresholds (util-db-search.go:7466-7493): count >= min_kmers,
@@ -30,7 +36,6 @@ Semantics preserved from the reference:
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -41,9 +46,10 @@ from ..index.format import (
     read_block_meta,
     read_db_info,
 )
-from ..kmer.sketches import generate_kmers
+from ..kmer.nthash import hash_reads_batch
+from ..kmer.sketches import generate_kmers, max_hash_for_scale
 from .fpr import QueryFPRCache
-from .kernel import JaxBlockCounter, count_matches_numpy, derive_locations
+from .kernel import JaxBlockCounter, count_matches_numpy
 
 
 @dataclass
@@ -62,7 +68,7 @@ class SearchOptions:
     name_map: dict[str, str] = field(default_factory=dict)
     load_default_name_map: bool = False
     backend: str = "numpy"  # numpy | jax
-    batch_size: int = 4096
+    batch_size: int = 8192
     paired_fpr_buf: bool = False
 
 
@@ -122,6 +128,10 @@ class SearchDB:
         buf = 499 if opt.paired_fpr_buf else 249
         self.query_fpr = QueryFPRCache(self.info.fpr, buf)
         self.ks_desc = sorted(self.info.ks, reverse=True)
+        self.is_sketch = self.info.minimizer or self.info.syncmer
+        self.max_hash = (
+            int(max_hash_for_scale(self.info.scale)) if self.info.scaled else None
+        )
 
     def generate_query_kmers(self, seq: bytes, k: int) -> np.ndarray:
         info = self.info
@@ -136,13 +146,33 @@ class SearchDB:
         )
 
 
-def _dedup_if_large(kmers: np.ndarray, threshold: int) -> np.ndarray:
-    if len(kmers) > threshold:
-        return np.unique(kmers)
-    return kmers
+def _merge_mate_rows(H, M, counts, paired_rows):
+    """Collapse consecutive mate-pair rows (r, r+1) of a hash batch into
+    single combined rows (the reference hashes both mates into one k-mer
+    set, util-db-search.go:800-805)."""
+    out_rows = []
+    r = 0
+    for p in paired_rows:
+        out_rows.append((r, r + 1) if p else (r,))
+        r += 2 if p else 1
+    B = len(out_rows)
+    new_counts = np.array(
+        [sum(int(counts[i]) for i in rows) for rows in out_rows], dtype=np.int64
+    )
+    kmax = max(int(new_counts.max()) if B else 0, 1)
+    H2 = np.zeros((B, kmax), dtype=np.uint64)
+    M2 = np.zeros((B, kmax), dtype=bool)
+    for b, rows in enumerate(out_rows):
+        off = 0
+        for i in rows:
+            n = int(counts[i])
+            H2[b, off : off + n] = H[i, :n]
+            M2[b, off : off + n] = True
+            off += n
+    return H2, M2, new_counts
 
 
-def _sort_key(matches: list[Match], sort_by: str):
+def _sort_matches(matches: list[Match], sort_by: str):
     if sort_by == "qcov":
         return sorted(matches, key=lambda m: (-m.qcov, -m.tcov))
     if sort_by == "tcov":
@@ -194,24 +224,18 @@ class SearchEngine:
         queries: list[tuple[str, bytes, bytes | None]],
         start_idx: int = 0,
     ) -> list[QueryResult]:
-        """Search a batch of (id, seq, seq2-or-None) queries.
-
-        Returns one QueryResult per query, in input order.
-        """
+        """Search a batch of (id, seq, seq2-or-None) queries, in order."""
         opt = self.opt
-        results: list[QueryResult | None] = [None] * len(queries)
-
-        per_db: list[list[list[Match] | None]] = []
-        meta: list[tuple[int, int, int]] = []  # (qlen, nkmers, k) per query
-
+        per_db = []
+        meta: list[tuple[int, int, int]] = []
         for db_i, db in enumerate(self.dbs):
             db_res, db_meta = self._search_batch_one_db(db, queries)
             per_db.append(db_res)
             if db_i == 0:
                 meta = db_meta
 
-        for qi in range(len(queries)):
-            qid, seq, seq2 = queries[qi]
+        results: list[QueryResult] = []
+        for qi, (qid, seq, seq2) in enumerate(queries):
             qlen, nkmers, k = meta[qi]
             if len(self.dbs) == 1:
                 matches = per_db[0][qi]
@@ -220,7 +244,7 @@ class SearchEngine:
             matches = matches or []
             if matches:
                 if not opt.do_not_sort:
-                    matches = _sort_key(matches, opt.sort_by)
+                    matches = _sort_matches(matches, opt.sort_by)
                     matches = _top_n_scores(
                         matches, opt.keep_top_scores, opt.sort_by
                     )
@@ -228,15 +252,17 @@ class SearchEngine:
                     for m in matches:
                         if m.target in opt.name_map:
                             m.target = opt.name_map[m.target]
-            results[qi] = QueryResult(
-                query_idx=start_idx + qi,
-                query_id=qid,
-                query_len=qlen,
-                num_kmers=nkmers,
-                k=k,
-                matches=matches,
+            results.append(
+                QueryResult(
+                    query_idx=start_idx + qi,
+                    query_id=qid,
+                    query_len=qlen,
+                    num_kmers=nkmers,
+                    k=k,
+                    matches=matches,
+                )
             )
-        return results  # type: ignore[return-value]
+        return results
 
     # ------------------------------------------------------------- one db
 
@@ -246,13 +272,10 @@ class SearchEngine:
         n = len(queries)
         out: list[list[Match] | None] = [None] * n
         meta: list[tuple[int, int, int] | None] = [None] * n
+        done = [False] * n
 
-        # attempt schedule per query: (k, mode) where mode 0=both mates,
-        # 1=read1 only, 2=read2 only
         ks = db.ks_desc
-        pending = list(range(n))
-        attempts: dict[int, int] = {qi: 0 for qi in pending}
-        per_query_plan: dict[int, list[tuple[int, int]]] = {}
+        plans: list[list[tuple[int, int]]] = []
         for qi, (qid, seq, seq2) in enumerate(queries):
             plan = []
             for k in ks:
@@ -260,102 +283,165 @@ class SearchEngine:
                 if opt.try_se and seq2 is not None:
                     plan.append((k, 1))
                     plan.append((k, 2))
-            per_query_plan[qi] = plan
+            plans.append(plan)
+        attempts = [0] * n
+        pending = list(range(n))
 
         while pending:
-            # build kmer sets for this round
-            round_items = []  # (qi, kmers, qlen, k)
-            next_pending = []
+            round_fast: list[tuple[int, int, int]] = []  # (qi, qlen, mode)
+            round_slow: list[tuple[int, np.ndarray, int, int]] = []
+            k_round: dict[int, int] = {}
+            next_pending: list[int] = []
+
             for qi in pending:
                 qid, seq, seq2 = queries[qi]
-                plan = per_query_plan[qi]
+                plan = plans[qi]
                 ai = attempts[qi]
                 if ai >= len(plan):
                     continue
                 k, mode = plan[ai]
-                if mode == 0:
-                    if len(seq) < opt.min_query_len and not (
-                        seq2 is not None and len(seq2) >= opt.min_query_len
-                    ):
-                        # too short: empty result (util-db-search.go:778-786)
-                        meta[qi] = (
-                            len(seq) + (len(seq2) if seq2 else 0),
-                            0,
-                            k,
-                        )
-                        out[qi] = None
-                        continue
-                    km = db.generate_query_kmers(seq, k)
-                    if seq2 is not None:
-                        km2 = db.generate_query_kmers(seq2, k)
-                        km = np.concatenate([km, km2])
-                    qlen = len(seq) + (len(seq2) if seq2 else 0)
-                elif mode == 1:
-                    km = db.generate_query_kmers(seq, k)
-                    qlen = len(seq)
-                else:
-                    km = db.generate_query_kmers(seq2, k)
-                    qlen = len(seq2)
-                km = _dedup_if_large(km, opt.kmer_dedup_threshold)
-                meta[qi] = (qlen, len(km), k)
-                if len(km) < opt.min_kmers:
-                    # too few k-mers: give up entirely — the reference
-                    # returns without multi-k / try-se retries
-                    # (util-db-search.go:854-869)
+                if mode == 0 and len(seq) < opt.min_query_len and not (
+                    seq2 is not None and len(seq2) >= opt.min_query_len
+                ):
+                    # too short: empty result, no retry
+                    meta[qi] = (len(seq) + (len(seq2) if seq2 else 0), 0, k)
+                    done[qi] = True
                     continue
-                round_items.append((qi, km, qlen, k))
+                if not db.is_sketch:
+                    round_fast.append((qi, mode, k))
+                else:
+                    if mode == 0:
+                        km = db.generate_query_kmers(seq, k)
+                        if seq2 is not None:
+                            km = np.concatenate(
+                                [km, db.generate_query_kmers(seq2, k)]
+                            )
+                        qlen = len(seq) + (len(seq2) if seq2 else 0)
+                    elif mode == 1:
+                        km = db.generate_query_kmers(seq, k)
+                        qlen = len(seq)
+                    else:
+                        km = db.generate_query_kmers(seq2, k)
+                        qlen = len(seq2)
+                    if len(km) > opt.kmer_dedup_threshold:
+                        km = np.unique(km)
+                    meta[qi] = (qlen, len(km), k)
+                    if len(km) < opt.min_kmers:
+                        done[qi] = True
+                        continue
+                    round_slow.append((qi, km, qlen, k))
 
-            if round_items:
-                self._count_round(db, round_items, meta, out)
-                for qi, km, qlen, k in round_items:
-                    if out[qi]:
+            # -------- fast path: one vectorized hash pass per (k, mode),
+            # padded matrices flow straight into the count kernel
+            round_batches: list[tuple[list[int], np.ndarray, np.ndarray, np.ndarray]] = []
+            round_qis: list[int] = []
+            by_km: dict[tuple[int, int], list[int]] = {}
+            for qi, mode, k in round_fast:
+                by_km.setdefault((k, mode), []).append(qi)
+            for (k, mode), qis in by_km.items():
+                seq_lists: list[bytes] = []
+                paired_rows = []
+                for qi in qis:
+                    _qid, seq, seq2 = queries[qi]
+                    if mode == 0:
+                        seq_lists.append(seq)
+                        if seq2 is not None:
+                            seq_lists.append(seq2)
+                            paired_rows.append(True)
+                        else:
+                            paired_rows.append(False)
+                    elif mode == 1:
+                        seq_lists.append(seq)
+                        paired_rows.append(False)
+                    else:
+                        seq_lists.append(seq2)
+                        paired_rows.append(False)
+                H, M, counts = hash_reads_batch(
+                    seq_lists, k, canonical=db.info.canonical,
+                    max_hash=db.max_hash,
+                )
+                if any(paired_rows):
+                    H, M, counts = _merge_mate_rows(H, M, counts, paired_rows)
+                keep_qis: list[int] = []
+                keep_rows: list[int] = []
+                for r, qi in enumerate(qis):
+                    _qid, seq, seq2 = queries[qi]
+                    qlen = (
+                        len(seq) + (len(seq2) if seq2 is not None else 0)
+                        if mode == 0
+                        else (len(seq) if mode == 1 else len(seq2))
+                    )
+                    nk = int(counts[r])
+                    if nk > opt.kmer_dedup_threshold:
+                        km = np.unique(H[r][M[r]])
+                        meta[qi] = (qlen, len(km), k)
+                        if len(km) < opt.min_kmers:
+                            done[qi] = True
+                        else:
+                            round_slow.append((qi, km, qlen, k))
+                        continue
+                    meta[qi] = (qlen, nk, k)
+                    if nk < opt.min_kmers:
+                        done[qi] = True
+                        continue
+                    keep_qis.append(qi)
+                    keep_rows.append(r)
+                if keep_rows:
+                    round_batches.append(
+                        (keep_qis, H[keep_rows], M[keep_rows],
+                         counts[keep_rows])
+                    )
+                    round_qis.extend(keep_qis)
+
+            if round_slow:
+                qis = [it[0] for it in round_slow]
+                kmax = max(len(it[1]) for it in round_slow)
+                Hs = np.zeros((len(round_slow), kmax), dtype=np.uint64)
+                Ms = np.zeros((len(round_slow), kmax), dtype=bool)
+                cs = np.empty(len(round_slow), dtype=np.int64)
+                for r, (_qi, km, _qlen, _k) in enumerate(round_slow):
+                    Hs[r, : len(km)] = km
+                    Ms[r, : len(km)] = True
+                    cs[r] = len(km)
+                round_batches.append((qis, Hs, Ms, cs))
+                round_qis.extend(qis)
+
+            if round_batches:
+                round_out: dict[int, list[Match]] = {}
+                for qis, H, M, counts in round_batches:
+                    self._count_round(db, qis, H, M, counts, round_out)
+                for qi, matches in round_out.items():
+                    if out[qi] is None:
+                        out[qi] = matches
+                for qi in round_qis:
+                    if out[qi] or done[qi]:
                         continue
                     attempts[qi] += 1
-                    if attempts[qi] < len(per_query_plan[qi]):
+                    if attempts[qi] < len(plans[qi]):
                         next_pending.append(qi)
             pending = next_pending
 
-        # finalize meta for queries never searched
         for qi in range(n):
             if meta[qi] is None:
                 qid, seq, seq2 = queries[qi]
-                meta[qi] = (
-                    len(seq) + (len(seq2) if seq2 else 0),
-                    0,
-                    ks[0],
-                )
+                meta[qi] = (len(seq) + (len(seq2) if seq2 else 0), 0, ks[0])
         return out, meta
 
-    def _count_round(self, db: SearchDB, round_items, meta, out):
-        """Run the count kernel over one padded batch, threshold, extract."""
-        opt = self.opt
-        bs = opt.batch_size
-        found: list[int] = []
-        for lo in range(0, len(round_items), bs):
-            chunk = round_items[lo : lo + bs]
-            kmax = max(len(km) for _, km, _, _ in chunk)
-            B = len(chunk)
-            hashes = np.zeros((B, kmax), dtype=np.uint64)
-            mask = np.zeros((B, kmax), dtype=bool)
-            for r, (_qi, km, _qlen, _k) in enumerate(chunk):
-                hashes[r, : len(km)] = km
-                mask[r, : len(km)] = True
-            nkmers = mask.sum(axis=1).astype(np.int64)
-
+    def _count_round(self, db, qis, H, M, nkmers, round_out) -> None:
+        """Run the count kernel over padded batches, threshold, extract."""
+        bs = self.opt.batch_size
+        for lo in range(0, len(qis), bs):
+            hi = min(lo + bs, len(qis))
             for block in db.blocks:
-                counts = block.counts(hashes, mask, db.info.num_hashes)
+                counts = block.counts(H[lo:hi], M[lo:hi], db.info.num_hashes)
                 self._extract_matches(
-                    db, block, counts, nkmers, chunk, meta, out
+                    db, block, counts, nkmers[lo:hi], qis[lo:hi], round_out
                 )
-            for _r, (qi, _km, _qlen, _k) in enumerate(chunk):
-                if out[qi]:
-                    found.append(qi)
-        return found
 
-    def _extract_matches(self, db, block, counts, nkmers, chunk, meta, out):
+    def _extract_matches(self, db, block, counts, nkmers, qis, round_out):
         opt = self.opt
-        sizes = block.sizes  # float64 per target
-        nk = nkmers[:, None].astype(np.float64)
+        sizes = block.sizes
+        nk = np.asarray(nkmers, dtype=np.float64)[:, None]
         c = counts.astype(np.float64)
         cond = (
             (counts >= opt.min_kmers)
@@ -367,7 +453,7 @@ class SearchEngine:
             return
         bmeta = block.meta
         for r, t in zip(rows.tolist(), cols.tolist()):
-            qi, km, qlen, k = chunk[r]
+            qi = qis[r]
             n = int(nkmers[r])
             cnt = int(counts[r, t])
             fpr_v = db.query_fpr(n, cnt)
@@ -385,9 +471,7 @@ class SearchEngine:
                 tcov=cnt / tsize,
                 jacc=cnt / (n + tsize - cnt),
             )
-            if out[qi] is None:
-                out[qi] = []
-            out[qi].append(m)
+            round_out.setdefault(qi, []).append(m)
 
     # ---------------------------------------------------------- multi-db
 

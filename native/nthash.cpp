@@ -1,0 +1,165 @@
+// Rolling ntHash1 scan over a byte buffer — host-side hot loop.
+//
+// Replaces the reference's per-base Go iterator (bio/sketches, used at
+// kmcp/cmd/compute.go:746-803) and the NumPy prefix-XOR path for the
+// performance-critical read-hashing stage.  Produces, for every k-mer
+// window of the input, the canonical (min of forward / reverse-complement)
+// 64-bit ntHash1 value plus a validity flag (windows containing non-ACGT
+// bases are invalid).
+//
+// Build:  g++ -O3 -march=native -shared -fPIC -o libkthash.so nthash.cpp -fopenmp
+
+#include <cstdint>
+#include <cstring>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+constexpr uint64_t SEED_A = 0x3c8bfbb395c60474ULL;
+constexpr uint64_t SEED_C = 0x3193c18562a02b4cULL;
+constexpr uint64_t SEED_G = 0x20323ed082572324ULL;
+constexpr uint64_t SEED_T = 0x295549f54be24456ULL;
+
+inline uint64_t rol(uint64_t x, unsigned r) {
+  r &= 63u;
+  if (r == 0) return x;
+  return (x << r) | (x >> (64 - r));
+}
+inline uint64_t ror(uint64_t x, unsigned r) {
+  r &= 63u;
+  if (r == 0) return x;
+  return (x >> r) | (x << (64 - r));
+}
+
+struct Tables {
+  uint64_t seed[256];
+  uint64_t seedc[256];  // seed of complement base
+  uint8_t ok[256];
+  Tables() {
+    std::memset(seed, 0, sizeof(seed));
+    std::memset(seedc, 0, sizeof(seedc));
+    std::memset(ok, 0, sizeof(ok));
+    auto set = [&](char b, uint64_t s, uint64_t sc) {
+      seed[(uint8_t)b] = s;
+      seedc[(uint8_t)b] = sc;
+      ok[(uint8_t)b] = 1;
+      char lo = b - 'A' + 'a';
+      seed[(uint8_t)lo] = s;
+      seedc[(uint8_t)lo] = sc;
+      ok[(uint8_t)lo] = 1;
+    };
+    set('A', SEED_A, SEED_T);
+    set('C', SEED_C, SEED_G);
+    set('G', SEED_G, SEED_C);
+    set('T', SEED_T, SEED_A);
+  }
+};
+const Tables T;
+
+// Scan [seq, seq+L); write out[i]/valid[i] for each window start i in
+// [0, L-k].  canonical: min(fh, rh); else forward hash.
+void scan_range(const uint8_t* seq, int64_t L, int k, int canonical,
+                uint64_t* out, uint8_t* valid) {
+  const int64_t n = L - k + 1;
+  if (n <= 0) return;
+  int64_t run = 0;   // consecutive valid bases ending at current position
+  uint64_t fh = 0, rh = 0;
+  const unsigned ku = (unsigned)k;
+  for (int64_t i = 0; i < L; ++i) {
+    const uint8_t b = seq[i];
+    if (!T.ok[b]) {
+      run = 0;
+      continue;
+    }
+    ++run;
+    if (run < k) continue;
+    const int64_t w = i - k + 1;  // window start
+    if (run == k) {
+      // fresh window: direct sums
+      fh = 0;
+      rh = 0;
+      for (int j = 0; j < k; ++j) {
+        const uint8_t c = seq[w + j];
+        fh ^= rol(T.seed[c], (unsigned)(k - 1 - j));
+        rh ^= rol(T.seedc[c], (unsigned)j);
+      }
+    } else {
+      // roll from window w-1 to w: out-base seq[w-1], in-base seq[i]
+      const uint8_t ob = seq[w - 1];
+      fh = rol(fh, 1) ^ rol(T.seed[ob], ku) ^ T.seed[b];
+      rh = ror(rh, 1) ^ ror(T.seedc[ob], 1) ^ rol(T.seedc[b], ku - 1);
+    }
+    if (w < n) {
+      out[w] = canonical ? (rh < fh ? rh : fh) : fh;
+      valid[w] = 1;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Full-buffer scan.  valid must be zero-initialized by the caller.
+void kthash_scan(const uint8_t* seq, int64_t L, int k, int canonical,
+                 uint64_t* out, uint8_t* valid) {
+  scan_range(seq, L, k, canonical, out, valid);
+}
+
+// Parallel scan: chunks overlap by k-1 so every window is produced
+// exactly once; safe because chunk c writes windows [start_c, end_c).
+void kthash_scan_mt(const uint8_t* seq, int64_t L, int k, int canonical,
+                    uint64_t* out, uint8_t* valid, int threads) {
+  const int64_t n = L - k + 1;
+  if (n <= 0) return;
+#ifdef _OPENMP
+  if (threads > 1 && n > 1 << 16) {
+    const int nt = threads;
+    const int64_t chunk = (n + nt - 1) / nt;
+#pragma omp parallel for num_threads(nt) schedule(static, 1)
+    for (int nchunk = 0; nchunk < nt; ++nchunk) {
+      const int64_t w0 = (int64_t)nchunk * chunk;
+      if (w0 >= n) continue;
+      int64_t w1 = w0 + chunk;
+      if (w1 > n) w1 = n;
+      // scan bases [w0, w1 + k - 1); windows [w0, w1)
+      const int64_t len = (w1 - w0) + k - 1;
+      scan_range(seq + w0, len, k, canonical, out + w0, valid + w0);
+    }
+    return;
+  }
+#endif
+  (void)threads;
+  scan_range(seq, L, k, canonical, out, valid);
+}
+
+// Bloom-row locations: out[i*num_hashes + j] = loc_j(hashes[i]) mod num_sigs.
+// Multi-hash derivation splits the 64-bit value into a=hi32, b=lo32 and uses
+// uint32(a + b*j) — deliberate uint32 wraparound, matching
+// kmcp/cmd/util-hash.go:61-142.
+void kt_locations(const uint64_t* hashes, int64_t n, int num_hashes,
+                  uint64_t num_sigs, int32_t* out, int threads) {
+  if (num_sigs == 0) return;
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(threads > 0 ? threads : 1) \
+    schedule(static) if (threads > 1 && n > 1 << 15)
+#endif
+  for (int64_t i = 0; i < n; ++i) {
+    const uint64_t h = hashes[i];
+    if (num_hashes == 1) {
+      out[i] = (int32_t)(h % num_sigs);
+    } else {
+      const uint32_t a = (uint32_t)(h >> 32);
+      const uint32_t b = (uint32_t)h;
+      for (int j = 0; j < num_hashes; ++j) {
+        const uint32_t v = a + b * (uint32_t)j;
+        out[i * num_hashes + j] = (int32_t)((uint64_t)v % num_sigs);
+      }
+    }
+  }
+}
+
+}  // extern "C"

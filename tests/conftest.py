@@ -17,6 +17,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The axon TPU plugin ignores JAX_PLATFORMS; force CPU in-process so unit
+# tests are hermetic and never depend on the (occasionally flaky) tunnel.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 REFERENCE_DIR = "/root/reference"
 
 

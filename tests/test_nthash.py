@@ -161,3 +161,15 @@ def test_syncmer_revcomp_invariance():
     a = closed_syncmer_sketch(seq, 31, 15)
     b = closed_syncmer_sketch(revcomp(seq), 31, 15)
     assert sorted(a.tolist()) == sorted(b.tolist())
+
+
+def test_hash_reads_batch_matches_per_read():
+    reads = [random_seq(150) for _ in range(50)]
+    reads += [b"ACGT", random_seq(31), b"ACGTNNNNNNNNNNNNNNNNNNNNNNNNNNNNACGT" * 3]
+    H, M, counts = nthash.hash_reads_batch(reads, 21)
+    for i, r in enumerate(reads):
+        h, _ = nthash.hash_all(r, 21)
+        h = h[h != 0]
+        assert counts[i] == len(h)
+        assert H[i, : len(h)].tolist() == h.tolist()
+        assert M[i].sum() == len(h)
