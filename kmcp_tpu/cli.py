@@ -98,6 +98,52 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--backend", default="numpy", choices=["numpy", "jax"])
     s.add_argument("--batch-size", type=int, default=8192)
 
+    # ------------------------------------------------------------- profile
+    pr = sub.add_parser("profile", help="generate taxonomic profile from search results")
+    pr.add_argument("files", nargs="+")
+    pr.add_argument("-o", "--out-file", default="-")
+    pr.add_argument("-m", "--mode", type=int, default=3, choices=range(6))
+    pr.add_argument("-f", "--max-fpr", type=float, default=0.01)
+    pr.add_argument("-t", "--min-query-cov", type=float, default=0.55)
+    pr.add_argument("-n", "--keep-top-qcovs", type=int, default=0)
+    pr.add_argument("--keep-perfect-matches", action="store_true")
+    pr.add_argument("--keep-main-matches", action="store_true", default=None)
+    pr.add_argument("--max-qcov-gap", type=float, default=None)
+    pr.add_argument("-r", "--min-chunks-reads", type=int, default=None)
+    pr.add_argument("-p", "--min-chunks-fraction", type=float, default=None)
+    pr.add_argument("-d", "--max-chunks-depth-stdev", type=float, default=None)
+    pr.add_argument("-u", "--min-uniq-reads", type=int, default=None)
+    pr.add_argument("-U", "--min-hic-ureads", type=int, default=None)
+    pr.add_argument("-H", "--min-hic-ureads-qcov", type=float, default=None)
+    pr.add_argument("-P", "--min-hic-ureads-prop", type=float, default=None)
+    pr.add_argument("-D", "--min-dreads-prop", type=float, default=0.05)
+    pr.add_argument("-R", "--max-mismatch-err", type=float, default=0.05)
+    pr.add_argument("-F", "--filter-low-pct", type=float, default=0.0)
+    pr.add_argument("--level", default="species", choices=["species", "strain", "assembly"])
+    pr.add_argument("--norm-abund", default="mean", choices=["mean", "min", "max"])
+    pr.add_argument("-I", "--abund-max-iters", type=int, default=10)
+    pr.add_argument("--abund-pct-threshold", type=float, default=0.01)
+    pr.add_argument("--no-amb-corr", action="store_true")
+    pr.add_argument("-N", "--name-map", action="append", default=[])
+    pr.add_argument("-T", "--taxid-map", action="append", default=[])
+    pr.add_argument("-X", "--taxdump", default=None)
+    pr.add_argument("-S", "--separator", default=";")
+    pr.add_argument("-s", "--sample-id", default="")
+    pr.add_argument("--taxonomy-id", default="")
+    pr.add_argument("-C", "--cami-report", default=None)
+    pr.add_argument("-M", "--metaphlan-report", default=None)
+    pr.add_argument("--metaphlan-report-version", default="3", choices=["2", "3"])
+    pr.add_argument("-B", "--binning-result", default=None)
+
+    # --------------------------------------------------------------- merge
+    mg = sub.add_parser("merge", help="merge search results from multiple databases")
+    mg.add_argument("files", nargs="+")
+    mg.add_argument("-o", "--out-file", default="-")
+    mg.add_argument("-n", "--keep-top-scores", type=int, default=0)
+    mg.add_argument("-s", "--sort-by", default="qcov", choices=["qcov", "tcov", "jacc"])
+    mg.add_argument("-S", "--do-not-sort", action="store_true")
+    mg.add_argument("-H", "--no-header-row", action="store_true")
+
     return p
 
 
@@ -194,6 +240,65 @@ def main(argv: list[str] | None = None) -> int:
             no_header_row=args.no_header_row,
             batch_queries=args.batch_size,
             verbose=not args.quiet,
+        )
+        return 0
+
+    if args.command == "profile":
+        from .commands.profile import run_profile
+        from .profile.core import ProfileOptions
+
+        opt = ProfileOptions(
+            mode=args.mode,
+            max_fpr=args.max_fpr,
+            min_qcov=args.min_query_cov,
+            keep_top_qcovs=args.keep_top_qcovs,
+            keep_perfect_matches=args.keep_perfect_matches,
+            min_chunks_reads=args.min_chunks_reads,
+            min_chunks_fraction=args.min_chunks_fraction,
+            max_chunks_depth_stdev=args.max_chunks_depth_stdev,
+            min_uniq_reads=args.min_uniq_reads,
+            min_hic_ureads=args.min_hic_ureads,
+            min_hic_ureads_qcov=args.min_hic_ureads_qcov,
+            min_hic_ureads_prop=args.min_hic_ureads_prop,
+            keep_main_matches=args.keep_main_matches,
+            max_qcov_gap=args.max_qcov_gap,
+            min_dreads_prop=args.min_dreads_prop,
+            max_mismatch_err=args.max_mismatch_err,
+            filter_low_pct=args.filter_low_pct,
+            level="species" if args.level == "species" else "strain",
+            norm_abund=args.norm_abund,
+            max_iters=args.abund_max_iters,
+            abund_pct_threshold=args.abund_pct_threshold,
+            no_amb_corr=args.no_amb_corr,
+        )
+        run_profile(
+            files=args.files,
+            out_file=args.out_file,
+            opt=opt,
+            taxid_map_files=args.taxid_map,
+            taxdump_dir=args.taxdump,
+            name_map_files=args.name_map,
+            cami_report=args.cami_report,
+            metaphlan_report=args.metaphlan_report,
+            metaphlan_version=args.metaphlan_report_version,
+            binning_file=args.binning_result,
+            sample_id=args.sample_id,
+            taxonomy_id=args.taxonomy_id,
+            separator=args.separator,
+            verbose=not args.quiet,
+        )
+        return 0
+
+    if args.command == "merge":
+        from .merge.merge import run_merge
+
+        run_merge(
+            files=args.files,
+            out_file=args.out_file,
+            keep_top_scores=args.keep_top_scores,
+            sort_by=args.sort_by,
+            do_not_sort=args.do_not_sort,
+            no_header_row=args.no_header_row,
         )
         return 0
 

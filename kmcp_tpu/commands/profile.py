@@ -1,0 +1,113 @@
+"""``profile`` command: search TSV(s) -> taxonomic profiles."""
+
+from __future__ import annotations
+
+import sys
+
+from ..profile.core import ParsedInput, Profiler, ProfileOptions, parse_search_tsv
+from ..profile.formats import (
+    generate_profile_nodes,
+    write_binning_header,
+    write_cami_profile,
+    write_kmcp_profile,
+    write_metaphlan_profile,
+)
+from ..profile.taxonomy import Taxonomy, load_taxid_map
+from ..seqio.fastx import xopen
+
+
+def _read_kv(files: list[str]) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for path in files:
+        with open(path) as f:
+            for line in f:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) >= 2:
+                    out[parts[0]] = parts[1]
+    return out
+
+
+def run_profile(
+    files: list[str],
+    out_file: str = "-",
+    opt: ProfileOptions | None = None,
+    taxid_map_files: list[str] | None = None,
+    taxdump_dir: str | None = None,
+    name_map_files: list[str] | None = None,
+    cami_report: str | None = None,
+    metaphlan_report: str | None = None,
+    metaphlan_version: str = "3",
+    binning_file: str | None = None,
+    sample_id: str = "",
+    taxonomy_id: str = "",
+    separator: str = ";",
+    verbose: bool = True,
+):
+    opt = opt or ProfileOptions()
+    if name_map_files:
+        opt.name_map = _read_kv(name_map_files)
+
+    taxdb = None
+    taxid_map = None
+    if taxid_map_files and taxdump_dir:
+        taxid_map = load_taxid_map(taxid_map_files)
+        taxdb = Taxonomy(taxdump_dir)
+    elif opt.level == "species":
+        raise SystemExit(
+            "kmcp-tpu profile: -T/--taxid-map and -X/--taxdump are needed "
+            "for --level species"
+        )
+
+    if verbose:
+        print(f"[profile] parsing {len(files)} search result file(s)",
+              file=sys.stderr)
+    parsed = parse_search_tsv(files, opt.max_fpr, opt.min_qcov)
+    if verbose:
+        print(
+            f"[profile] {len(parsed.groups)} matched queries, "
+            f"{len(parsed.target_names)} targets seen",
+            file=sys.stderr,
+        )
+
+    prof = Profiler(opt, taxdb=taxdb, taxid_map=taxid_map)
+    targets = prof.run(parsed)
+    if verbose:
+        print(f"[profile] {len(targets)} references in the profile",
+              file=sys.stderr)
+
+    out = sys.stdout if out_file == "-" else xopen(out_file, "wt")
+    try:
+        write_kmcp_profile(out, targets, separator=separator, taxdb=taxdb)
+    finally:
+        if out is not sys.stdout:
+            out.close()
+
+    if (cami_report or metaphlan_report) and taxdb is not None:
+        nodes = generate_profile_nodes(taxdb, targets)
+        if cami_report:
+            if not cami_report.endswith(".profile"):
+                cami_report += ".profile"
+            with xopen(cami_report, "wt") as f:
+                write_cami_profile(
+                    f, nodes, taxdb, sample_id=sample_id,
+                    taxonomy_id=taxonomy_id,
+                )
+        if metaphlan_report:
+            if not metaphlan_report.endswith(".profile"):
+                metaphlan_report += ".profile"
+            with xopen(metaphlan_report, "wt") as f:
+                write_metaphlan_profile(
+                    f, nodes, taxdb, sample_id=sample_id,
+                    version=metaphlan_version,
+                )
+
+    if binning_file and taxdb is not None:
+        if not (binning_file.endswith(".binning")
+                or binning_file.endswith(".binning.gz")):
+            binning_file += ".binning.gz"
+        with xopen(binning_file, "wt") as f:
+            write_binning_header(f, sample_id)
+            for query, taxid in prof.binning(parsed, targets):
+                f.write(f"{query}\t{taxid}\n")
+
+    return targets

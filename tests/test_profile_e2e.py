@@ -1,0 +1,191 @@
+"""End-to-end profiling validation on the demo-profiling reference set.
+
+The reference repo's mock reads are not checked in (generated with an
+external simulator), so we simulate an equivalent mock community with the
+same designed relative depths (demo-profiling/depth.tsv) and assert the
+estimated abundances land near the ground truth — the same accuracy check
+the reference README demonstrates (its own estimates deviate up to ~0.6
+percentage points from truth)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from .conftest import REFERENCE_DIR, reference_available
+from .test_golden_search import run_cli
+
+REFS = os.path.join(REFERENCE_DIR, "demo-profiling", "refs")
+TAXDUMP = os.path.join(REFERENCE_DIR, "demo-profiling", "taxdump-custom")
+
+# demo-profiling/depth.tsv
+DEPTHS = {
+    "GCF_003697165.2": 1, "GCF_002949675.1": 1, "GCF_002950215.1": 1,
+    "GCF_000742135.1": 1, "GCF_000006945.2": 1,
+    "GCF_001544255.1": 0.1, "GCF_000392875.1": 0.1,
+    "GCF_001457655.1": 0.1, "GCF_900638025.1": 0.1,
+    "GCF_001027105.1": 0.05, "GCF_006742205.1": 0.05,
+    "GCF_000148585.2": 0.01, "GCF_001096185.1": 0.01,
+    "GCF_000017205.1": 0.005, "GCF_009759685.1": 0.005,
+}
+SCALE = 0.6  # fraction of the demo read depth (low-abundance refs need >=5 reads/chunk)
+READ_LEN = 150
+
+
+def simulate_reads(tmp_path):
+    from kmcp_tpu.seqio.fastx import read_fastx
+
+    rng = np.random.default_rng(7)
+    fq = tmp_path / "mock.fq"
+    truth = {}
+    total_depth = 0.0
+    with open(fq, "w") as f:
+        n = 0
+        for acc, depth in DEPTHS.items():
+            seqs = [
+                r.seq
+                for r in read_fastx(os.path.join(REFS, acc + ".fa.gz"))
+                if "plasmid" not in r.name
+            ]
+            genome = b"".join(seqs)
+            gsize = len(genome)
+            n_reads = int(depth * SCALE * gsize / READ_LEN)
+            for _ in range(n_reads):
+                p = rng.integers(0, gsize - READ_LEN)
+                read = genome[p : p + READ_LEN]
+                f.write(f"@r{n}\n{read.decode()}\n+\n{'I'*READ_LEN}\n")
+                n += 1
+            truth[acc] = depth
+            total_depth += depth
+    truth = {k: v / total_depth * 100 for k, v in truth.items()}
+    return str(fq), truth
+
+
+@pytest.fixture(scope="module")
+def taxid_map(tmp_path_factory):
+    """The reference repo doesn't ship taxid.map (taxonkit output); rebuild
+    it from the id/taxid columns of mock.gs.tsv."""
+    d = tmp_path_factory.mktemp("taxmap")
+    path = d / "taxid.map"
+    # species name -> taxid from the shipped names.dmp
+    name2taxid = {}
+    with open(os.path.join(TAXDUMP, "names.dmp")) as f:
+        for line in f:
+            parts = [p.strip() for p in line.split("|")]
+            if len(parts) >= 4 and parts[3] == "scientific name":
+                name2taxid[parts[1]] = parts[0]
+    src = os.path.join(REFERENCE_DIR, "demo-profiling", "taxonomy.tsv")
+    with open(src) as f, open(path, "w") as out:
+        header = f.readline().rstrip("\n").split("\t")
+        i_id, i_sp = header.index("id"), header.index("species")
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            out.write(f"{parts[i_id]}\t{name2taxid[parts[i_sp]]}\n")
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def demo_db(tmp_path_factory):
+    d = tmp_path_factory.mktemp("profdb")
+    kdir = d / "k21n10"
+    db = d / "k21n10.db"
+    run_cli(
+        "compute", "--in-dir", REFS, "-k", "21", "-n", "10", "-l", "150",
+        "-N", r"^([\w\.\_]+\.\d+)", "-B", "plasmid",
+        "-O", str(kdir), "--force",
+    )
+    run_cli(
+        "-j", "40", "index", "-I", str(kdir), "-O", str(db),
+        "-n", "1", "-f", "0.3", "--force",
+    )
+    return str(db)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference repo absent")
+def test_profile_mock_community(demo_db, taxid_map, tmp_path):
+    fq, truth = simulate_reads(tmp_path)
+    tsv = tmp_path / "mock.tsv.gz"
+    run_cli("-q", "search", "-d", demo_db, str(fq), "-o", str(tsv))
+
+    kprofile = tmp_path / "mock.kmcp.profile"
+    cami = tmp_path / "mock.cami"
+    binning = tmp_path / "mock.binning.gz"
+    run_cli(
+        "-q", "profile",
+        "-T", taxid_map,
+        "-X", TAXDUMP,
+        "-m", "1",
+        str(tsv),
+        "-o", str(kprofile),
+        "-C", str(cami),
+        "-B", str(binning),
+        "-s", "0",
+    )
+
+    # ---- KMCP profile: all 15 refs detected, abundances near truth
+    rows = {}
+    with open(kprofile) as f:
+        header = f.readline().rstrip("\n").split("\t")
+        assert header[0] == "ref" and len(header) == 17
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            rows[parts[0]] = parts
+    assert set(rows) == set(DEPTHS), (
+        f"missing: {set(DEPTHS) - set(rows)}, extra: {set(rows) - set(DEPTHS)}"
+    )
+    for acc, expect_pct in truth.items():
+        got = float(rows[acc][1])
+        assert abs(got - expect_pct) < 1.5, (acc, got, expect_pct)
+    # taxonomy columns present
+    assert rows["GCF_003697165.2"][14] == "Escherichia coli"
+    assert "Enterobacteriaceae" in rows["GCF_003697165.2"][15]
+
+    # ---- CAMI report: header + percentages summing per rank
+    with open(f"{cami}.profile") as f:
+        lines = f.read().splitlines()
+    assert lines[0] == "@SampleID:0"
+    assert lines[4] == "@@TAXID\tRANK\tTAXPATH\tTAXPATHSN\tPERCENTAGE"
+    ranks = {}
+    for line in lines[5:]:
+        taxid, rank, taxpath, names, pct = line.split("\t")
+        ranks.setdefault(rank, 0.0)
+        ranks[rank] += float(pct)
+    for rank in ("superkingdom", "phylum", "species"):
+        assert abs(ranks[rank] - 100.0) < 0.01, (rank, ranks[rank])
+
+    # ---- binning: valid format, majority of reads assigned
+    import gzip
+
+    with gzip.open(binning, "rt") as f:
+        blines = f.read().splitlines()
+    assert blines[2] == "@Version:0.10.0"
+    n_binned = sum(1 for l in blines if l and not l.startswith(("#", "@")))
+    assert n_binned > 10000
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference repo absent")
+def test_merge_two_shards(demo_db, tmp_path):
+    """Search two DB shards separately + merge == semantics of the
+    reference's cluster sharding story."""
+    fq, _ = simulate_reads(tmp_path)
+    # reuse the same db twice as two 'shards' (valid input for merge)
+    t1 = tmp_path / "s1.tsv"
+    t2 = tmp_path / "s2.tsv"
+    run_cli("-q", "search", "-d", demo_db, str(fq), "-o", str(t1))
+    run_cli("-q", "search", "-d", demo_db, str(fq), "-o", str(t2))
+    merged = tmp_path / "merged.tsv"
+    run_cli("-q", "merge", str(t1), str(t2), "-o", str(merged))
+    with open(merged) as f:
+        lines = f.read().splitlines()
+    stats = [l for l in lines if l.startswith("# ")]
+    assert any("input queries" in s for s in stats)
+    # every merged group has doubled hits
+    data = [l.split("\t") for l in lines if l and not l.startswith("#")]
+    assert data, "no merged rows"
+    from collections import Counter
+
+    by_q = Counter(r[-1] for r in data)
+    for row in data[:50]:
+        assert int(row[4]) == by_q[row[-1]]
