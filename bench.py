@@ -96,26 +96,33 @@ def main() -> None:
     reads = make_reads(N_READS)
 
     from kmcp_tpu.search.engine import SearchEngine, SearchOptions
+    from kmcp_tpu.search.stream import StreamSearcher
     from kmcp_tpu.search.tsv import write_results
 
-    opt = SearchOptions(backend=backend, batch_size=8192)
+    opt = SearchOptions(backend=backend, batch_size=32768)
     engine = SearchEngine([db_dir], opt)
 
     queries = [(f"r{i}", s, None) for i, s in enumerate(reads)]
-
-    # warmup (compile + caches)
-    engine.search_batch(queries[:8192], 0)
-
-    t0 = time.time()
-    total = matched = 0
     out = open(os.devnull, "w")
-    bs = opt.batch_size
-    for lo in range(0, len(queries), bs):
-        res = engine.search_batch(queries[lo : lo + bs], lo)
-        t, m = write_results(out, res)
-        total += t
-        matched += m
-    dt = time.time() - t0
+
+    streaming = backend == "jax" and StreamSearcher.usable(engine)
+    if streaming:
+        st = StreamSearcher(engine)
+        st.run(iter(queries[: opt.batch_size]), out)  # warmup/compile
+        t0 = time.time()
+        total, matched = st.run(iter(queries), out)
+        dt = time.time() - t0
+    else:
+        engine.search_batch(queries[:8192], 0)  # warmup
+        t0 = time.time()
+        total = matched = 0
+        bs = 8192
+        for lo in range(0, len(queries), bs):
+            res = engine.search_batch(queries[lo : lo + bs], lo)
+            t, m = write_results(out, res)
+            total += t
+            matched += m
+        dt = time.time() - t0
     rps = total / dt
 
     print(
@@ -128,7 +135,7 @@ def main() -> None:
                 "reads": total,
                 "matched_pct": round(matched / total * 100, 2),
                 "seconds": round(dt, 2),
-                "backend": backend,
+                "backend": backend, "streaming": streaming,
             }
         )
     )

@@ -108,6 +108,33 @@ def run_search(
     try:
         if not no_header_row:
             out.write(HEADER)
+
+        # fast streaming path: single-end reads vs a plain single-group DB
+        if not paired and not whole_file:
+            from ..search.stream import StreamSearcher
+
+            if StreamSearcher.usable(engine):
+                streamer = StreamSearcher(engine)
+                total, matched = streamer.run(
+                    iter_queries(
+                        files or [], read1, read2, False, use_filename,
+                        query_id, k_max,
+                    ),
+                    out,
+                )
+                if verbose:
+                    el = time.time() - t0
+                    speed = total / 1e6 / (el / 60) if el > 0 else 0
+                    pct = matched / total * 100 if total else 0.0
+                    print(
+                        f"[search] processed {total} queries at "
+                        f"{speed:.3f} M queries/min (streaming); "
+                        f"{pct:.4f}% matched",
+                        file=sys.stderr,
+                    )
+                write_stats(out, total, matched)
+                return total, matched
+
         total = matched = 0
         batch: list[tuple[str, bytes, bytes | None]] = []
 

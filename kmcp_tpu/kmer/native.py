@@ -16,6 +16,7 @@ import numpy as np
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO, "native", "nthash.cpp")
+_SRC_WRITER = os.path.join(_REPO, "native", "writer.cpp")
 _BUILD_DIR = os.path.join(_REPO, "native", "build")
 _SO = os.path.join(_BUILD_DIR, "libkthash.so")
 
@@ -28,7 +29,7 @@ def _build() -> bool:
     os.makedirs(_BUILD_DIR, exist_ok=True)
     cmd = [
         "g++", "-O3", "-march=native", "-funroll-loops", "-shared", "-fPIC",
-        "-fopenmp", "-o", _SO, _SRC,
+        "-fopenmp", "-o", _SO, _SRC, _SRC_WRITER,
     ]
     try:
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
@@ -37,7 +38,7 @@ def _build() -> bool:
     if res.returncode != 0:
         # retry without openmp/march
         res = subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC, _SRC_WRITER],
             capture_output=True, text=True, timeout=120,
         )
         if res.returncode != 0:
@@ -74,6 +75,27 @@ def get_lib():
             ctypes.c_uint64, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
         ]
         lib.kt_locations.restype = None
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.kt_hash_reads_loc.argtypes = [
+            ctypes.c_char_p, i64p, i64p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, i64p,
+            ctypes.c_int,
+        ]
+        lib.kt_hash_reads_loc.restype = None
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.kt_write_rows.argtypes = [
+            i32p, i32p, i32p, ctypes.c_int64,
+            ctypes.c_int64, i64p, i64p, i32p, u8p,
+            ctypes.c_char_p, i64p,
+            ctypes.c_char_p, i64p,
+            ctypes.c_char_p, i64p,
+            i64p,
+            ctypes.c_char_p, i64p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.kt_write_rows.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -103,6 +125,122 @@ def scan(
         threads,
     )
     return out, valid.view(bool)
+
+
+def hash_reads_loc(
+    reads: list[bytes],
+    k: int,
+    kmax: int,
+    num_sigs: int,
+    num_hashes: int = 1,
+    canonical: bool = True,
+    max_hash: int | None = None,
+    threads: int = 0,
+):
+    """Fused batched hash+mod: reads -> padded [B, kmax, h] int32 Bloom
+    locations (padding lanes point at the sentinel row ``num_sigs``) plus
+    per-read k-mer counts.  Returns None if native lib unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B = len(reads)
+    concat = b"".join(reads)
+    lens = np.array([len(r) for r in reads], dtype=np.int64)
+    starts = np.zeros(B, dtype=np.int64)
+    if B > 1:
+        np.cumsum(lens[:-1], out=starts[1:])
+    out = np.empty((B, kmax, num_hashes), dtype=np.int32)
+    counts = np.empty(B, dtype=np.int64)
+    if threads <= 0:
+        threads = min(os.cpu_count() or 1, 16)
+    lib.kt_hash_reads_loc(
+        concat,
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        B, k, int(canonical),
+        np.uint64(max_hash if max_hash is not None else 0xFFFFFFFFFFFFFFFF),
+        np.uint64(num_sigs), num_hashes,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        kmax,
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        threads,
+    )
+    return out, counts
+
+
+_write_buf: np.ndarray | None = None
+
+
+def _get_write_buf(size: int) -> np.ndarray:
+    global _write_buf
+    if _write_buf is None or _write_buf.nbytes < size:
+        _write_buf = np.empty(int(size * 1.5), dtype=np.uint8)
+    return _write_buf
+
+
+def make_strtab(strings: list[bytes]) -> tuple[bytes, np.ndarray]:
+    """(data, offsets[n+1]) flat string table for the native writer."""
+    offsets = np.zeros(len(strings) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in strings], out=offsets[1:])
+    return b"".join(strings), offsets
+
+
+def write_rows(
+    qi: np.ndarray, t: np.ndarray, cnt: np.ndarray,
+    qlen: np.ndarray, nkmers: np.ndarray, hits: np.ndarray,
+    flags: np.ndarray,
+    qid_tab, tname_tab, tmeta_tab,
+    sizes: np.ndarray,
+    fpr_tab, fpr_nmax: int,
+    qidx_base: int,
+) -> bytes | None:
+    """Format match rows natively; returns the TSV bytes or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_rows = len(qi)
+    n_reads = len(qlen)
+    est = n_rows * 256 + 64
+    buf = _get_write_buf(est)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+
+    def p32(a):
+        return np.ascontiguousarray(a, dtype=np.int32).ctypes.data_as(i32p)
+
+    def p64(a):
+        return np.ascontiguousarray(a, dtype=np.int64).ctypes.data_as(i64p)
+
+    qi32, t32, c32 = (
+        np.ascontiguousarray(qi, np.int32),
+        np.ascontiguousarray(t, np.int32),
+        np.ascontiguousarray(cnt, np.int32),
+    )
+    ql64, nk64 = (
+        np.ascontiguousarray(qlen, np.int64),
+        np.ascontiguousarray(nkmers, np.int64),
+    )
+    h32 = np.ascontiguousarray(hits, np.int32)
+    f8 = np.ascontiguousarray(flags, np.uint8)
+    sz64 = np.ascontiguousarray(sizes, np.int64)
+    qd, qo = qid_tab
+    td, to = tname_tab
+    md, mo = tmeta_tab
+    fd, fo = fpr_tab
+    n = lib.kt_write_rows(
+        qi32.ctypes.data_as(i32p), t32.ctypes.data_as(i32p),
+        c32.ctypes.data_as(i32p), n_rows,
+        n_reads, ql64.ctypes.data_as(i64p), nk64.ctypes.data_as(i64p),
+        h32.ctypes.data_as(i32p),
+        f8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        qd, qo.ctypes.data_as(i64p),
+        td, to.ctypes.data_as(i64p),
+        md, mo.ctypes.data_as(i64p),
+        sz64.ctypes.data_as(i64p),
+        fd, fo.ctypes.data_as(i64p), fpr_nmax,
+        qidx_base, buf.ctypes.data,
+    )
+    return buf[:n].tobytes()
 
 
 def locations(

@@ -1,0 +1,218 @@
+"""Full-device search pipeline: gather -> AND -> count -> threshold ->
+sparse compaction, one kernel invocation per read batch.
+
+Built for the axon/PCIe reality that device->host bytes are the scarcest
+resource: instead of pulling the dense [B, T] count matrix (~40 MB per
+64k-read batch), all match thresholds are applied ON DEVICE and only the
+packed sparse candidates (~20 B/read) cross back.
+
+Threshold exactness: the reference compares float64 quantities
+(count > nKmers*minQcov, queryFPR(n,count) <= maxFPR, count/targetKmers >=
+minTcov; util-db-search.go:7466-7493).  All three are monotone in count,
+so we precompute, in float64 on the host, the smallest passing count:
+
+    cmin[n]  = max(min_kmers,
+                   min{c : c > n*min_qcov},
+                   min{c : queryFPR(n, c) <= max_fpr})        (per query n)
+    tmin[t]  = min{c : c/size_t >= min_tcov}                  (per target)
+
+and the device applies pure integer comparisons — bit-identical decisions
+to the host reference path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from .fpr import QueryFPRCache
+
+
+def build_cmin_table(
+    n_max: int,
+    min_kmers: int,
+    min_qcov: float,
+    max_fpr: float,
+    fpr_cache: QueryFPRCache,
+) -> np.ndarray:
+    """cmin[n] for n in 0..n_max (int32); cmin > n means 'cannot pass'."""
+    out = np.empty(n_max + 1, dtype=np.int32)
+    for n in range(n_max + 1):
+        # smallest c with c > n*min_qcov (exact float64 compare)
+        c_q = int(np.floor(n * min_qcov)) + 1
+        while not (float(c_q) > n * min_qcov):
+            c_q += 1
+        c = max(min_kmers, c_q)
+        # FPR is decreasing in c: advance until it passes (or exceeds n)
+        while c <= n and fpr_cache(n, c) > max_fpr:
+            c += 1
+        out[n] = c if c <= n else n + 1  # n+1 == impossible
+    return out
+
+
+def build_tmin_table(sizes: np.ndarray, min_tcov: float) -> np.ndarray:
+    """tmin[t]: smallest count with count/size >= min_tcov (float64)."""
+    if min_tcov <= 0:
+        return np.ones(len(sizes), dtype=np.int32)
+    out = np.empty(len(sizes), dtype=np.int32)
+    for i, s in enumerate(sizes):
+        c = int(np.ceil(float(s) * min_tcov))
+        while c / float(s) < min_tcov:
+            c += 1
+        while c > 0 and (c - 1) / float(s) >= min_tcov:
+            c -= 1
+        out[i] = max(c, 0)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _make_search_step(num_hashes: int, cand_budget: int):
+    import jax
+    import jax.numpy as jnp
+
+    def step(bits_ext, loc, nkmers, cmin, tmin, sizes_pos):
+        """bits_ext [S_total+1, W] uint32 (last row all-zero sentinel);
+        loc [B, K, nb, h] int32 (padding lanes point at the sentinel;
+        blocks stacked row-wise with offsets already added);
+        nkmers [B] int32; cmin [n_max+1] int32; tmin [T] int32;
+        sizes_pos [T] bool (real targets).  T = nb * W * 32.
+        Returns concat([n_cand, idx[C], cnt[C]]) int32."""
+        rows = jnp.take(bits_ext, loc, axis=0)  # [B,K,nb,h,W]
+        acc = rows[..., 0, :]
+        for j in range(1, num_hashes):
+            acc = acc & rows[..., j, :]
+        # acc: [B,K,nb,W]
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        bit = (acc[..., None] >> shifts) & jnp.uint32(1)  # [B,K,nb,W,32]
+        counts = bit.astype(jnp.int32).sum(axis=1)  # [B,nb,W,32]
+        B = counts.shape[0]
+        counts = counts.reshape(B, -1)  # [B,T]
+        c_thresh = jnp.take(cmin, nkmers, axis=0)[:, None]  # [B,1]
+        ok = (
+            (counts >= c_thresh)
+            & (counts >= tmin[None, :])
+            & sizes_pos[None, :]
+        )
+        flat_ok = ok.reshape(-1)
+        n_cand = flat_ok.astype(jnp.int32).sum()
+        T = counts.shape[1]
+        (idx,) = jnp.nonzero(flat_ok, size=cand_budget, fill_value=B * T)
+        idx = idx.astype(jnp.int32)
+        cnt = jnp.take(
+            counts.reshape(-1), jnp.minimum(idx, B * T - 1), axis=0
+        )
+        cnt = jnp.where(idx < B * T, cnt, -1)
+        out = jnp.concatenate([n_cand[None], idx, cnt])
+        return out
+
+    return jax.jit(step)
+
+
+class DeviceDB:
+    """Device-resident single-group bit matrix for the fast path.
+
+    Usable when the DB's blocks share one word-width after padding and the
+    total rows fit HBM; blocks are stacked row-wise with per-block row
+    offsets folded into the location computation by the C++ hasher (one
+    block) or host code (few blocks)."""
+
+    def __init__(self, db, opt):
+        import jax
+        import jax.numpy as jnp
+
+        self.db = db
+        self.opt = opt
+        blocks = db.blocks
+        self.n_blocks = len(blocks)
+        w_max = max(b.bits.shape[1] for b in blocks)
+        mats = []
+        names: list[str] = []
+        indices: list[int] = []
+        gsizes: list[int] = []
+        sizes: list[int] = []
+        self.block_row_offset = []
+        self.block_t_offset = []
+        row_off = 0
+        for b in blocks:
+            m = np.asarray(b.bits)
+            if m.shape[1] < w_max:
+                m = np.pad(m, ((0, 0), (0, w_max - m.shape[1])))
+            mats.append(m)
+            self.block_row_offset.append(row_off)
+            row_off += m.shape[0]
+            names.extend(b.meta.names)
+            indices.extend(b.meta.indices)
+            gsizes.extend(b.meta.gsizes)
+            # per-block target list padded to w_max*32 lanes
+            pad = w_max * 32 - b.meta.num_targets
+            sizes.extend(b.meta.sizes)
+            if pad:
+                names.extend([""] * pad)
+                indices.extend([0] * pad)
+                gsizes.extend([0] * pad)
+                sizes.extend([0] * pad)
+        self.total_rows = row_off
+        self.w = w_max
+        self.t_per_block = w_max * 32
+        stacked = np.concatenate(mats, axis=0)
+        stacked = np.concatenate(
+            [stacked, np.zeros((1, w_max), dtype=np.uint32)], axis=0
+        )  # sentinel row
+        self.sentinel = self.total_rows
+        dev = jax.devices()[0]
+        self.bits_ext = jax.device_put(jnp.asarray(stacked), dev)
+        self.names = names
+        self.indices = np.asarray(indices, dtype=np.int64)
+        self.gsizes = np.asarray(gsizes, dtype=np.int64)
+        self.sizes = np.asarray(sizes, dtype=np.int64)
+        self.sizes_pos_np = self.sizes > 0
+        self.sizes_pos = jax.device_put(jnp.asarray(self.sizes_pos_np), dev)
+        self._tmin = jax.device_put(
+            jnp.asarray(
+                build_tmin_table(self.sizes.astype(np.float64), opt.min_target_cov)
+            ),
+            dev,
+        )
+        self._cmin_cache: dict[int, object] = {}
+        self._dev = dev
+
+    def cmin_for(self, n_max: int):
+        import jax
+        import jax.numpy as jnp
+
+        # bucket n_max to limit table variants
+        n_max = max(64, -(-n_max // 64) * 64)
+        t = self._cmin_cache.get(n_max)
+        if t is None:
+            tbl = build_cmin_table(
+                n_max,
+                self.opt.min_kmers,
+                self.opt.min_query_cov,
+                self.opt.max_fpr,
+                self.db.query_fpr,
+            )
+            t = jax.device_put(jnp.asarray(tbl), self._dev)
+            self._cmin_cache[n_max] = t
+        return t
+
+    def search_async(self, loc: np.ndarray, nkmers: np.ndarray, cand_budget: int):
+        """Dispatch one batch; returns the device array (pull later).
+
+        loc: [B, K, h] (single block) or [B, K, nb, h] int32.
+        """
+        import jax.numpy as jnp
+
+        num_hashes = self.db.info.num_hashes
+        if loc.ndim == 3:
+            loc = loc.reshape(loc.shape[0], loc.shape[1], 1, num_hashes)
+        step = _make_search_step(num_hashes, cand_budget)
+        cmin = self.cmin_for(int(nkmers.max(initial=1)))
+        return step(
+            self.bits_ext,
+            jnp.asarray(loc),
+            jnp.asarray(np.minimum(nkmers, 10**9).astype(np.int32)),
+            cmin,
+            self._tmin,
+            self.sizes_pos,
+        )

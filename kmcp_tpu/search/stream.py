@@ -1,0 +1,398 @@
+"""Streaming fast-path search: C++ hashing -> async device batches ->
+array-based match extraction and TSV writing.
+
+Used when a single-k, plain-k-mer (non-sketch), single-block-group DB is
+searched with single-end reads — the metagenomic profiling workload.  The
+pipeline keeps two batches in flight so host hashing, H2D, device compute
+and D2H overlap; reads needing the general machinery (k-mer counts above
+the dedup threshold, multi-k retries of unmatched reads on multi-k DBs)
+are routed through the object-based engine and merged back in order.
+
+Output rows are byte-identical to the general path: float columns are
+formatted from exact integer pairs via memoized tables.
+"""
+
+from __future__ import annotations
+
+import sys
+from collections import deque
+
+import numpy as np
+
+from ..kmer import native
+from .device import DeviceDB
+from .engine import QueryResult, SearchEngine
+from .tsv import write_results
+
+
+def _fmt_ratio_memo():
+    memo: dict[tuple[int, int], str] = {}
+
+    def fmt(a: int, b: int) -> str:
+        key = (a, b)
+        s = memo.get(key)
+        if s is None:
+            s = f"{a / b:.4f}"
+            memo[key] = s
+        return s
+
+    return fmt
+
+
+class StreamSearcher:
+    def __init__(self, engine: SearchEngine):
+        self.engine = engine
+        self.opt = engine.opt
+        self.db = engine.dbs[0]
+        self.dev = DeviceDB(self.db, self.opt)
+        self.k = self.db.ks_desc[0]
+        self.multi_k = len(self.db.ks_desc) > 1
+        self._fpr_tabs: dict[int, tuple] = {}
+        self._tmeta_tab = None
+        self._tname_tab = None
+
+    def _target_tabs(self):
+        if self._tmeta_tab is None:
+            dev = self.dev
+            name_map = self.opt.name_map
+            names = [
+                (name_map.get(n, n) if name_map else n).encode()
+                for n in dev.names
+            ]
+            self._tname_tab = native.make_strtab(names)
+            metas = [
+                (
+                    f"\t{int(ix) & 0xFFFF}\t{int(ix) >> 16}\t{int(g)}\t{self.k}\t"
+                ).encode()
+                for ix, g in zip(dev.indices, dev.gsizes)
+            ]
+            self._tmeta_tab = native.make_strtab(metas)
+        return self._tname_tab, self._tmeta_tab
+
+    def _fpr_tab(self, nmax: int):
+        """Flat (nmax+1)^2 string table of %.4e query-FPR values for the
+        count ranges that can actually pass the thresholds."""
+        tab = self._fpr_tabs.get(nmax)
+        if tab is None:
+            from .device import build_cmin_table
+
+            cmin = build_cmin_table(
+                nmax, self.opt.min_kmers, self.opt.min_query_cov,
+                self.opt.max_fpr, self.db.query_fpr,
+            )
+            empty = b""
+            strings = [empty] * ((nmax + 1) * (nmax + 1))
+            qf = self.db.query_fpr
+            for n in range(nmax + 1):
+                for c in range(int(cmin[n]), n + 1):
+                    strings[n * (nmax + 1) + c] = f"{qf(n, c):.4e}".encode()
+            tab = native.make_strtab(strings)
+            self._fpr_tabs[nmax] = tab
+        return tab
+
+    @classmethod
+    def usable(cls, engine: SearchEngine) -> bool:
+        if len(engine.dbs) != 1:
+            return False
+        db = engine.dbs[0]
+        if db.is_sketch:
+            return False
+        if engine.opt.backend != "jax":
+            return False
+        if engine.opt.sort_by != "qcov" or engine.opt.do_not_sort:
+            return False
+        if len(db.blocks) != 1:
+            return False  # multi-block stacking: general path for now
+        if native.get_lib() is None:
+            return False
+        return True
+
+    # ------------------------------------------------------------------
+
+    def run(self, queries, out, start_idx: int = 0) -> tuple[int, int]:
+        """queries: iterator of (id, seq, seq2).  Paired/whole-file queries
+        fall back upstream; here seq2 must be None."""
+        opt = self.opt
+        db = self.db
+        dev = self.dev
+        batch_size = max(opt.batch_size, 16384)
+        kmax = 0
+        pending: deque = deque()
+        total = matched = 0
+        fmtq = _fmt_ratio_memo()
+        fmtt = _fmt_ratio_memo()
+        fpr_memo: dict[tuple[int, int], str] = {}
+        name_map = opt.name_map
+
+        num_hashes = db.info.num_hashes
+        sizes = dev.sizes
+        gsizes = dev.gsizes
+        indices = dev.indices
+        names = list(dev.names)
+        if name_map:
+            names = [name_map.get(n, n) for n in names]
+        chunk_idx_s = [str(int(ix) & 0xFFFF) for ix in indices]
+        chunks_s = [str(int(ix) >> 16) for ix in indices]
+        gsize_s = [str(int(g)) for g in gsizes]
+        k_s = str(self.k)
+
+        def flush_batch(batch):
+            nonlocal kmax
+            real_b = len(batch)
+            ids = [q[0] for q in batch]
+            seqs = [q[1] for q in batch]
+            # pad to the fixed batch size so every device call shares one
+            # compiled shape (empty reads gather only the sentinel row)
+            if real_b < batch_size:
+                seqs = seqs + [b""] * (batch_size - real_b)
+            lens = np.array([len(s) for s in seqs], dtype=np.int64)
+            # bucket the k-mer axis to multiples of 32 for the same reason
+            km = max(int(lens.max()) - self.k + 1, 1)
+            km = -(-km // 32) * 32
+            kmax = km
+            res = native.hash_reads_loc(
+                seqs, self.k, km, dev.total_rows, num_hashes,
+                canonical=db.info.canonical, max_hash=db.max_hash,
+            )
+            loc, counts = res
+            too_short = lens < opt.min_query_len
+            over_dedup = counts > opt.kmer_dedup_threshold
+            n_dev = np.where(too_short | over_dedup, 0, counts)
+            # budget sized for ~3 matches/read average; overflow retries
+            # with 4x (recompile cached per budget size)
+            budget = 3 * batch_size
+            fut = dev.search_async(loc, n_dev, budget)
+            return {
+                "real_b": real_b,
+                "ids": ids,
+                "seqs": seqs,
+                "lens": lens,
+                "counts": counts,
+                "too_short": too_short,
+                "over_dedup": over_dedup,
+                "loc": loc,
+                "n_dev": n_dev,
+                "budget": budget,
+                "fut": fut,
+            }
+
+        def drain(state, idx0):
+            nonlocal total, matched
+            arr = np.asarray(state["fut"])
+            budget = state["budget"]
+            n_cand = int(arr[0])
+            while n_cand > budget:
+                budget *= 4
+                fut = dev.search_async(state["loc"], state["n_dev"], budget)
+                arr = np.asarray(fut)
+                n_cand = int(arr[0])
+            idx = arr[1 : 1 + n_cand]
+            cnt = arr[1 + budget : 1 + budget + n_cand]
+            T = dev.t_per_block * dev.n_blocks
+            qi = idx // T
+            t = idx % T
+
+            B = state["real_b"]
+            state["counts"] = state["counts"][:B]
+            state["lens"] = state["lens"][:B]
+            state["too_short"] = state["too_short"][:B]
+            state["over_dedup"] = state["over_dedup"][:B]
+            counts_host = state["counts"]
+
+            # rows needing the general engine
+            slow_rows = np.nonzero(state["over_dedup"])[0]
+            # multi-k retry: unmatched reads when the DB has smaller ks
+            if self.multi_k:
+                has_match = np.zeros(B, dtype=bool)
+                has_match[qi] = True
+                retry = ~has_match & ~state["too_short"] & (
+                    counts_host >= opt.min_kmers
+                )
+                slow_rows = np.union1d(slow_rows, np.nonzero(retry)[0])
+            slow_set = set(slow_rows.tolist())
+            slow_results: dict[int, QueryResult] = {}
+            if slow_set:
+                subset = [
+                    (state["ids"][r], state["seqs"][r], None)
+                    for r in sorted(slow_set)
+                ]
+                res = self.engine.search_batch(subset, 0)
+                for r, qr in zip(sorted(slow_set), res):
+                    slow_results[r] = qr
+                # drop device candidates of slow rows
+                keep = ~np.isin(qi, slow_rows)
+                qi, t, cnt = qi[keep], t[keep], cnt[keep]
+
+            # order: qi asc, qcov desc (== cnt desc within read), tcov desc
+            # (== size asc for equal cnt), then target for determinism
+            order = np.lexsort((t, sizes[t], -cnt, qi))
+            qi, t, cnt = qi[order], t[order], cnt[order]
+            hits = np.bincount(qi, minlength=B).astype(np.int32)
+
+            total += B
+            matched += int((hits > 0).sum()) + sum(
+                1 for r in slow_set if slow_results[r].matches
+            )
+
+            top_n = opt.keep_top_scores
+            use_native = (
+                top_n <= 0
+                and not opt.keep_unmatched
+                and native.get_lib() is not None
+            )
+            if use_native:
+                self._write_native(
+                    out, state, qi, t, cnt, hits, slow_set, slow_results,
+                    idx0,
+                )
+            else:
+                self._write_python(
+                    out, state, qi, t, cnt, hits, slow_set, slow_results,
+                    idx0, fmtq, fmtt, fpr_memo, names, chunk_idx_s,
+                    chunks_s, gsize_s, k_s,
+                )
+
+
+        batch: list = []
+        idx0 = start_idx
+        pending_meta: deque = deque()
+        for q in queries:
+            batch.append(q)
+            if len(batch) >= batch_size:
+                pending.append((flush_batch(batch), idx0))
+                idx0 += len(batch)
+                batch = []
+                if len(pending) >= 2:
+                    st, i0 = pending.popleft()
+                    drain(st, i0)
+        if batch:
+            pending.append((flush_batch(batch), idx0))
+            idx0 += len(batch)
+        while pending:
+            st, i0 = pending.popleft()
+            drain(st, i0)
+        return total, matched
+
+    # ---------------------------------------------------------- writers
+
+    def _write_native(
+        self, out, state, qi, t, cnt, hits, slow_set, slow_results, idx0
+    ):
+        """One kt_write_rows call per run of fast reads; slow reads'
+        pre-formatted rows interleave between runs."""
+        B = len(state["ids"])
+        flags = np.zeros(B, dtype=np.uint8)
+        for r in slow_set:
+            flags[r] = 1
+        qlen = state["lens"]
+        nkmers = state["counts"]
+        tname_tab, tmeta_tab = self._target_tabs()
+        nmax = max(64, -(-int(nkmers.max(initial=1)) // 64) * 64)
+        fpr_tab = self._fpr_tab(nmax)
+        qid_tab = native.make_strtab([s.encode() for s in state["ids"]])
+
+        if not slow_set:
+            data = native.write_rows(
+                qi, t, cnt, qlen, nkmers, hits, flags,
+                qid_tab, tname_tab, tmeta_tab,
+                self.dev.sizes, fpr_tab, nmax, idx0,
+            )
+            out.write(data.decode("utf-8", "surrogateescape"))
+            return
+
+        # segment at slow reads
+        row_starts = np.zeros(B + 1, dtype=np.int64)
+        np.cumsum(hits, out=row_starts[1:])
+        bounds = sorted(slow_set)
+        prev = 0
+        for sr in bounds + [B]:
+            if sr > prev:
+                r0, r1 = prev, sr
+                rows_lo, rows_hi = row_starts[r0], row_starts[r1]
+                sub_qid = native.make_strtab(
+                    [s.encode() for s in state["ids"][r0:r1]]
+                )
+                data = native.write_rows(
+                    qi[rows_lo:rows_hi] - r0, t[rows_lo:rows_hi],
+                    cnt[rows_lo:rows_hi],
+                    qlen[r0:r1], nkmers[r0:r1], hits[r0:r1],
+                    np.zeros(r1 - r0, dtype=np.uint8),
+                    sub_qid, self._tname_tab, self._tmeta_tab,
+                    self.dev.sizes, fpr_tab, nmax, idx0 + r0,
+                )
+                out.write(data.decode("utf-8", "surrogateescape"))
+            if sr < B:
+                qr = slow_results[sr]
+                qr.query_idx = idx0 + sr
+                write_results(out, [qr], self.opt.keep_unmatched)
+            prev = sr + 1
+
+    def _write_python(
+        self, out, state, qi, t, cnt, hits, slow_set, slow_results, idx0,
+        fmtq, fmtt, fpr_memo, names, chunk_idx_s, chunks_s, gsize_s, k_s,
+    ):
+        opt = self.opt
+        db = self.db
+        sizes = self.dev.sizes
+        counts_host = state["counts"]
+        B = len(state["ids"])
+        w = out.write
+        pos = 0
+        top_n = opt.keep_top_scores
+        for r in range(B):
+            qid = state["ids"][r]
+            if r in slow_set:
+                qr = slow_results[r]
+                qr.query_idx = idx0 + r
+                write_results(out, [qr], opt.keep_unmatched)
+                continue
+            h = int(hits[r])
+            if h == 0:
+                if opt.keep_unmatched:
+                    nk = 0 if state["too_short"][r] else int(counts_host[r])
+                    w(
+                        f"{qid}\t{state['lens'][r]}\t{nk}\t0\t0\t\t-1\t0"
+                        f"\t0\t{k_s}\t0\t0\t0\t0\t{idx0 + r}\n"
+                    )
+                continue
+            n = int(counts_host[r])
+            lo, hi_ = pos, pos + h
+            pos = hi_
+            rows = range(lo, hi_)
+            if top_n > 0:
+                rows = self._apply_top_n(qi, cnt, lo, hi_, n, top_n)
+            h_out = str(len(rows))
+            prefix = f"{qid}\t{state['lens'][r]}\t{n}\t"
+            suffix = f"\t{idx0 + r}\n"
+            for i in rows:
+                ti = int(t[i])
+                c = int(cnt[i])
+                fk = (n, c)
+                fs = fpr_memo.get(fk)
+                if fs is None:
+                    fs = f"{db.query_fpr(n, c):.4e}"
+                    fpr_memo[fk] = fs
+                size = int(sizes[ti])
+                w(
+                    prefix + fs + "\t" + h_out + "\t" + names[ti] + "\t"
+                    + chunk_idx_s[ti] + "\t" + chunks_s[ti] + "\t"
+                    + gsize_s[ti] + "\t" + k_s + "\t" + str(c) + "\t"
+                    + fmtq(c, n) + "\t" + fmtt(c, size) + "\t"
+                    + f"{c / (n + size - c):.4f}" + suffix
+                )
+
+    @staticmethod
+    def _apply_top_n(qi, cnt, lo, hi, n, top_n):
+        """keep-top-scores truncation on the sorted slice — the reference's
+        exact loop (util-db-search.go:284-311)."""
+        count = 0
+        p = 1024.0
+        i = lo
+        for i in range(lo, hi):
+            s = int(cnt[i]) / n
+            if s < p:
+                count += 1
+                if count > top_n:
+                    break
+                p = s
+        return range(lo, i + 1)

@@ -136,6 +136,126 @@ void kthash_scan_mt(const uint8_t* seq, int64_t L, int k, int canonical,
   scan_range(seq, L, k, canonical, out, valid);
 }
 
+// Batched read hashing with padded output: hash every read of a batch and
+// write row r of out[B, kmax] with its k-mer hashes (canonical, hash!=0,
+// optionally <= max_hash), zero-padded; counts[r] = number of valid k-mers.
+// reads are given concatenated with their (start, len) tables.
+void kt_hash_reads(const uint8_t* concat, const int64_t* starts,
+                   const int64_t* lens, int64_t n_reads, int k, int canonical,
+                   uint64_t max_hash, uint64_t* out, int64_t kmax,
+                   int64_t* counts, int threads) {
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(threads > 0 ? threads : 1) \
+    schedule(dynamic, 64) if (threads > 1 && n_reads > 256)
+#endif
+  for (int64_t r = 0; r < n_reads; ++r) {
+    const uint8_t* seq = concat + starts[r];
+    const int64_t L = lens[r];
+    uint64_t* row = out + r * kmax;
+    int64_t nout = 0;
+    const int64_t n = L - k + 1;
+    if (n > 0) {
+      int64_t run = 0;
+      uint64_t fh = 0, rh = 0;
+      const unsigned ku = (unsigned)k;
+      for (int64_t i = 0; i < L; ++i) {
+        const uint8_t b = seq[i];
+        if (!T.ok[b]) {
+          run = 0;
+          continue;
+        }
+        ++run;
+        if (run < k) continue;
+        const int64_t w = i - k + 1;
+        if (run == k) {
+          fh = 0;
+          rh = 0;
+          for (int j = 0; j < k; ++j) {
+            const uint8_t c = seq[w + j];
+            fh ^= rol(T.seed[c], (unsigned)(k - 1 - j));
+            rh ^= rol(T.seedc[c], (unsigned)j);
+          }
+        } else {
+          const uint8_t ob = seq[w - 1];
+          fh = rol(fh, 1) ^ rol(T.seed[ob], ku) ^ T.seed[b];
+          rh = ror(rh, 1) ^ ror(T.seedc[ob], 1) ^ rol(T.seedc[b], ku - 1);
+        }
+        const uint64_t h = canonical ? (rh < fh ? rh : fh) : fh;
+        if (h == 0 || h > max_hash) continue;
+        if (nout < kmax) row[nout] = h;
+        ++nout;
+      }
+    }
+    counts[r] = nout;
+  }
+}
+
+// Same, but emit int32 Bloom-row locations directly (fused hash+mod),
+// with a sentinel row ``num_sigs`` for padding lanes so the device gather
+// needs no separate mask.
+void kt_hash_reads_loc(const uint8_t* concat, const int64_t* starts,
+                       const int64_t* lens, int64_t n_reads, int k,
+                       int canonical, uint64_t max_hash, uint64_t num_sigs,
+                       int num_hashes, int32_t* out, int64_t kmax,
+                       int64_t* counts, int threads) {
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(threads > 0 ? threads : 1) \
+    schedule(dynamic, 64) if (threads > 1 && n_reads > 256)
+#endif
+  for (int64_t r = 0; r < n_reads; ++r) {
+    const uint8_t* seq = concat + starts[r];
+    const int64_t L = lens[r];
+    int32_t* row = out + r * kmax * num_hashes;
+    for (int64_t j = 0; j < kmax * num_hashes; ++j) row[j] = (int32_t)num_sigs;
+    int64_t nout = 0;
+    const int64_t n = L - k + 1;
+    if (n > 0) {
+      int64_t run = 0;
+      uint64_t fh = 0, rh = 0;
+      const unsigned ku = (unsigned)k;
+      for (int64_t i = 0; i < L; ++i) {
+        const uint8_t b = seq[i];
+        if (!T.ok[b]) {
+          run = 0;
+          continue;
+        }
+        ++run;
+        if (run < k) continue;
+        const int64_t w = i - k + 1;
+        if (run == k) {
+          fh = 0;
+          rh = 0;
+          for (int j = 0; j < k; ++j) {
+            const uint8_t c = seq[w + j];
+            fh ^= rol(T.seed[c], (unsigned)(k - 1 - j));
+            rh ^= rol(T.seedc[c], (unsigned)j);
+          }
+        } else {
+          const uint8_t ob = seq[w - 1];
+          fh = rol(fh, 1) ^ rol(T.seed[ob], ku) ^ T.seed[b];
+          rh = ror(rh, 1) ^ ror(T.seedc[ob], 1) ^ rol(T.seedc[b], ku - 1);
+        }
+        const uint64_t h = canonical ? (rh < fh ? rh : fh) : fh;
+        if (h == 0 || h > max_hash) continue;
+        if (nout < kmax) {
+          if (num_hashes == 1) {
+            row[nout] = (int32_t)(h % num_sigs);
+          } else {
+            const uint32_t a = (uint32_t)(h >> 32);
+            const uint32_t bb = (uint32_t)h;
+            for (int j = 0; j < num_hashes; ++j) {
+              const uint32_t v = a + bb * (uint32_t)j;
+              row[nout * num_hashes + j] = (int32_t)((uint64_t)v % num_sigs);
+            }
+          }
+        }
+        ++nout;
+      }
+    }
+    counts[r] = nout;
+  }
+}
+
 // Bloom-row locations: out[i*num_hashes + j] = loc_j(hashes[i]) mod num_sigs.
 // Multi-hash derivation splits the 64-bit value into a=hi32, b=lo32 and uses
 // uint32(a + b*j) — deliberate uint32 wraparound, matching

@@ -1,0 +1,128 @@
+// Native TSV row formatter for search results.
+//
+// Formats match rows byte-identically to the reference's hand-inlined
+// writer (kmcp/cmd/search.go:529-575): 15 tab-separated columns with
+// qCov/tCov/jacc as %.4f and FPR via a precomputed string table.
+// The caller passes sorted per-candidate arrays plus per-read and
+// per-target metadata; rows are appended to a caller-provided buffer.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+
+namespace {
+
+inline char* put_str(char* p, const char* s, int64_t len) {
+  std::memcpy(p, s, len);
+  return p + len;
+}
+
+inline char* put_int(char* p, int64_t v) {
+  if (v == 0) {
+    *p++ = '0';
+    return p;
+  }
+  if (v < 0) {
+    *p++ = '-';
+    v = -v;
+  }
+  char tmp[24];
+  int n = 0;
+  while (v > 0) {
+    tmp[n++] = '0' + (v % 10);
+    v /= 10;
+  }
+  while (n > 0) *p++ = tmp[--n];
+  return p;
+}
+
+inline char* put_ratio4(char* p, double v) {
+  // %.4f of a double in [0, ~1e6); snprintf matches Go's correctly-rounded
+  // FormatFloat(v, 'f', 4, 64) for these magnitudes.
+  int n = std::snprintf(p, 32, "%.4f", v);
+  return p + n;
+}
+
+struct StrTab {
+  const char* data;
+  const int64_t* offsets;  // len n+1
+  inline const char* at(int64_t i, int64_t* len) const {
+    *len = offsets[i + 1] - offsets[i];
+    return data + offsets[i];
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns the number of bytes written to buf (caller sizes it generously:
+// ~(n_rows + n_unmatched) * 256).
+//
+// Candidate arrays (already sorted by read, score desc): qi, t, cnt [n_rows].
+// Per-read arrays (length n_reads, indexed by local read id): qlen, nkmers,
+// hits, flags (bit0: write unmatched row, bit1: skip entirely).
+// Per-target tables: names/chunkidx/chunks/gsize strings, sizes int64.
+// fpr_tab: string table indexed by n*(nmax+1)+c.
+int64_t kt_write_rows(
+    const int32_t* qi, const int32_t* t, const int32_t* cnt, int64_t n_rows,
+    int64_t n_reads, const int64_t* qlen, const int64_t* nkmers,
+    const int32_t* hits, const uint8_t* flags,
+    const char* qid_data, const int64_t* qid_offsets,
+    const char* tname_data, const int64_t* tname_offsets,
+    const char* tmeta_data, const int64_t* tmeta_offsets,  // "\tchunkIdx\tchunks\tgsize\tk\t" per target
+    const int64_t* sizes,
+    const char* fpr_data, const int64_t* fpr_offsets, int64_t fpr_nmax,
+    int64_t qidx_base, char* buf) {
+  StrTab qid{qid_data, qid_offsets};
+  StrTab tname{tname_data, tname_offsets};
+  StrTab tmeta{tmeta_data, tmeta_offsets};
+  StrTab fpr{fpr_data, fpr_offsets};
+
+  char* p = buf;
+  int64_t row = 0;
+  for (int64_t r = 0; r < n_reads; ++r) {
+    if (flags[r]) continue;  // slow-path read, rows written by the caller
+    const int32_t h = hits[r];
+    if (h == 0) continue;  // unmatched (keep-unmatched handled by caller)
+    int64_t lq;
+    const char* sq = qid.at(r, &lq);
+    const int64_t n = nkmers[r];
+    for (int32_t j = 0; j < h; ++j, ++row) {
+      const int64_t ti = t[row];
+      const int64_t c = cnt[row];
+      p = put_str(p, sq, lq);
+      *p++ = '\t';
+      p = put_int(p, qlen[r]);
+      *p++ = '\t';
+      p = put_int(p, n);
+      *p++ = '\t';
+      int64_t lf;
+      const char* sf = fpr.at(n * (fpr_nmax + 1) + c, &lf);
+      p = put_str(p, sf, lf);
+      *p++ = '\t';
+      p = put_int(p, h);
+      *p++ = '\t';
+      int64_t lt;
+      const char* st = tname.at(ti, &lt);
+      p = put_str(p, st, lt);
+      int64_t lm;
+      const char* sm = tmeta.at(ti, &lm);  // "\tchunkIdx\tchunks\tgsize\tk\t"
+      p = put_str(p, sm, lm);
+      p = put_int(p, c);
+      *p++ = '\t';
+      const int64_t size = sizes[ti];
+      p = put_ratio4(p, (double)c / (double)n);
+      *p++ = '\t';
+      p = put_ratio4(p, (double)c / (double)size);
+      *p++ = '\t';
+      p = put_ratio4(p, (double)c / (double)(n + size - c));
+      *p++ = '\t';
+      p = put_int(p, qidx_base + r);
+      *p++ = '\n';
+    }
+  }
+  return p - buf;
+}
+
+}  // extern "C"
