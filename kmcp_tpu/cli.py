@@ -135,6 +135,75 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--metaphlan-report-version", default="3", choices=["2", "3"])
     pr.add_argument("-B", "--binning-result", default=None)
 
+    # --------------------------------------------------------------- utils
+    u = sub.add_parser("utils", help="auxiliary/introspection subcommands")
+    usub = u.add_subparsers(dest="utils_command", required=True)
+
+    uc = usub.add_parser("cov2simi", help="k-mer coverage -> sequence similarity")
+    uc.add_argument("files", nargs="*")
+    uc.add_argument("-t", "--query-cov", type=float, default=0.0)
+    uc.add_argument("-o", "--out-file", default="-")
+
+    uq = usub.add_parser("query-fpr", help="false positive rate of a query")
+    uq.add_argument("-f", "--false-positive-rate", type=float, default=0.3)
+    uq.add_argument("-m", "--matched-kmers", type=int, default=35)
+    uq.add_argument("-n", "--num-kmers", type=int, default=70)
+    uq.add_argument("-a", "--all", action="store_true")
+    uq.add_argument("-H", "--add-header", action="store_true")
+    uq.add_argument("-o", "--out-file", default="-")
+
+    uk = usub.add_parser("kset-info", help="per-.kset metadata (= unik-info)")
+    uk.add_argument("-I", "--in-dir", required=True)
+    uk.add_argument("-o", "--out-file", default="-")
+
+    ui = usub.add_parser("index-info", help="index block headers")
+    ui.add_argument("db_dir")
+    ui.add_argument("-b", "--basename", action="store_true")
+    ui.add_argument("-o", "--out-file", default="-")
+
+    ur = usub.add_parser("ref-info", help="per-chunk k-mer counts and actual FPR")
+    ur.add_argument("db_dir")
+    ur.add_argument("-o", "--out-file", default="-")
+
+    ud = usub.add_parser("index-density", help="Bloom bit-density heatmap")
+    ud.add_argument("db_dir")
+    ud.add_argument("-o", "--out-file", required=True)
+    ud.add_argument("--bins", type=int, default=512)
+
+    uf = usub.add_parser("filter", help="keep species/assembly-specific queries")
+    uf.add_argument("files", nargs="+")
+    uf.add_argument("-o", "--out-file", default="-")
+    uf.add_argument("-f", "--max-fpr", type=float, default=0.05)
+    uf.add_argument("-t", "--min-query-cov", type=float, default=0.55)
+    uf.add_argument("--level", default="species", choices=["species", "strain", "assembly"])
+    uf.add_argument("-T", "--taxid-map", action="append", default=[])
+    uf.add_argument("-X", "--taxdump", default=None)
+
+    um = usub.add_parser("merge-regions", help="merge specific regions into BED6")
+    um.add_argument("files", nargs="+")
+    um.add_argument("-o", "--out-file", default="-")
+    um.add_argument("-f", "--max-fpr", type=float, default=0.05)
+    um.add_argument("-t", "--min-query-cov", type=float, default=0.55)
+    um.add_argument("-l", "--min-overlap", type=int, default=1)
+    um.add_argument("-g", "--max-gap", type=int, default=0)
+    um.add_argument("-r", "--regexp", default=r"^(.+)_sliding:(\d+)\-(\d+)$")
+    um.add_argument("--name-species", default="species-specific")
+    um.add_argument("--name-assembly", default="assembly-specific")
+    um.add_argument("-I", "--ignore-type", action="store_true")
+
+    us = usub.add_parser("split-genomes", help="split genome(s) into chunk files")
+    us.add_argument("files", nargs="+")
+    us.add_argument("-O", "--out-dir", required=True)
+    us.add_argument("-k", "--kmer", type=int, default=21)
+    us.add_argument("-n", "--split-number", type=int, default=0)
+    us.add_argument("-l", "--split-overlap", type=int, default=0)
+    us.add_argument("-m", "--split-min-ref", type=int, default=1000)
+    us.add_argument("-f", "--frag-size", type=int, default=100)
+    us.add_argument("--circular", action="store_true")
+    us.add_argument("-B", "--seq-name-filter", action="append", default=[])
+    us.add_argument("--info-file", default=None)
+    us.add_argument("--force", action="store_true")
+
     # --------------------------------------------------------------- merge
     mg = sub.add_parser("merge", help="merge search results from multiple databases")
     mg.add_argument("files", nargs="+")
@@ -287,6 +356,46 @@ def main(argv: list[str] | None = None) -> int:
             separator=args.separator,
             verbose=not args.quiet,
         )
+        return 0
+
+    if args.command == "utils":
+        from .commands import utils_cmds as U
+
+        uc = args.utils_command
+        if uc == "cov2simi":
+            U.run_cov2simi(args.query_cov, args.files, args.out_file)
+        elif uc == "query-fpr":
+            U.run_query_fpr(
+                args.false_positive_rate, args.matched_kmers, args.num_kmers,
+                args.all, args.add_header, args.out_file,
+            )
+        elif uc == "kset-info":
+            U.run_kset_info(args.in_dir, args.out_file)
+        elif uc == "index-info":
+            U.run_index_info(args.db_dir, args.out_file, args.basename)
+        elif uc == "ref-info":
+            U.run_ref_info(args.db_dir, args.out_file)
+        elif uc == "index-density":
+            U.run_index_density(args.db_dir, args.out_file, args.bins)
+        elif uc == "filter":
+            U.run_filter(
+                args.files, args.out_file, args.max_fpr, args.min_query_cov,
+                "species" if args.level == "species" else "strain",
+                args.taxid_map, args.taxdump,
+            )
+        elif uc == "merge-regions":
+            U.run_merge_regions(
+                args.files, args.out_file, args.max_fpr, args.min_query_cov,
+                args.min_overlap, args.max_gap, args.regexp,
+                args.name_species, args.name_assembly, args.ignore_type,
+            )
+        elif uc == "split-genomes":
+            U.run_split_genomes(
+                args.files, args.out_dir, args.kmer, args.split_number,
+                args.split_overlap, args.split_min_ref, args.frag_size,
+                args.circular, args.seq_name_filter, args.force,
+                args.info_file,
+            )
         return 0
 
     if args.command == "merge":

@@ -1,0 +1,122 @@
+"""Exercise every ``utils`` subcommand end-to-end through the CLI."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from .conftest import REFERENCE_DIR, reference_available
+from .test_golden_search import run_cli
+from .test_profile_e2e import TAXDUMP, demo_db, taxid_map  # noqa: F401
+
+REFS = os.path.join(REFERENCE_DIR, "demo-searching", "refs")
+
+
+def test_cov2simi():
+    out = run_cli("utils", "cov2simi", "-t", "0.55")
+    q, s = out.strip().split("\t")
+    # reference cubic at qcov=0.55 (profile.go:3183-3187)
+    assert q == "0.550000"
+    assert abs(float(s) - (87.456 + 26.410 * 0.55 - 22.008 * 0.55**2 + 7.325 * 0.55**3)) < 1e-6
+
+
+def test_query_fpr():
+    out = run_cli("utils", "query-fpr", "-f", "0.3", "-m", "35", "-n", "70",
+                  "-a", "-H")
+    lines = out.strip().splitlines()
+    assert lines[0] == "fpr\tcbound\tfpr0\tnKmers\tmKmers"
+    fpr, cbound = lines[1].split("\t")[:2]
+    assert 0 < float(fpr) < 1
+    assert 0 < float(cbound) <= 1
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference repo absent")
+def test_kset_index_ref_info_density(demo_db, tmp_path):  # noqa: F811
+    # index-info
+    out = run_cli("utils", "index-info", demo_db)
+    lines = out.strip().splitlines()
+    assert lines[0].startswith("file\tversion")
+    assert len(lines) >= 2
+
+    # ref-info: 150 targets with sane FPR
+    out = run_cli("utils", "ref-info", demo_db)
+    rows = [l.split("\t") for l in out.strip().splitlines()[1:]]
+    assert len(rows) == 150
+    fprs = [float(r[6]) for r in rows]
+    assert all(0 < f <= 0.3 + 1e-9 for f in fprs)
+
+    # index-density
+    png = tmp_path / "density"
+    run_cli("utils", "index-density", demo_db, "-o", str(png), "--bins", "64")
+    pgm = str(png) + ".pgm"
+    with open(pgm, "rb") as f:
+        assert f.read(2) == b"P5"
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference repo absent")
+def test_filter_and_merge_regions(demo_db, taxid_map, tmp_path):  # noqa: F811
+    # make sliding windows of a genome (seqkit sliding equivalent)
+    from kmcp_tpu.seqio.fastx import read_fastx
+
+    ref = os.path.join(
+        REFERENCE_DIR, "demo-profiling", "refs", "GCF_000017205.1.fa.gz"
+    )
+    seq = b"".join(r.seq for r in read_fastx(ref))[:20000]
+    fq = tmp_path / "win.fa"
+    with open(fq, "w") as f:
+        for start in range(0, len(seq) - 100, 10):
+            f.write(
+                f">GCF_000017205.1_sliding:{start + 1}-{start + 100}\n"
+                f"{seq[start:start + 100].decode()}\n"
+            )
+    tsv = tmp_path / "win.tsv"
+    run_cli("-q", "search", "-d", demo_db, str(fq), "-o", str(tsv))
+
+    filtered = tmp_path / "win.uniq.tsv"
+    run_cli(
+        "utils", "filter", str(tsv), "-o", str(filtered),
+        "-T", taxid_map, "-X", TAXDUMP,
+    )
+    with open(filtered) as f:
+        flines = [l for l in f if l.strip()]
+    assert flines, "filter kept nothing"
+    # all kept rows are specific to Pseudomonas aeruginosa
+    assert all(l.split("\t")[5] == "GCF_000017205.1" for l in flines)
+
+    bed = tmp_path / "win.bed"
+    run_cli(
+        "utils", "merge-regions", str(filtered), "-o", str(bed),
+        "-l", "20",
+    )
+    with open(bed) as f:
+        regions = [l.split("\t") for l in f if l.strip()]
+    assert regions
+    for r in regions:
+        assert len(r) == 6
+        assert int(r[1]) < int(r[2])
+        assert r[3] in ("species-specific", "assembly-specific")
+        assert 0 <= int(r[4]) <= 1000
+    # windows from one contiguous region should merge into few regions
+    assert len(regions) < 50
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference repo absent")
+def test_split_genomes(tmp_path):
+    refs = [
+        os.path.join(REFS, "NC_000913.3.fasta.gz"),
+        os.path.join(REFS, "NC_012971.2.fasta.gz"),
+    ]
+    out_dir = tmp_path / "chunks"
+    run_cli(
+        "utils", "split-genomes", *refs, "-O", str(out_dir), "-k", "21",
+        "-n", "4", "--force",
+    )
+    files = sorted(os.listdir(out_dir))
+    assert len(files) == 4
+    # each chunk file holds the ref chunk plus assigned fragments
+    from kmcp_tpu.seqio.fastx import read_fastx
+
+    recs = list(read_fastx(out_dir / files[0]))
+    assert recs[0].id.startswith("NC_000913.3")
+    assert len(recs) > 1  # fragments of the other genome were assigned
