@@ -67,7 +67,13 @@ def build_tmin_table(sizes: np.ndarray, min_tcov: float) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _make_search_step(num_hashes: int, cand_budget: int):
+def _make_search_step(num_hashes: int, cand_budget: int, mesh=None):
+    """Jitted search step; with ``mesh`` (axes 'd', 't') the bit matrix is
+    sharded over target words on 't' and the read batch over 'd' — the
+    gather stays shard-local (axis-0 gather of an axis-1-sharded operand)
+    and only the tiny compacted candidate list is all-gathered, the SPMD
+    analog of the reference's per-node search + offline merge
+    (SURVEY §2.9 P3/P7)."""
     import jax
     import jax.numpy as jnp
 
@@ -106,7 +112,23 @@ def _make_search_step(num_hashes: int, cand_budget: int):
         out = jnp.concatenate([n_cand[None], idx, cnt])
         return out
 
-    return jax.jit(step)
+    if mesh is None:
+        return jax.jit(step)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.jit(
+        step,
+        in_shardings=(
+            NamedSharding(mesh, P(None, "t")),      # bits [S+1, W]
+            NamedSharding(mesh, P("d", None, None, None)),  # loc
+            NamedSharding(mesh, P("d")),            # nkmers
+            NamedSharding(mesh, P()),               # cmin
+            NamedSharding(mesh, P()),               # tmin
+            NamedSharding(mesh, P()),               # sizes_pos
+        ),
+        out_shardings=NamedSharding(mesh, P()),
+    )
 
 
 class DeviceDB:
@@ -117,12 +139,13 @@ class DeviceDB:
     offsets folded into the location computation by the C++ hasher (one
     block) or host code (few blocks)."""
 
-    def __init__(self, db, opt):
+    def __init__(self, db, opt, mesh=None):
         import jax
         import jax.numpy as jnp
 
         self.db = db
         self.opt = opt
+        self.mesh = mesh
         blocks = db.blocks
         self.n_blocks = len(blocks)
         w_max = max(b.bits.shape[1] for b in blocks)
@@ -153,29 +176,52 @@ class DeviceDB:
                 gsizes.extend([0] * pad)
                 sizes.extend([0] * pad)
         self.total_rows = row_off
+        stacked = np.concatenate(mats, axis=0)
+        if mesh is not None:
+            if self.n_blocks != 1:
+                raise ValueError(
+                    "sharded DeviceDB requires a single-block (tpu-native) DB"
+                )
+            # pad word axis so the 't' shard axis divides it evenly
+            t_shards = mesh.shape["t"]
+            pad_w = (-stacked.shape[1]) % t_shards
+            if pad_w:
+                stacked = np.pad(stacked, ((0, 0), (0, pad_w)))
+                w_max += pad_w
+                names.extend([""] * (pad_w * 32))
+                indices.extend([0] * (pad_w * 32))
+                gsizes.extend([0] * (pad_w * 32))
+                sizes.extend([0] * (pad_w * 32))
+        stacked = np.concatenate(
+            [stacked, np.zeros((1, stacked.shape[1]), dtype=np.uint32)],
+            axis=0,
+        )  # sentinel row
         self.w = w_max
         self.t_per_block = w_max * 32
-        stacked = np.concatenate(mats, axis=0)
-        stacked = np.concatenate(
-            [stacked, np.zeros((1, w_max), dtype=np.uint32)], axis=0
-        )  # sentinel row
         self.sentinel = self.total_rows
-        dev = jax.devices()[0]
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dev = NamedSharding(mesh, P(None, "t"))
+            repl = NamedSharding(mesh, P())
+        else:
+            dev = jax.devices()[0]
+            repl = dev
         self.bits_ext = jax.device_put(jnp.asarray(stacked), dev)
         self.names = names
         self.indices = np.asarray(indices, dtype=np.int64)
         self.gsizes = np.asarray(gsizes, dtype=np.int64)
         self.sizes = np.asarray(sizes, dtype=np.int64)
         self.sizes_pos_np = self.sizes > 0
-        self.sizes_pos = jax.device_put(jnp.asarray(self.sizes_pos_np), dev)
+        self.sizes_pos = jax.device_put(jnp.asarray(self.sizes_pos_np), repl)
         self._tmin = jax.device_put(
             jnp.asarray(
                 build_tmin_table(self.sizes.astype(np.float64), opt.min_target_cov)
             ),
-            dev,
+            repl,
         )
         self._cmin_cache: dict[int, object] = {}
-        self._dev = dev
+        self._dev = repl
 
     def cmin_for(self, n_max: int):
         import jax
@@ -206,7 +252,7 @@ class DeviceDB:
         num_hashes = self.db.info.num_hashes
         if loc.ndim == 3:
             loc = loc.reshape(loc.shape[0], loc.shape[1], 1, num_hashes)
-        step = _make_search_step(num_hashes, cand_budget)
+        step = _make_search_step(num_hashes, cand_budget, self.mesh)
         cmin = self.cmin_for(int(nkmers.max(initial=1)))
         return step(
             self.bits_ext,

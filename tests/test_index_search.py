@@ -254,3 +254,19 @@ def test_intersect_dbs():
     # no-match results arrive as None (never an empty list)
     assert SearchEngine._intersect_dbs([a, []]) is None
     assert SearchEngine._intersect_dbs([a, None]) is None
+
+
+def test_sharded_device_search_matches_host(tmp_path):
+    """Production sharded search step over the 8-CPU (d, t) mesh equals
+    the host reference engine (full thresholds + compaction)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "__graft_entry__.py"),
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    m.dryrun_multichip(8)
