@@ -92,8 +92,43 @@ def make_reads(n: int) -> list[bytes]:
 
 def main() -> None:
     backend = os.environ.get("BENCH_BACKEND", "jax")
+
+    # The axon TPU tunnel occasionally wedges for minutes; run the jax
+    # benchmark in a watchdog subprocess and fall back to the host
+    # (numpy) backend rather than hanging the whole benchmark.
+    if backend == "jax" and not os.environ.get("BENCH_CHILD"):
+        import subprocess
+
+        ensure_db(native=os.environ.get("BENCH_NATIVE", "1") == "1")
+        env = dict(os.environ, BENCH_CHILD="1")
+        timeout = int(os.environ.get("BENCH_TIMEOUT", "480"))
+        try:
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, timeout=timeout, capture_output=True, text=True,
+            )
+            line = [
+                l for l in res.stdout.splitlines() if l.startswith("{")
+            ]
+            if res.returncode == 0 and line:
+                print(line[-1])
+                return
+            print(
+                f"[bench] jax child failed (rc={res.returncode}); "
+                "falling back to numpy backend", file=sys.stderr,
+            )
+            print(res.stderr[-2000:], file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(
+                f"[bench] jax child timed out after {timeout}s "
+                "(TPU tunnel wedged?); falling back to numpy backend",
+                file=sys.stderr,
+            )
+        os.environ["BENCH_BACKEND"] = backend = "numpy"
+
     db_dir = ensure_db(native=os.environ.get("BENCH_NATIVE", "1") == "1")
-    reads = make_reads(N_READS)
+    n_reads = N_READS if backend == "jax" else min(N_READS, 30000)
+    reads = make_reads(n_reads)
 
     from kmcp_tpu.search.engine import SearchEngine, SearchOptions
     from kmcp_tpu.search.stream import StreamSearcher
