@@ -158,12 +158,41 @@ def order_block_targets(block: list[KsetFileInfo]) -> list[KsetFileInfo]:
 
 
 def build_block_bits(
-    targets: list[KsetFileInfo], num_sigs: int, num_hashes: int
+    targets: list[KsetFileInfo], num_sigs: int, num_hashes: int,
+    threads: int = 0,
 ) -> np.ndarray:
-    """Scatter each target's hash locations into its bit column."""
+    """Scatter each target's hash locations into its bit column.
+
+    The C++ path builds each uint32 word column (32 targets) in one pass
+    (races impossible: one thread per word); word columns build in a
+    thread pool since the C++ releases the GIL through ctypes."""
+    import concurrent.futures as cf
+
+    from ..kmer import native
+
     num_targets = len(targets)
     num_words = (num_targets + 31) // 32
     bits = np.zeros((num_sigs, num_words), dtype=np.uint32)
+
+    if native.get_lib() is not None:
+        def one_word(w: int):
+            grp = targets[w * 32 : (w + 1) * 32]
+            hs = [np.asarray(read_kset(i.path)[0]) for i in grp]
+            offsets = np.zeros(len(hs) + 1, dtype=np.int64)
+            np.cumsum([len(h) for h in hs], out=offsets[1:])
+            concat = (
+                np.concatenate(hs) if hs else np.empty(0, np.uint64)
+            )
+            return w, native.build_word_column(
+                concat, offsets, len(grp), num_hashes, num_sigs
+            )
+
+        workers = threads or min(os.cpu_count() or 1, 8)
+        with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+            for w, col in ex.map(one_word, range(num_words)):
+                bits[:, w] = col
+        return bits
+
     col = np.empty(num_sigs, dtype=bool)
     for t, info in enumerate(targets):
         hashes, _ = read_kset(info.path)

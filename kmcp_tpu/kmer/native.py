@@ -83,6 +83,11 @@ def get_lib():
             ctypes.c_int,
         ]
         lib.kt_hash_reads_loc.restype = None
+        lib.kt_build_word_column.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), i64p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib.kt_build_word_column.restype = None
         i32p = ctypes.POINTER(ctypes.c_int32)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.kt_write_rows.argtypes = [
@@ -241,6 +246,26 @@ def write_rows(
         qidx_base, buf.ctypes.data,
     )
     return buf[:n].tobytes()
+
+
+def build_word_column(
+    hashes_concat: np.ndarray, offsets: np.ndarray, n_targets: int,
+    num_hashes: int, num_sigs: int,
+) -> np.ndarray | None:
+    """Build one uint32 word column (<=32 targets) of a Bloom matrix."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    col = np.zeros(num_sigs, dtype=np.uint32)
+    h = np.ascontiguousarray(hashes_concat, dtype=np.uint64)
+    off = np.ascontiguousarray(offsets, dtype=np.int64)
+    lib.kt_build_word_column(
+        h.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_targets, num_hashes, np.uint64(num_sigs),
+        col.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    return col
 
 
 def locations(

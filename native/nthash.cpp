@@ -256,6 +256,31 @@ void kt_hash_reads_loc(const uint8_t* concat, const int64_t* starts,
   }
 }
 
+// Build one 32-target word-column of a Bloom bit matrix.
+// For each target t in [0, n_targets): set bit (t mod 32) of
+// col[loc] for every Bloom location of its hash set.
+// hashes are concatenated; target t owns [h_offsets[t], h_offsets[t+1]).
+void kt_build_word_column(const uint64_t* hashes, const int64_t* h_offsets,
+                          int n_targets, int num_hashes, uint64_t num_sigs,
+                          uint32_t* col) {
+  for (int t = 0; t < n_targets && t < 32; ++t) {
+    const uint32_t bit = 1u << t;
+    for (int64_t i = h_offsets[t]; i < h_offsets[t + 1]; ++i) {
+      const uint64_t h = hashes[i];
+      if (num_hashes == 1) {
+        col[h % num_sigs] |= bit;
+      } else {
+        const uint32_t a = (uint32_t)(h >> 32);
+        const uint32_t b = (uint32_t)h;
+        for (int j = 0; j < num_hashes; ++j) {
+          const uint32_t v = a + b * (uint32_t)j;
+          col[(uint64_t)v % num_sigs] |= bit;
+        }
+      }
+    }
+  }
+}
+
 // Bloom-row locations: out[i*num_hashes + j] = loc_j(hashes[i]) mod num_sigs.
 // Multi-hash derivation splits the 64-bit value into a=hi32, b=lo32 and uses
 // uint32(a + b*j) — deliberate uint32 wraparound, matching
