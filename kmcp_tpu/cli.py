@@ -25,6 +25,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--version", action="version", version=__version__)
     p.add_argument("-j", "--threads", type=int, default=0, help="threads (0=auto)")
     p.add_argument("-q", "--quiet", action="store_true")
+    p.add_argument(
+        "-i", "--infile-list", default=None,
+        help="file with one input file path per line (added to positional inputs)",
+    )
+    p.add_argument("--log", default=None, help="tee log messages to this file")
     sub = p.add_subparsers(dest="command", required=True)
 
     # ------------------------------------------------------------ compute
@@ -95,6 +100,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["qcov", "tcov", "jacc"])
     s.add_argument("-S", "--do-not-sort", action="store_true")
     s.add_argument("--try-se", action="store_true")
+    s.add_argument("-w", "--load-whole-db", action="store_true",
+                   help="read index fully into RAM instead of mmap")
+    s.add_argument("--low-mem", action="store_true",
+                   help="alias of the default mmap mode (kept for CLI parity)")
     s.add_argument("--backend", default="numpy", choices=["numpy", "jax"])
     s.add_argument("--batch-size", type=int, default=8192)
 
@@ -219,6 +228,31 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
+    if args.log:
+        # tee stderr to the log file (the reference's --log)
+        import atexit
+
+        class _Tee:
+            def __init__(self, *streams):
+                self.streams = streams
+
+            def write(self, s):
+                for st in self.streams:
+                    st.write(s)
+
+            def flush(self):
+                for st in self.streams:
+                    st.flush()
+
+        fh = open(args.log, "w")
+        atexit.register(fh.close)
+        sys.stderr = _Tee(sys.__stderr__, fh)
+
+    if args.infile_list and hasattr(args, "files"):
+        with open(args.infile_list) as f:
+            extra = [l.strip() for l in f if l.strip()]
+        args.files = list(args.files) + extra
+
     if args.command == "compute":
         from .commands.compute import FASTX_RE, ComputeOptions, run_compute
 
@@ -295,6 +329,7 @@ def main(argv: list[str] | None = None) -> int:
             name_map=name_map,
             load_default_name_map=args.default_name_map,
             backend=args.backend,
+            load_whole_db=args.load_whole_db,
         )
         run_search(
             db_dir=args.db_dir,

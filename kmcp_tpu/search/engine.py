@@ -70,6 +70,7 @@ class SearchOptions:
     backend: str = "numpy"  # numpy | jax
     batch_size: int = 8192
     paired_fpr_buf: bool = False
+    load_whole_db: bool = False  # read index into RAM instead of mmap
 
 
 @dataclass
@@ -96,9 +97,12 @@ class QueryResult:
 
 
 class Block:
-    def __init__(self, db_dir: str, block_id: int, backend: str):
+    def __init__(
+        self, db_dir: str, block_id: int, backend: str,
+        load_whole: bool = False,
+    ):
         self.meta = read_block_meta(db_dir, block_id)
-        self.bits = read_block_bits(db_dir, block_id)
+        self.bits = read_block_bits(db_dir, block_id, mmap=not load_whole)
         self.sizes = np.asarray(self.meta.sizes, dtype=np.float64)
         self.backend = backend
         self._jax_counter = None
@@ -123,7 +127,8 @@ class SearchDB:
         self.info: DBInfo = read_db_info(db_dir)
         self.opt = opt
         self.blocks = [
-            Block(db_dir, i, opt.backend) for i in range(len(self.info.blocks))
+            Block(db_dir, i, opt.backend, opt.load_whole_db)
+            for i in range(len(self.info.blocks))
         ]
         buf = 499 if opt.paired_fpr_buf else 249
         self.query_fpr = QueryFPRCache(self.info.fpr, buf)
