@@ -270,3 +270,55 @@ def test_sharded_device_search_matches_host(tmp_path):
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
     m.dryrun_multichip(8)
+
+
+def test_stream_path_with_mixed_read_lengths(tmp_path):
+    """Streaming device path (on CPU) must stay byte-identical to the
+    general engine path, including >dedup-threshold reads routed through
+    the slow path and interleaved by the segmented native writer."""
+    import io
+
+    from kmcp_tpu.commands.compute import ComputeOptions, run_compute
+    from kmcp_tpu.index.build import run_index
+    from kmcp_tpu.search.engine import SearchEngine, SearchOptions
+    from kmcp_tpu.search.stream import StreamSearcher
+    from kmcp_tpu.search.tsv import write_results
+
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genomes = []
+    for g in range(4):
+        seq = rng.choice(bases, size=30000).tobytes()
+        p = tmp_path / f"g{g}.fa"
+        p.write_text(f">g{g}\n{seq.decode()}\n")
+        genomes.append(seq)
+    run_compute(out_dir=str(tmp_path / "ks"), files=[str(tmp_path / f"g{g}.fa") for g in range(4)],
+                opt=ComputeOptions(ks=[21], split_number=3, split_overlap=100), force=True)
+    run_index(in_dir=str(tmp_path / "ks"), out_dir=str(tmp_path / "db"),
+              num_hashes=1, fpr=0.3, force=True, tpu_native=True)
+
+    reads = []
+    for i in range(300):
+        g = genomes[int(rng.integers(0, 4))]
+        if i % 37 == 0:  # long read > dedup threshold (256 k-mers)
+            ln = 600
+        elif i % 11 == 0:  # too-short read
+            ln = 20
+        else:
+            ln = 150
+        p = int(rng.integers(0, len(g) - ln))
+        reads.append((f"r{i}", g[p : p + ln], None))
+
+    opt_np = SearchOptions(backend="numpy", keep_unmatched=False)
+    eng_np = SearchEngine([str(tmp_path / "db")], opt_np)
+    buf1 = io.StringIO()
+    write_results(buf1, eng_np.search_batch(reads, 0), False)
+
+    opt_j = SearchOptions(backend="jax", batch_size=128)
+    eng_j = SearchEngine([str(tmp_path / "db")], opt_j)
+    assert StreamSearcher.usable(eng_j)
+    st = StreamSearcher(eng_j)
+    buf2 = io.StringIO()
+    total, matched = st.run(iter(reads), buf2)
+    assert total == 300
+    assert buf1.getvalue() == buf2.getvalue()
