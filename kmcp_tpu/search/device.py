@@ -67,6 +67,150 @@ def build_tmin_table(sizes: np.ndarray, min_tcov: float) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def _make_read_search_step(
+    k: int,
+    num_hashes: int,
+    cand_budget: int,
+    max_hash: int,
+    min_len: int,
+    dedup_threshold: int,
+    mesh=None,
+):
+    """Fully-fused device search: raw read bytes -> ntHash1 -> Bloom
+    locations -> gather -> AND -> count -> threshold -> compaction.
+
+    The ntHash uses the same O(L) prefix-XOR formulation as the host path
+    (kmcp_tpu/kmer/nthash.py) expressed as a `lax.associative_scan`; XLA
+    emulates the uint64 lanes with uint32 pairs on TPU.  Only the raw
+    ASCII reads cross host->device (~150 B/read) and only the packed
+    candidate list crosses back (~20 B/read).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..kmer.nthash import SEEDS, SEEDS_COMP, BASE_CODE
+
+    with jax.enable_x64(True):
+        seeds_ascii = np.zeros(256, dtype=np.uint64)
+        seedsc_ascii = np.zeros(256, dtype=np.uint64)
+        ok_ascii = np.zeros(256, dtype=bool)
+        for byte in range(256):
+            code = BASE_CODE[byte]
+            if code < 4:
+                seeds_ascii[byte] = SEEDS[code]
+                seedsc_ascii[byte] = SEEDS_COMP[code]
+                ok_ascii[byte] = True
+
+        def rol(x, r):
+            r = r & jnp.uint64(63)
+            return (x << r) | (x >> ((jnp.uint64(64) - r) & jnp.uint64(63)))
+
+        def ror(x, r):
+            r = r & jnp.uint64(63)
+            return (x >> r) | (x << ((jnp.uint64(64) - r) & jnp.uint64(63)))
+
+        def step(bits_ext, reads, lens, cmin, tmin, sizes_pos):
+            """reads [B, L] uint8 ASCII (pad 0); lens [B] int32."""
+            B, L = reads.shape
+            n_win = L - k + 1
+            seeds = jnp.asarray(seeds_ascii)
+            seedsc = jnp.asarray(seedsc_ascii)
+            okt = jnp.asarray(ok_ascii)
+
+            idx = jnp.arange(L, dtype=jnp.uint64)[None, :]
+            b_f = ror(jnp.take(seeds, reads.astype(jnp.int32), axis=0), idx)
+            b_r = rol(jnp.take(seedsc, reads.astype(jnp.int32), axis=0), idx)
+            c_f = jax.lax.associative_scan(jnp.bitwise_xor, b_f, axis=1)
+            c_r = jax.lax.associative_scan(jnp.bitwise_xor, b_r, axis=1)
+            zero = jnp.zeros((B, 1), dtype=jnp.uint64)
+            cf_prev = jnp.concatenate([zero, c_f[:, : n_win - 1]], axis=1)
+            cr_prev = jnp.concatenate([zero, c_r[:, : n_win - 1]], axis=1)
+            i = jnp.arange(n_win, dtype=jnp.uint64)[None, :]
+            fh = rol(c_f[:, k - 1 :] ^ cf_prev, i + jnp.uint64(k - 1))
+            rh = ror(c_r[:, k - 1 :] ^ cr_prev, i)
+            h = jnp.minimum(fh, rh)
+
+            bad = (~jnp.take(okt, reads.astype(jnp.int32), axis=0)).astype(
+                jnp.int32
+            )
+            cum = jnp.cumsum(bad, axis=1)
+            cum_prev = jnp.concatenate(
+                [jnp.zeros((B, 1), jnp.int32), cum[:, : n_win - 1]], axis=1
+            )
+            valid = (cum[:, k - 1 :] - cum_prev) == 0
+            valid &= h != jnp.uint64(0)
+            valid &= h <= jnp.uint64(max_hash)
+            # windows beyond the read's end are invalid via pad bytes (0)
+
+            nkmers = valid.sum(axis=1, dtype=jnp.int32)
+
+            S = bits_ext.shape[0] - 1
+            if num_hashes == 1:
+                loc = (h % jnp.uint64(S)).astype(jnp.int32)[..., None]
+            else:
+                a = (h >> jnp.uint64(32)).astype(jnp.uint32)
+                b32 = h.astype(jnp.uint32)
+                j = jnp.arange(num_hashes, dtype=jnp.uint32)
+                v = a[..., None] + b32[..., None] * j
+                loc = (v.astype(jnp.uint64) % jnp.uint64(S)).astype(jnp.int32)
+            loc = jnp.where(valid[..., None], loc, jnp.int32(S))
+
+            rows = jnp.take(bits_ext, loc, axis=0)  # [B,K,h,W]
+            acc = rows[..., 0, :]
+            for jj in range(1, num_hashes):
+                acc = acc & rows[..., jj, :]
+            shifts = jnp.arange(32, dtype=jnp.uint32)
+            bit = (acc[..., None] >> shifts) & jnp.uint32(1)
+            counts = bit.astype(jnp.int32).sum(axis=1)  # [B,W,32]
+            counts = counts.reshape(B, -1)
+
+            c_thresh = jnp.take(
+                cmin, jnp.minimum(nkmers, cmin.shape[0] - 1), axis=0
+            )[:, None]
+            ok = (
+                (counts >= c_thresh)
+                & (counts >= tmin[None, :])
+                & sizes_pos[None, :]
+                & (lens >= min_len)[:, None]
+                & (nkmers <= dedup_threshold)[:, None]
+            )
+            flat_ok = ok.reshape(-1)
+            n_cand = flat_ok.astype(jnp.int32).sum()
+            T = counts.shape[1]
+            (cidx,) = jnp.nonzero(flat_ok, size=cand_budget, fill_value=B * T)
+            cidx = cidx.astype(jnp.int32)
+            cnt = jnp.take(
+                counts.reshape(-1), jnp.minimum(cidx, B * T - 1), axis=0
+            )
+            cnt = jnp.where(cidx < B * T, cnt, -1)
+            return jnp.concatenate([n_cand[None], cidx, cnt, nkmers])
+
+        if mesh is None:
+            jitted = jax.jit(step)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            jitted = jax.jit(
+                step,
+                in_shardings=(
+                    NamedSharding(mesh, P(None, "t")),
+                    NamedSharding(mesh, P("d", None)),
+                    NamedSharding(mesh, P("d")),
+                    NamedSharding(mesh, P()),
+                    NamedSharding(mesh, P()),
+                    NamedSharding(mesh, P()),
+                ),
+                out_shardings=NamedSharding(mesh, P()),
+            )
+
+    def call(*args):
+        with jax.enable_x64(True):
+            return jitted(*args)
+
+    return call
+
+
+@functools.lru_cache(maxsize=None)
 def _make_search_step(num_hashes: int, cand_budget: int, mesh=None):
     """Jitted search step; with ``mesh`` (axes 'd', 't') the bit matrix is
     sharded over target words on 't' and the read batch over 'd' — the
@@ -241,6 +385,38 @@ class DeviceDB:
             t = jax.device_put(jnp.asarray(tbl), self._dev)
             self._cmin_cache[n_max] = t
         return t
+
+    def search_reads_async(
+        self,
+        reads_u8: np.ndarray,
+        lens: np.ndarray,
+        cand_budget: int,
+    ):
+        """Dispatch the fused reads->matches step (hashing on device)."""
+        import jax.numpy as jnp
+
+        opt = self.opt
+        db = self.db
+        k = sorted(db.info.ks)[-1]
+        step = _make_read_search_step(
+            k,
+            db.info.num_hashes,
+            cand_budget,
+            int(db.max_hash) if db.max_hash is not None else (1 << 64) - 1,
+            opt.min_query_len,
+            opt.kmer_dedup_threshold,
+            self.mesh,
+        )
+        n_win_max = reads_u8.shape[1] - k + 1
+        cmin = self.cmin_for(max(n_win_max, 1))
+        return step(
+            self.bits_ext,
+            jnp.asarray(reads_u8),
+            jnp.asarray(lens.astype(np.int32)),
+            cmin,
+            self._tmin,
+            self.sizes_pos,
+        )
 
     def search_async(self, loc: np.ndarray, nkmers: np.ndarray, cand_budget: int):
         """Dispatch one batch; returns the device array (pull later).

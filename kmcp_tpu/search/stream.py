@@ -14,6 +14,7 @@ formatted from exact integer pairs via memoized tables.
 
 from __future__ import annotations
 
+import os
 import sys
 from collections import deque
 
@@ -136,6 +137,8 @@ class StreamSearcher:
         gsize_s = [str(int(g)) for g in gsizes]
         k_s = str(self.k)
 
+        device_hash = os.environ.get("KMCP_TPU_DEVICE_HASH", "1") == "1"
+
         def flush_batch(batch):
             nonlocal kmax
             real_b = len(batch)
@@ -146,35 +149,43 @@ class StreamSearcher:
             if real_b < batch_size:
                 seqs = seqs + [b""] * (batch_size - real_b)
             lens = np.array([len(s) for s in seqs], dtype=np.int64)
-            # bucket the k-mer axis to multiples of 32 for the same reason
-            km = max(int(lens.max()) - self.k + 1, 1)
-            km = -(-km // 32) * 32
-            kmax = km
-            res = native.hash_reads_loc(
-                seqs, self.k, km, dev.total_rows, num_hashes,
-                canonical=db.info.canonical, max_hash=db.max_hash,
-            )
-            loc, counts = res
-            too_short = lens < opt.min_query_len
-            over_dedup = counts > opt.kmer_dedup_threshold
-            n_dev = np.where(too_short | over_dedup, 0, counts)
             # budget sized for ~3 matches/read average; overflow retries
             # with 4x (recompile cached per budget size)
             budget = 3 * batch_size
-            fut = dev.search_async(loc, n_dev, budget)
-            return {
+            state = {
                 "real_b": real_b,
                 "ids": ids,
                 "seqs": seqs,
                 "lens": lens,
-                "counts": counts,
-                "too_short": too_short,
-                "over_dedup": over_dedup,
-                "loc": loc,
-                "n_dev": n_dev,
                 "budget": budget,
-                "fut": fut,
             }
+            lmax = max(-(-(int(lens.max())) // 32) * 32, self.k + 31)
+            kmax = lmax - self.k + 1
+            if device_hash:
+                # ship raw ASCII reads; hashing happens on device
+                B = len(seqs)
+                mat = np.zeros((B, lmax), dtype=np.uint8)
+                concat = np.frombuffer(b"".join(seqs), dtype=np.uint8)
+                cols = np.arange(lmax)[None, :]
+                mask = cols < lens[:, None]
+                mat[mask] = concat
+                state["reads_u8"] = mat
+                state["counts"] = None  # nkmers arrives with the results
+                state["fut"] = dev.search_reads_async(mat, lens, budget)
+            else:
+                res = native.hash_reads_loc(
+                    seqs, self.k, kmax, dev.total_rows, num_hashes,
+                    canonical=db.info.canonical, max_hash=db.max_hash,
+                )
+                loc, counts = res
+                too_short = lens < opt.min_query_len
+                over_dedup = counts > opt.kmer_dedup_threshold
+                n_dev = np.where(too_short | over_dedup, 0, counts)
+                state["counts"] = counts
+                state["loc"] = loc
+                state["n_dev"] = n_dev
+                state["fut"] = dev.search_async(loc, n_dev, budget)
+            return state
 
         def drain(state, idx0):
             nonlocal total, matched
@@ -183,7 +194,14 @@ class StreamSearcher:
             n_cand = int(arr[0])
             while n_cand > budget:
                 budget *= 4
-                fut = dev.search_async(state["loc"], state["n_dev"], budget)
+                if state["counts"] is None:
+                    fut = dev.search_reads_async(
+                        state["reads_u8"], state["lens"], budget
+                    )
+                else:
+                    fut = dev.search_async(
+                        state["loc"], state["n_dev"], budget
+                    )
                 arr = np.asarray(fut)
                 n_cand = int(arr[0])
             idx = arr[1 : 1 + n_cand]
@@ -193,6 +211,11 @@ class StreamSearcher:
             t = idx % T
 
             B = state["real_b"]
+            if state["counts"] is None:
+                # device-hash mode: per-read k-mer counts ride along
+                state["counts"] = arr[1 + 2 * budget : 1 + 2 * budget + len(state["lens"])].astype(np.int64)
+            state["too_short"] = state["lens"] < opt.min_query_len
+            state["over_dedup"] = state["counts"] > opt.kmer_dedup_threshold
             state["counts"] = state["counts"][:B]
             state["lens"] = state["lens"][:B]
             state["too_short"] = state["too_short"][:B]
