@@ -23,10 +23,34 @@ to the host reference path.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
 from .fpr import QueryFPRCache
+
+_cache_enabled = False
+
+
+def enable_compilation_cache():
+    """Persist compiled XLA programs across processes (compiles through
+    the axon tunnel can take minutes when it is degraded)."""
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    _cache_enabled = True
+    import jax
+
+    cache_dir = os.environ.get(
+        "KMCP_TPU_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "kmcp-tpu-jax"),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 def build_cmin_table(
@@ -287,6 +311,7 @@ class DeviceDB:
         import jax
         import jax.numpy as jnp
 
+        enable_compilation_cache()
         self.db = db
         self.opt = opt
         self.mesh = mesh
