@@ -104,7 +104,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="read index fully into RAM instead of mmap")
     s.add_argument("--low-mem", action="store_true",
                    help="alias of the default mmap mode (kept for CLI parity)")
-    s.add_argument("--backend", default="numpy", choices=["numpy", "jax"])
+    s.add_argument("--backend", default="numpy", choices=["numpy", "jax", "host"])
     s.add_argument("--batch-size", type=int, default=8192)
 
     # ------------------------------------------------------------- profile

@@ -88,6 +88,12 @@ def get_lib():
             ctypes.c_int, ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint32),
         ]
         lib.kt_build_word_column.restype = None
+        lib.kt_count_block.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ]
+        lib.kt_count_block.restype = None
         i32p = ctypes.POINTER(ctypes.c_int32)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.kt_write_rows.argtypes = [
@@ -266,6 +272,29 @@ def build_word_column(
         col.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
     )
     return col
+
+
+def count_block(
+    bits_ext: np.ndarray, loc: np.ndarray, num_hashes: int, threads: int = 0
+) -> np.ndarray | None:
+    """[B, W*32] int32 match counts on host (C++ sparse-bit iteration)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    Sp1, W = bits_ext.shape
+    B, K = loc.shape[0], loc.shape[1]
+    bits_c = np.ascontiguousarray(bits_ext, dtype=np.uint32)
+    loc_c = np.ascontiguousarray(loc, dtype=np.int32)
+    out = np.empty((B, W * 32), dtype=np.int32)
+    if threads <= 0:
+        threads = min(os.cpu_count() or 1, 16)
+    lib.kt_count_block(
+        bits_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), W,
+        loc_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), B, K,
+        num_hashes,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), threads,
+    )
+    return out
 
 
 def locations(

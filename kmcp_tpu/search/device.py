@@ -299,6 +299,125 @@ def _make_search_step(num_hashes: int, cand_budget: int, mesh=None):
     )
 
 
+def _stack_blocks(db):
+    """Stack a DB's blocks into one [S_total+1, W] matrix (+ sentinel row)
+    with flattened per-target metadata; returns
+    (stacked_ext, names, indices, gsizes, sizes, total_rows, w)."""
+    blocks = db.blocks
+    w_max = max(b.bits.shape[1] for b in blocks)
+    mats = []
+    names: list[str] = []
+    indices: list[int] = []
+    gsizes: list[int] = []
+    sizes: list[int] = []
+    row_off = 0
+    for b in blocks:
+        m = np.asarray(b.bits)
+        if m.shape[1] < w_max:
+            m = np.pad(m, ((0, 0), (0, w_max - m.shape[1])))
+        mats.append(m)
+        row_off += m.shape[0]
+        names.extend(b.meta.names)
+        indices.extend(b.meta.indices)
+        gsizes.extend(b.meta.gsizes)
+        sizes.extend(b.meta.sizes)
+        pad = w_max * 32 - b.meta.num_targets
+        if pad:
+            names.extend([""] * pad)
+            indices.extend([0] * pad)
+            gsizes.extend([0] * pad)
+            sizes.extend([0] * pad)
+    stacked = np.concatenate(mats, axis=0)
+    stacked = np.concatenate(
+        [stacked, np.zeros((1, w_max), dtype=np.uint32)], axis=0
+    )
+    return stacked, names, indices, gsizes, sizes, row_off, w_max
+
+
+class HostDB:
+    """Pure-host backend with the DeviceDB interface: C++ hashing + C++
+    sparse-bit match counting + exact integer thresholds.  Used when no
+    accelerator is available (or the tunnel to it is unhealthy); output
+    layout matches the device step so the streaming writer is shared."""
+
+    def __init__(self, db, opt):
+        from ..kmer import native
+
+        if native.get_lib() is None:
+            raise RuntimeError("host backend requires the native library")
+        self.db = db
+        self.opt = opt
+        self.mesh = None
+        (stacked, names, indices, gsizes, sizes, rows, w) = _stack_blocks(db)
+        self.n_blocks = len(db.blocks)
+        self.bits_ext_np = stacked
+        self.total_rows = rows
+        self.sentinel = rows
+        self.w = w
+        self.t_per_block = w * 32
+        self.names = names
+        self.indices = np.asarray(indices, dtype=np.int64)
+        self.gsizes = np.asarray(gsizes, dtype=np.int64)
+        self.sizes = np.asarray(sizes, dtype=np.int64)
+        self.sizes_pos_np = self.sizes > 0
+        self._tmin_np = build_tmin_table(
+            self.sizes.astype(np.float64), opt.min_target_cov
+        )
+        self._cmin_np: dict[int, np.ndarray] = {}
+
+    def _cmin(self, n_max: int) -> np.ndarray:
+        n_max = max(64, -(-n_max // 64) * 64)
+        t = self._cmin_np.get(n_max)
+        if t is None:
+            t = build_cmin_table(
+                n_max, self.opt.min_kmers, self.opt.min_query_cov,
+                self.opt.max_fpr, self.db.query_fpr,
+            )
+            self._cmin_np[n_max] = t
+        return t
+
+    def search_reads_async(self, reads_u8, lens, cand_budget, seqs=None):
+        """Synchronous host implementation returning the device-compatible
+        packed int32 array [1 + C + C + B]."""
+        from ..kmer import native
+
+        opt = self.opt
+        db = self.db
+        k = sorted(db.info.ks)[-1]
+        B, L = reads_u8.shape
+        kmax = L - k + 1
+        if seqs is None:
+            seqs = [bytes(reads_u8[i, : lens[i]]) for i in range(B)]
+        loc, counts_per_read = native.hash_reads_loc(
+            seqs, k, kmax, self.total_rows, db.info.num_hashes,
+            canonical=db.info.canonical, max_hash=db.max_hash,
+        )
+        counts = native.count_block(
+            self.bits_ext_np, loc, db.info.num_hashes
+        )
+        nkmers = counts_per_read.astype(np.int32)
+        cmin = self._cmin(int(nkmers.max(initial=1)))
+        c_thresh = cmin[np.minimum(nkmers, len(cmin) - 1)][:, None]
+        ok = (
+            (counts >= c_thresh)
+            & (counts >= self._tmin_np[None, :])
+            & self.sizes_pos_np[None, :]
+            & (np.asarray(lens) >= opt.min_query_len)[:, None]
+            & (nkmers <= opt.kmer_dedup_threshold)[:, None]
+        )
+        flat = np.nonzero(ok.reshape(-1))[0].astype(np.int32)
+        n_cand = len(flat)
+        out = np.empty(1 + 2 * cand_budget + B, dtype=np.int32)
+        out[0] = n_cand
+        ncap = min(n_cand, cand_budget)
+        out[1 : 1 + ncap] = flat[:ncap]
+        out[1 + cand_budget : 1 + cand_budget + ncap] = counts.reshape(-1)[
+            flat[:ncap]
+        ]
+        out[1 + 2 * cand_budget :] = nkmers
+        return out
+
+
 class DeviceDB:
     """Device-resident single-group bit matrix for the fast path.
 

@@ -45,7 +45,12 @@ class StreamSearcher:
         self.engine = engine
         self.opt = engine.opt
         self.db = engine.dbs[0]
-        self.dev = DeviceDB(self.db, self.opt)
+        if engine.opt.backend == "host":
+            from .device import HostDB
+
+            self.dev = HostDB(self.db, self.opt)
+        else:
+            self.dev = DeviceDB(self.db, self.opt)
         self.k = self.db.ks_desc[0]
         self.multi_k = len(self.db.ks_desc) > 1
         self._fpr_tabs: dict[int, tuple] = {}
@@ -98,7 +103,7 @@ class StreamSearcher:
         db = engine.dbs[0]
         if db.is_sketch:
             return False
-        if engine.opt.backend != "jax":
+        if engine.opt.backend not in ("jax", "host"):
             return False
         if engine.opt.sort_by != "qcov" or engine.opt.do_not_sort:
             return False
@@ -137,7 +142,11 @@ class StreamSearcher:
         gsize_s = [str(int(g)) for g in gsizes]
         k_s = str(self.k)
 
-        device_hash = os.environ.get("KMCP_TPU_DEVICE_HASH", "1") == "1"
+        host_backend = opt.backend == "host"
+        device_hash = (
+            os.environ.get("KMCP_TPU_DEVICE_HASH", "1") == "1"
+            or host_backend
+        )
 
         def flush_batch(batch):
             nonlocal kmax
@@ -171,7 +180,12 @@ class StreamSearcher:
                 mat[mask] = concat
                 state["reads_u8"] = mat
                 state["counts"] = None  # nkmers arrives with the results
-                state["fut"] = dev.search_reads_async(mat, lens, budget)
+                if host_backend:
+                    state["fut"] = dev.search_reads_async(
+                        mat, lens, budget, seqs=seqs
+                    )
+                else:
+                    state["fut"] = dev.search_reads_async(mat, lens, budget)
             else:
                 res = native.hash_reads_loc(
                     seqs, self.k, kmax, dev.total_rows, num_hashes,

@@ -256,6 +256,40 @@ void kt_hash_reads_loc(const uint8_t* concat, const int64_t* starts,
   }
 }
 
+// Match counting on host: for each read, gather its Bloom rows, AND over
+// the hash functions, and accumulate per-target counts via sparse bit
+// iteration (Bloom words are ~30% dense, so ctz-walking set bits beats
+// dense unpacking).  counts_out is [B, W*32] int32, zeroed here.
+void kt_count_block(const uint32_t* bits /* (S+1) x W */, int64_t W,
+                    const int32_t* loc /* B x K x h */, int64_t B, int64_t K,
+                    int num_hashes, int32_t* counts_out, int threads) {
+  const int64_t T = W * 32;
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(threads > 0 ? threads : 1) \
+    schedule(dynamic, 16) if (threads > 1 && B > 64)
+#endif
+  for (int64_t r = 0; r < B; ++r) {
+    int32_t* counts = counts_out + r * T;
+    std::memset(counts, 0, T * sizeof(int32_t));
+    const int32_t* lrow = loc + r * K * num_hashes;
+    for (int64_t kk = 0; kk < K; ++kk) {
+      const int32_t* lk = lrow + kk * num_hashes;
+      for (int64_t w = 0; w < W; ++w) {
+        uint32_t word = bits[(int64_t)lk[0] * W + w];
+        for (int j = 1; j < num_hashes; ++j) {
+          word &= bits[(int64_t)lk[j] * W + w];
+        }
+        const int64_t base = w * 32;
+        while (word) {
+          const int b = __builtin_ctz(word);
+          ++counts[base + b];
+          word &= word - 1;
+        }
+      }
+    }
+  }
+}
+
 // Build one 32-target word-column of a Bloom bit matrix.
 // For each target t in [0, n_targets): set bit (t mod 32) of
 // col[loc] for every Bloom location of its hash set.
