@@ -322,3 +322,74 @@ def test_stream_path_with_mixed_read_lengths(tmp_path):
     total, matched = st.run(iter(reads), buf2)
     assert total == 300
     assert buf1.getvalue() == buf2.getvalue()
+
+
+def _tiny_db(tmp_path, ks, rng_seed=5, n_genomes=3, glen=20000, fpr=0.3):
+    from kmcp_tpu.commands.compute import ComputeOptions, run_compute
+    from kmcp_tpu.index.build import run_index
+
+    rng = np.random.default_rng(rng_seed)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genomes = []
+    for g in range(n_genomes):
+        seq = rng.choice(bases, size=glen).tobytes()
+        (tmp_path / f"g{g}.fa").write_text(f">g{g}\n{seq.decode()}\n")
+        genomes.append(seq)
+    run_compute(
+        out_dir=str(tmp_path / "ks"),
+        files=[str(tmp_path / f"g{g}.fa") for g in range(n_genomes)],
+        opt=ComputeOptions(ks=ks, split_number=2, split_overlap=50),
+        force=True,
+    )
+    run_index(in_dir=str(tmp_path / "ks"), out_dir=str(tmp_path / "db"),
+              num_hashes=1, fpr=fpr, force=True)
+    return str(tmp_path / "db"), genomes
+
+
+def test_paired_end_and_try_se(tmp_path):
+    """Paired mates hash into one k-mer set; --try-se retries failing
+    pairs as single ends (util-db-search.go:800-868)."""
+    from kmcp_tpu.search.engine import SearchEngine, SearchOptions
+
+    db, genomes = _tiny_db(tmp_path, [21], fpr=0.01)
+    g = genomes[0]
+    r1, r2 = g[1000:1150], g[3000:3150]
+    junk = bytes(np.random.default_rng(1).choice(
+        np.frombuffer(b"ACGT", dtype=np.uint8), size=150))
+
+    eng = SearchEngine([db], SearchOptions(paired_fpr_buf=True))
+    res = eng.search_batch([("p", r1, r2)], 0)[0]
+    assert res.matches
+    # qKmers counts both mates' k-mers
+    assert res.num_kmers == 260
+    assert res.query_len == 300
+
+    # read1 matches, read2 is junk: as a pair the combined qcov is diluted
+    # below the threshold -> no hits without try-se
+    eng2 = SearchEngine([db], SearchOptions())
+    res = eng2.search_batch([("p", r1, junk)], 0)[0]
+    assert not res.matches
+    eng3 = SearchEngine([db], SearchOptions(try_se=True))
+    res = eng3.search_batch([("p", r1, junk)], 0)[0]
+    assert res.matches  # retried as read1-only
+    assert res.query_len == 150  # reflects the single-end retry
+
+
+def test_multi_k_fallback(tmp_path):
+    """ks are tried in descending order; unmatched queries retry with the
+    smaller k (util-db-search.go:755-764,1018-1024)."""
+    from kmcp_tpu.search.engine import SearchEngine, SearchOptions
+
+    db, genomes = _tiny_db(tmp_path, [21, 31])
+    g = genomes[0]
+    # a clean read matches at k=31 directly
+    eng = SearchEngine([db], SearchOptions())
+    res = eng.search_batch([("a", g[500:650], None)], 0)[0]
+    assert res.matches and res.k == 31
+    # mutate every ~25 bp: destroys most 31-mers, keeps some 21-mer runs
+    read = bytearray(g[2000:2150])
+    for p in range(5, 150, 25):
+        read[p] = ord("A") if read[p] != ord("A") else ord("C")
+    res = eng.search_batch([("b", bytes(read), None)], 0)[0]
+    if res.matches:
+        assert res.k in (21, 31)
