@@ -101,28 +101,31 @@ def main() -> None:
 
         ensure_db(native=os.environ.get("BENCH_NATIVE", "1") == "1")
         results = {}
-        timeout = int(os.environ.get("BENCH_TIMEOUT", "480"))
+        timeout = int(os.environ.get("BENCH_TIMEOUT", "240"))
+        procs = {}
         for child_backend in ("jax", "host"):
             env = dict(
                 os.environ, BENCH_CHILD="1", BENCH_BACKEND=child_backend
             )
+            procs[child_backend] = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True,
+            )
+        for child_backend, proc in procs.items():
             try:
-                res = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__)],
-                    env=env, timeout=timeout, capture_output=True, text=True,
-                )
-                line = [
-                    l for l in res.stdout.splitlines() if l.startswith("{")
-                ]
-                if res.returncode == 0 and line:
+                stdout, stderr = proc.communicate(timeout=timeout)
+                line = [l for l in stdout.splitlines() if l.startswith("{")]
+                if proc.returncode == 0 and line:
                     results[child_backend] = json.loads(line[-1])
                 else:
                     print(
                         f"[bench] {child_backend} child failed "
-                        f"(rc={res.returncode})", file=sys.stderr,
+                        f"(rc={proc.returncode})", file=sys.stderr,
                     )
-                    print(res.stderr[-1500:], file=sys.stderr)
+                    print(stderr[-1500:], file=sys.stderr)
             except subprocess.TimeoutExpired:
+                proc.kill()
                 print(
                     f"[bench] {child_backend} child timed out after "
                     f"{timeout}s (TPU tunnel wedged?)", file=sys.stderr,
