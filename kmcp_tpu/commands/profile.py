@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 import sys
 
 from ..profile.core import ParsedInput, Profiler, ProfileOptions, parse_search_tsv
@@ -69,7 +70,15 @@ def run_profile(
             file=sys.stderr,
         )
 
-    prof = Profiler(opt, taxdb=taxdb, taxid_map=taxid_map)
+    from ..profile.fast import FastProfiler
+
+    use_fast = FastProfiler.usable(opt) and os.environ.get(
+        "KMCP_TPU_PROFILE_ENGINE", "fast"
+    ) != "reference"
+    if use_fast:
+        prof = FastProfiler(opt, taxdb=taxdb, taxid_map=taxid_map)
+    else:
+        prof = Profiler(opt, taxdb=taxdb, taxid_map=taxid_map)
     targets = prof.run(parsed)
     if verbose:
         print(f"[profile] {len(targets)} references in the profile",

@@ -1,0 +1,573 @@
+"""Vectorized profiler engine: the four stages + EM as NumPy segment
+operations over a flattened match table.
+
+Semantics match kmcp_tpu/profile/core.py (which replicates
+/root/reference/kmcp/cmd/profile.go stage by stage); this engine drops the
+per-read Python loops so profiling scales to CAMI-sized inputs.  It covers
+the default match pre-filter configuration (no keep-perfect/keep-main/
+top-N); the caller falls back to the reference-faithful engine otherwise.
+
+Key representation: rows are flattened arrays sorted in stream order;
+(read-group, target) pairs ("GT" records) are factorized once.  The first
+row of each GT in stream order is its best match (search output is
+qcov-descending), matching the reference's "count once" logic.  The
+species-LCA test reduces to "all targets share one species-rank ancestor",
+precomputed per target.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from .core import (
+    ParsedInput,
+    ProfileOptions,
+    Target,
+    mean_stdev,
+    resolve_params,
+)
+from .taxonomy import Taxonomy
+
+
+class FlatInput:
+    """Column-array view of a ParsedInput."""
+
+    def __init__(self, parsed: ParsedInput):
+        n_rows = sum(len(g) for g in parsed.groups)
+        self.n_groups = len(parsed.groups)
+        self.n_targets = len(parsed.target_names)
+        self.target_names = parsed.target_names
+        self.total_queries = parsed.total_queries
+
+        self.group = np.empty(n_rows, dtype=np.int64)
+        self.target = np.empty(n_rows, dtype=np.int32)
+        self.frag = np.empty(n_rows, dtype=np.int32)
+        self.qlen = np.empty(n_rows, dtype=np.int64)
+        self.qcov = np.empty(n_rows, dtype=np.float64)
+        self.idx_num = np.zeros(self.n_targets, dtype=np.int32)
+        self.gsize = np.zeros(self.n_targets, dtype=np.int64)
+        i = 0
+        for g, rows in enumerate(parsed.groups):
+            for m in rows:
+                self.group[i] = g
+                self.target[i] = m.target
+                self.frag[i] = m.frag_idx
+                self.qlen[i] = m.qlen
+                self.qcov[i] = m.qcov
+                if self.idx_num[m.target] == 0:
+                    self.idx_num[m.target] = m.idx_num
+                    self.gsize[m.target] = m.gsize
+                i += 1
+
+        # factorize (group, target)
+        key = self.group * np.int64(self.n_targets) + self.target
+        uniq, first, inverse, counts = np.unique(
+            key, return_index=True, return_inverse=True, return_counts=True
+        )
+        self.gt_of_row = inverse
+        self.gt_group = (uniq // self.n_targets).astype(np.int64)
+        self.gt_target = (uniq % self.n_targets).astype(np.int32)
+        self.gt_msize = counts.astype(np.int64)
+        self.gt_first_row = first
+        self.gt_first_qcov = self.qcov[first]
+        self.gt_first_frag = self.frag[first]
+        self.n_gt = len(uniq)
+
+        # per-target flat chunk offsets
+        self.frag_off = np.zeros(self.n_targets + 1, dtype=np.int64)
+        np.cumsum(self.idx_num, out=self.frag_off[1:])
+        self.n_frag_slots = int(self.frag_off[-1])
+        self.slot_target = np.repeat(
+            np.arange(self.n_targets), self.idx_num
+        )
+        self.row_tf = self.frag_off[self.target] + self.frag
+        self.gt_first_tf = self.frag_off[self.gt_target] + self.gt_first_frag
+        self.row_inv_msize = 1.0 / self.gt_msize[self.gt_of_row]
+
+
+def species_ids(
+    flat: FlatInput, taxdb: Taxonomy, taxid_map: dict[str, int]
+) -> np.ndarray:
+    """species-rank ancestor per target (-1 when none): the group-level
+    LCA-at-or-below-species test becomes 'all ids equal and != -1'."""
+    out = np.full(flat.n_targets, -1, dtype=np.int64)
+    for t, name in enumerate(flat.target_names):
+        taxid = taxid_map.get(name)
+        if taxid is None:
+            raise SystemExit(
+                f"unknown taxid for {name}, please check taxid mapping file(s)"
+            )
+        cur = taxdb.taxid(taxid)
+        hops = 0
+        while cur and hops < 64:
+            if taxdb.rank.get(cur, "") == "species":
+                out[t] = cur
+                break
+            p = taxdb.parent.get(cur)
+            if p is None or p == cur:
+                break
+            cur = p
+            hops += 1
+    return out
+
+
+class FastProfiler:
+    """Vectorized equivalent of core.Profiler (default pre-filters only)."""
+
+    def __init__(self, opt: ProfileOptions, taxdb=None, taxid_map=None):
+        self.opt = opt
+        self.p = resolve_params(opt)
+        self.taxdb = taxdb
+        self.taxid_map = taxid_map or {}
+        self.level_species = opt.level == "species"
+        if self.level_species and not self.taxid_map:
+            raise SystemExit("--taxid-map needed for --level species")
+        self.n_reads = 0.0
+        self.n_assigned = 0.0
+        self.total_queries = 0
+
+    @staticmethod
+    def usable(opt: ProfileOptions) -> bool:
+        p = resolve_params(opt)
+        return not (
+            opt.keep_perfect_matches or p["keep_main"] or opt.keep_top_qcovs
+        )
+
+    # ---------------------------------------------------------------- core
+
+    def _gt_survivors(self, flat: FlatInput, allowed: np.ndarray):
+        """GT subset whose target is allowed, plus per-group stats."""
+        m = allowed[flat.gt_target]
+        idx = np.flatnonzero(m)
+        groups = flat.gt_group[idx]
+        # surviving-targets-per-group and same-species flags
+        n_t = np.bincount(groups, minlength=flat.n_groups)
+        if self.level_species:
+            sp = self._species[flat.gt_target[idx]]
+            smin = np.full(flat.n_groups, np.iinfo(np.int64).max, np.int64)
+            smax = np.full(flat.n_groups, -1, np.int64)
+            np.minimum.at(smin, groups, sp)
+            np.maximum.at(smax, groups, sp)
+            same_species = (smin == smax) & (smax != -1)
+        else:
+            same_species = np.zeros(flat.n_groups, dtype=bool)
+        return idx, n_t, same_species
+
+    def _accumulate(
+        self,
+        flat: FlatInput,
+        gt_idx: np.ndarray,
+        n_t: np.ndarray,
+        same_species: np.ndarray,
+        gt_prop: np.ndarray,
+        mode: str,
+    ):
+        """Shared scatter-add core for stage 3 and the EM loop.
+
+        Weighting (profile.go stage 3 vs EM):
+          stage3: match += 1/msize; qlen += qlen*prop/msize;
+                  same-species uniq += 1/msize
+          em:     match += prop/msize; qlen += qlen*prop/msize;
+                  same-species uniq += prop/msize
+        Unique reads always: match += 1/msize, qlen += qlen/msize,
+        uniq += 1 (prop == 1 for them).
+        """
+        p = self.p
+        hic_qcov = p["hic_qcov"]
+        nfs = flat.n_frag_slots
+        match = np.zeros(nfs)
+        qlen_arr = np.zeros(nfs)
+        uniq = np.zeros(nfs)
+        uniq_hic = np.zeros(nfs)
+
+        groups_of_gt = flat.gt_group[gt_idx]
+        ambiguous = n_t[groups_of_gt] > 1
+        unique_gt = gt_idx[~ambiguous]
+        amb_gt = gt_idx[ambiguous]
+
+        # ---- unique reads: full weight
+        tf_u = flat.gt_first_tf[unique_gt]
+        np.add.at(uniq, tf_u, 1.0)
+        hic_mask = flat.gt_first_qcov[unique_gt] >= hic_qcov
+        np.add.at(uniq_hic, tf_u[hic_mask], 1.0)
+
+        # ---- ambiguous reads counted as unique (same species)
+        if self.level_species:
+            ss = same_species[flat.gt_group[amb_gt]]
+            amb_ss = amb_gt[ss]
+            if mode == "stage3":
+                w = 1.0 / flat.gt_msize[amb_ss]
+            else:
+                w = gt_prop[amb_ss] / flat.gt_msize[amb_ss]
+            np.add.at(uniq, flat.gt_first_tf[amb_ss], w)
+            hm = flat.gt_first_qcov[amb_ss] >= hic_qcov
+            np.add.at(uniq_hic, flat.gt_first_tf[amb_ss][hm], w[hm])
+        else:
+            amb_ss = amb_gt[:0]
+
+        # ---- per-row match/qlen accumulation over surviving rows
+        gt_keep = np.zeros(flat.n_gt, dtype=bool)
+        gt_keep[gt_idx] = True
+        row_sel = np.flatnonzero(gt_keep[flat.gt_of_row])
+        row_gt = flat.gt_of_row[row_sel]
+        inv = flat.row_inv_msize[row_sel]
+        w_prop = gt_prop[row_gt] * inv
+        if mode == "stage3":
+            np.add.at(match, flat.row_tf[row_sel], inv)
+        else:
+            np.add.at(match, flat.row_tf[row_sel], w_prop)
+        np.add.at(
+            qlen_arr, flat.row_tf[row_sel], flat.qlen[row_sel] * w_prop
+        )
+        return match, qlen_arr, uniq, uniq_hic, unique_gt, amb_ss
+
+    def _sum_targets(
+        self, flat, match, qlen_arr, uniq, uniq_hic, check: bool,
+        uniq_qcov_vals=None,
+    ):
+        """Per-target reductions + filters; returns dict target->Target."""
+        p = self.p
+        out = {}
+        off = flat.frag_off
+        tsum = np.bincount(
+            flat.slot_target, weights=match, minlength=flat.n_targets
+        )
+        active = np.flatnonzero(tsum > 0)
+        for t in active:
+            lo, hi = off[t], off[t + 1]
+            tg = Target(
+                flat.target_names[t], int(flat.gsize[t]), int(hi - lo)
+            )
+            tg.match = match[lo:hi].tolist()
+            tg.uniq = uniq[lo:hi].tolist()
+            tg.uniq_hic = uniq_hic[lo:hi].tolist()
+            if qlen_arr is not None:
+                tg.qlen = qlen_arr[lo:hi].tolist()
+            tg.sum_uniq = float(uniq[lo:hi].sum())
+            if check and tg.sum_uniq < p["min_ureads"]:
+                continue
+            tg.sum_uniq_hic = float(uniq_hic[lo:hi].sum())
+            if check and tg.sum_uniq_hic < p["min_hic_ureads"]:
+                continue
+            if check and tg.sum_uniq_hic < p["hic_prop"] * tg.sum_uniq:
+                continue
+            frags = sum(1 for c in tg.match if c >= p["min_reads"])
+            tg.sum_match = float(match[lo:hi].sum())
+            tg.frags_prop = frags / len(tg.match)
+            if check and tg.frags_prop < p["min_frags_prop"]:
+                continue
+            if qlen_arr is not None:
+                tg.qlens = sum(tg.qlen)
+                n = len(tg.qlen)
+                if tg.qlens > 0:
+                    tg.rel_depth = [c / tg.qlens * n for c in tg.qlen]
+                _, tg.rel_depth_std = mean_stdev(tg.rel_depth)
+                if check and tg.rel_depth_std > p["max_depth_stdev"]:
+                    continue
+                self._coverage(tg)
+            out[int(t)] = tg
+        return out
+
+    def _coverage(self, t: Target):
+        na = self.opt.norm_abund
+        if na == "mean":
+            t.coverage = t.qlens / t.genome_size
+        elif na == "min":
+            vals = [c for c in t.qlen if c != 0]
+            t.coverage = (min(vals) if vals else 0) * len(t.qlen) / t.genome_size
+        else:
+            vals = [c for c in t.qlen if c != 0]
+            t.coverage = (max(vals) if vals else 0) * len(t.qlen) / t.genome_size
+
+    # --------------------------------------------------------------- run
+
+    def run(self, parsed: ParsedInput) -> list[Target]:
+        opt, p = self.opt, self.p
+        flat = FlatInput(parsed)
+        self.total_queries = flat.total_queries
+        self.n_reads = float(flat.n_groups)
+        if self.level_species:
+            self._species = species_ids(flat, self.taxdb, self.taxid_map)
+        else:
+            self._species = np.full(flat.n_targets, -1, dtype=np.int64)
+
+        # ---------------- stage 1
+        all_t = np.ones(flat.n_targets, dtype=bool)
+        gt_idx, n_t, same_sp = self._gt_survivors(flat, all_t)
+        # stage-1 uniq condition: n_targets==1 or same-species (strain
+        # level: only n==1); weight always 1
+        match, _, uniq, uniq_hic, _, _ = self._accumulate_stage1(
+            flat, gt_idx, n_t, same_sp
+        )
+        prof1 = {}
+        off = flat.frag_off
+        for t in range(flat.n_targets):
+            lo, hi = off[t], off[t + 1]
+            if hi == lo or match[lo:hi].sum() == 0:
+                continue
+            su = uniq[lo:hi].sum()
+            if su < 1:
+                continue
+            sh = uniq_hic[lo:hi].sum()
+            if sh < 1:
+                continue
+            frags = int((match[lo:hi] > 0).sum())
+            if frags / (hi - lo) < p["min_frags_prop"]:
+                continue
+            prof1[t] = (float(match[lo:hi].sum()), float(su))
+        if not prof1:
+            print("[profile] no target found, please adjust parameters",
+                  file=sys.stderr)
+            return []
+
+        # ---------------- stage 2: pairwise ambiguity counts
+        allowed = np.zeros(flat.n_targets, dtype=bool)
+        allowed[list(prof1.keys())] = True
+        amb: dict[tuple[int, int], float] = {}
+        if not opt.no_amb_corr:
+            gt_idx2, n_t2, _ = self._gt_survivors(flat, allowed)
+            groups2 = flat.gt_group[gt_idx2]
+            ambig = n_t2[groups2] > 1
+            gsel = gt_idx2[ambig]
+            order = np.lexsort((flat.gt_target[gsel], flat.gt_group[gsel]))
+            gsel = gsel[order]
+            gids = flat.gt_group[gsel]
+            tids = flat.gt_target[gsel]
+            bounds = np.flatnonzero(np.diff(gids)) + 1
+            for seg in np.split(tids, bounds):
+                for i in range(len(seg) - 1):
+                    for j in range(i + 1, len(seg)):
+                        k = (int(seg[i]), int(seg[j]))
+                        amb[k] = amb.get(k, 0.0) + 1
+
+        # ---------------- stage 3: disambiguate + recount
+        sum_match1 = {t: v[0] for t, v in prof1.items()}
+        sum_uniq1 = {t: v[1] for t, v in prof1.items()}
+        gt_deleted = self._megapath_deletions(
+            flat, allowed, amb, sum_match1, sum_uniq1
+        )
+        gt_idx3, n_t3, same_sp3 = self._gt_survivors_masked(
+            flat, allowed, gt_deleted
+        )
+        prop3 = np.zeros(flat.n_gt)
+        prop3[gt_idx3] = 1.0 / np.maximum(
+            n_t3[flat.gt_group[gt_idx3]], 1
+        )
+        match, qlen_arr, uniq, uniq_hic, _, _ = self._accumulate(
+            flat, gt_idx3, n_t3, same_sp3, prop3, mode="stage3"
+        )
+        prof2 = self._sum_targets(
+            flat, match, qlen_arr, uniq, uniq_hic, check=True
+        )
+
+        # ---------------- stage 4: EM
+        coverages = np.zeros(flat.n_targets)
+        for t, tg in prof2.items():
+            coverages[t] = tg.coverage
+        whitelist = np.zeros(flat.n_targets, dtype=bool)
+        whitelist[list(prof2.keys())] = True
+        targets: list[Target] = []
+        dom_prev = 0.0
+        for it in range(opt.max_iters + 1):
+            gt_idx4, n_t4, same_sp4 = self._gt_survivors(flat, whitelist)
+            # E-step proportions: coverage shares within each read
+            cov_gt = coverages[flat.gt_target[gt_idx4]]
+            covsum = np.zeros(flat.n_groups)
+            np.add.at(covsum, flat.gt_group[gt_idx4], cov_gt)
+            prop = np.zeros(flat.n_gt)
+            grp4 = flat.gt_group[gt_idx4]
+            is_amb = n_t4[grp4] > 1
+            denom = covsum[grp4]
+            pr = np.where(
+                is_amb & (denom > 0), cov_gt / np.where(denom > 0, denom, 1),
+                1.0,
+            )
+            prop[gt_idx4] = pr
+            self.n_assigned = float((n_t4 > 0).sum())
+            match, qlen_arr, uniq, uniq_hic, unique_gt, amb_ss = (
+                self._accumulate(
+                    flat, gt_idx4, n_t4, same_sp4, prop, mode="em"
+                )
+            )
+            prof3 = self._sum_targets(
+                flat, match, qlen_arr, uniq, uniq_hic, check=(it == 0)
+            )
+            # scores: 90th percentile of unique-match qcov
+            self._add_scores(flat, prof3, unique_gt, amb_ss)
+            targets = list(prof3.values())
+            coverages = np.zeros(flat.n_targets)
+            whitelist = np.zeros(flat.n_targets, dtype=bool)
+            for t, tg in prof3.items():
+                coverages[t] = tg.coverage
+                whitelist[t] = True
+            scov = sum(t.coverage for t in targets)
+            for tg in targets:
+                tg.percentage = tg.coverage / scov * 100 if scov > 0 else 0.0
+            targets.sort(key=lambda t: -t.coverage)
+            if it > 0 and targets:
+                if abs(targets[0].percentage - dom_prev) < opt.abund_pct_threshold:
+                    break
+            if not targets:
+                break
+            dom_prev = targets[0].percentage
+
+        # final sort + low-pct filter + taxonomy (same as core)
+        if opt.mode == 0:
+            targets.sort(
+                key=lambda t: (-(t.score * t.frags_prop), -t.score,
+                               -t.frags_prop, -t.sum_match)
+            )
+        else:
+            targets.sort(key=lambda t: (-t.coverage, -t.frags_prop))
+        if opt.filter_low_pct > 0 and len(targets) > 1:
+            acc = 0.0
+            n = 0
+            for t in reversed(targets):
+                acc += t.percentage
+                if acc > opt.filter_low_pct:
+                    break
+                n += 1
+            if n > 0:
+                targets = targets[: len(targets) - n]
+                sc = sum(t.coverage for t in targets)
+                for t in targets:
+                    t.percentage = t.coverage / sc * 100
+        for t in targets:
+            if opt.name_map:
+                t.refname = opt.name_map.get(t.name, "")
+            if self.taxid_map and self.taxdb:
+                taxid = self.taxid_map.get(t.name)
+                if taxid is not None:
+                    from .core import Profiler
+
+                    Profiler._add_taxonomy(self, t, taxid)
+        return targets
+
+    # ------------------------------------------------- binning (reuse core)
+
+    def _taxid_of(self, name: str) -> int:
+        t = self.taxid_map.get(name)
+        if t is None:
+            raise SystemExit(f"unknown taxid for {name}")
+        return t
+
+    def _prefilter(self, rows, allowed=None):
+        # fast engine only runs with default pre-filters
+        if allowed is None:
+            return rows
+        return [m for m in rows if m.target in allowed]
+
+    def binning(self, parsed, targets):
+        from .core import Profiler
+
+        return Profiler.binning(self, parsed, targets)
+
+    # ------------------------------------------------------------ helpers
+
+    def _accumulate_stage1(self, flat, gt_idx, n_t, same_sp):
+        """Stage-1 variant: unique weight 1 (even for same-species
+        ambiguous reads, profile.go:851-861); match += 1/msize per row."""
+        p = self.p
+        hic_qcov = p["hic_qcov"]
+        nfs = flat.n_frag_slots
+        match = np.zeros(nfs)
+        uniq = np.zeros(nfs)
+        uniq_hic = np.zeros(nfs)
+        grp = flat.gt_group[gt_idx]
+        count_uniq = (n_t[grp] == 1) | same_sp[grp]
+        sel = gt_idx[count_uniq]
+        tf = flat.gt_first_tf[sel]
+        np.add.at(uniq, tf, 1.0)
+        hm = flat.gt_first_qcov[sel] >= hic_qcov
+        np.add.at(uniq_hic, tf[hm], 1.0)
+        np.add.at(match, flat.row_tf, flat.row_inv_msize)
+        return match, None, uniq, uniq_hic, sel, None
+
+    def _gt_survivors_masked(self, flat, allowed, gt_deleted):
+        m = allowed[flat.gt_target] & ~gt_deleted
+        idx = np.flatnonzero(m)
+        groups = flat.gt_group[idx]
+        n_t = np.bincount(groups, minlength=flat.n_groups)
+        if self.level_species:
+            sp = self._species[flat.gt_target[idx]]
+            smin = np.full(flat.n_groups, np.iinfo(np.int64).max, np.int64)
+            smax = np.full(flat.n_groups, -1, np.int64)
+            np.minimum.at(smin, groups, sp)
+            np.maximum.at(smax, groups, sp)
+            same = (smin == smax) & (smax != -1)
+        else:
+            same = np.zeros(flat.n_groups, dtype=bool)
+        return idx, n_t, same
+
+    def _megapath_deletions(self, flat, allowed, amb, sum_match, sum_uniq):
+        """Per-group pairwise deletions (profile.go:1341-1387); loops only
+        over ambiguous groups."""
+        opt = self.opt
+        one_minus = 1 - opt.min_dreads_prop
+        mm = opt.max_mismatch_err
+        deleted = np.zeros(flat.n_gt, dtype=bool)
+        if opt.no_amb_corr:
+            return deleted
+        m = allowed[flat.gt_target]
+        idx = np.flatnonzero(m)
+        groups = flat.gt_group[idx]
+        n_t = np.bincount(groups, minlength=flat.n_groups)
+        sel = idx[n_t[groups] > 1]
+        # order GTs within group by first qcov desc (reference sorts by
+        # the best match's qcov, profile.go:1351-1353)
+        order = np.lexsort(
+            (-flat.gt_first_qcov[sel], flat.gt_group[sel])
+        )
+        sel = sel[order]
+        gids = flat.gt_group[sel]
+        bounds = np.flatnonzero(np.diff(gids)) + 1
+        for seg in np.split(sel, bounds):
+            tlist = flat.gt_target[seg]
+            n = len(seg)
+            dead = [False] * n
+            for i in range(n - 1):
+                if dead[i]:
+                    continue
+                for j in range(i + 1, n):
+                    if dead[j]:
+                        continue
+                    hi, hj = int(tlist[i]), int(tlist[j])
+                    k = (hi, hj) if hi < hj else (hj, hi)
+                    shared = amb.get(k, 0.0)
+                    if (
+                        sum_match[hi] * one_minus >= shared
+                        and sum_uniq[hj] < sum_uniq[hi] * mm
+                    ):
+                        dead[j] = True
+                    elif (
+                        sum_match[hj] * one_minus >= shared
+                        and sum_uniq[hi] < sum_uniq[hj] * mm
+                    ):
+                        dead[i] = True
+            for i, gt in enumerate(seg):
+                if dead[i]:
+                    deleted[gt] = True
+        return deleted
+
+    def _add_scores(self, flat, prof3, unique_gt, amb_ss):
+        """90th percentile of unique-match qcov per target."""
+        if amb_ss is None or len(amb_ss) == 0:
+            sel = unique_gt
+        else:
+            sel = np.concatenate([unique_gt, amb_ss])
+        if len(sel) == 0:
+            return
+        t = flat.gt_target[sel]
+        v = flat.gt_first_qcov[sel]
+        order = np.argsort(t, kind="stable")
+        t, v = t[order], v[order]
+        bounds = np.flatnonzero(np.diff(t)) + 1
+        for tt, vals in zip(
+            t[np.concatenate([[0], bounds])] if len(t) else [],
+            np.split(v, bounds),
+        ):
+            tg = prof3.get(int(tt))
+            if tg is not None:
+                tg.score = float(np.percentile(vals, 90)) * 100

@@ -189,3 +189,36 @@ def test_merge_two_shards(demo_db, tmp_path):
     by_q = Counter(r[-1] for r in data)
     for row in data[:50]:
         assert int(row[4]) == by_q[row[-1]]
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference repo absent")
+def test_fast_profiler_equals_reference_engine(demo_db, taxid_map, tmp_path):
+    """The vectorized profiler must reproduce the loop-based
+    reference-faithful engine to float precision."""
+    from kmcp_tpu.profile.core import Profiler, ProfileOptions, parse_search_tsv
+    from kmcp_tpu.profile.fast import FastProfiler
+    from kmcp_tpu.profile.taxonomy import Taxonomy, load_taxid_map
+
+    fq, _ = simulate_reads(tmp_path)
+    tsv = tmp_path / "m.tsv.gz"
+    run_cli("-q", "search", "-d", demo_db, str(fq), "-o", str(tsv))
+
+    taxmap = load_taxid_map([taxid_map])
+    taxdb = Taxonomy(TAXDUMP)
+    opt = ProfileOptions(mode=1)
+    parsed = parse_search_tsv([str(tsv)], opt.max_fpr, opt.min_qcov)
+    ref = Profiler(opt, taxdb, taxmap).run(parsed)
+    fast = FastProfiler(opt, taxdb, taxmap).run(parsed)
+    ra = {t.name: t for t in ref}
+    fa = {t.name: t for t in fast}
+    assert set(ra) == set(fa)
+    for name in ra:
+        r, f = ra[name], fa[name]
+        for field in ("percentage", "coverage", "sum_match", "sum_uniq",
+                      "sum_uniq_hic", "frags_prop", "rel_depth_std"):
+            rv, fv = getattr(r, field), getattr(f, field)
+            assert abs(rv - fv) <= 1e-9 * max(abs(rv), 1.0), (name, field)
+        assert r.taxid == f.taxid
+        assert [round(x, 9) for x in r.rel_depth] == pytest.approx(
+            [round(x, 9) for x in f.rel_depth]
+        )
