@@ -139,6 +139,12 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("-S", "--separator", default=";")
     pr.add_argument("-s", "--sample-id", default="")
     pr.add_argument("--taxonomy-id", default="")
+    pr.add_argument("--show-rank", default=None,
+                    help="comma-separated ranks to show in reports")
+    pr.add_argument("--rank-prefix", default=None,
+                    help="comma-separated clade prefixes for MetaPhlAn output")
+    pr.add_argument("--line-chunk-size", type=int, default=5000,
+                    help="accepted for CLI parity (parser is vectorized)")
     pr.add_argument("-C", "--cami-report", default=None)
     pr.add_argument("-M", "--metaphlan-report", default=None)
     pr.add_argument("--metaphlan-report-version", default="3", choices=["2", "3"])
@@ -389,6 +395,10 @@ def main(argv: list[str] | None = None) -> int:
             sample_id=args.sample_id,
             taxonomy_id=args.taxonomy_id,
             separator=args.separator,
+            show_ranks=args.show_rank.split(",") if args.show_rank else None,
+            rank_prefixes=(
+                args.rank_prefix.split(",") if args.rank_prefix else None
+            ),
             verbose=not args.quiet,
         )
         return 0

@@ -42,6 +42,8 @@ def run_profile(
     sample_id: str = "",
     taxonomy_id: str = "",
     separator: str = ";",
+    show_ranks: list[str] | None = None,
+    rank_prefixes: list[str] | None = None,
     verbose: bool = True,
 ):
     opt = opt or ProfileOptions()
@@ -86,7 +88,10 @@ def run_profile(
 
     out = sys.stdout if out_file == "-" else xopen(out_file, "wt")
     try:
-        write_kmcp_profile(out, targets, separator=separator, taxdb=taxdb)
+        write_kmcp_profile(
+            out, targets, separator=separator, taxdb=taxdb,
+            show_ranks=show_ranks,
+        )
     finally:
         if out is not sys.stdout:
             out.close()
@@ -99,7 +104,7 @@ def run_profile(
             with xopen(cami_report, "wt") as f:
                 write_cami_profile(
                     f, nodes, taxdb, sample_id=sample_id,
-                    taxonomy_id=taxonomy_id,
+                    taxonomy_id=taxonomy_id, show_ranks=show_ranks,
                 )
         if metaphlan_report:
             if not metaphlan_report.endswith(".profile"):
@@ -107,7 +112,8 @@ def run_profile(
             with xopen(metaphlan_report, "wt") as f:
                 write_metaphlan_profile(
                     f, nodes, taxdb, sample_id=sample_id,
-                    version=metaphlan_version,
+                    version=metaphlan_version, show_ranks=show_ranks,
+                    rank_prefixes=rank_prefixes,
                 )
 
     if binning_file and taxdb is not None:
