@@ -272,7 +272,14 @@ void kt_count_block(const uint32_t* bits /* (S+1) x W */, int64_t W,
     int32_t* counts = counts_out + r * T;
     std::memset(counts, 0, T * sizeof(int32_t));
     const int32_t* lrow = loc + r * K * num_hashes;
+    const int64_t PF = 8;  // prefetch distance (k-mers ahead)
     for (int64_t kk = 0; kk < K; ++kk) {
+      if (kk + PF < K) {
+        const int32_t* lp = lrow + (kk + PF) * num_hashes;
+        for (int j = 0; j < num_hashes; ++j) {
+          __builtin_prefetch(bits + (int64_t)lp[j] * W, 0, 1);
+        }
+      }
       const int32_t* lk = lrow + kk * num_hashes;
       for (int64_t w = 0; w < W; ++w) {
         uint32_t word = bits[(int64_t)lk[0] * W + w];
