@@ -219,6 +219,9 @@ def build_parser() -> argparse.ArgumentParser:
     us.add_argument("--info-file", default=None)
     us.add_argument("--force", action="store_true")
 
+    # ------------------------------------------------------------- version
+    sub.add_parser("version", help="print version")
+
     # --------------------------------------------------------------- merge
     mg = sub.add_parser("merge", help="merge search results from multiple databases")
     mg.add_argument("files", nargs="+")
@@ -401,6 +404,10 @@ def main(argv: list[str] | None = None) -> int:
             ),
             verbose=not args.quiet,
         )
+        return 0
+
+    if args.command == "version":
+        print(f"kmcp-tpu v{__version__}")
         return 0
 
     if args.command == "utils":

@@ -173,3 +173,42 @@ def test_hash_reads_batch_matches_per_read():
         assert counts[i] == len(h)
         assert H[i, : len(h)].tolist() == h.tolist()
         assert M[i].sum() == len(h)
+
+
+def test_fastx_edge_cases(tmp_path):
+    from kmcp_tpu.seqio.fastx import read_fastx, xopen
+
+    # multiline FASTA with CRLF and blank-ish records
+    p = tmp_path / "x.fa"
+    p.write_bytes(b">a desc here\r\nACGT\r\nACGT\r\n>b\nTTTT\n")
+    recs = list(read_fastx(p))
+    assert [r.id for r in recs] == ["a", "b"]
+    assert recs[0].seq == b"ACGTACGT"
+    assert recs[0].name == "a desc here"
+
+    # gz write + read roundtrip
+    g = tmp_path / "y.fq.gz"
+    with xopen(g, "wt") as f:
+        f.write("@r1\nACGTACGT\n+\nIIIIIIII\n")
+    recs = list(read_fastx(g))
+    assert recs[0].id == "r1" and recs[0].qual == b"IIIIIIII"
+
+
+def test_slider_semantics():
+    from kmcp_tpu.seqio.fastx import slider
+
+    s = b"ABCDEFGHIJ"
+    # exact fit: stops at the end
+    assert [x for _, x in slider(s, 5, 5)] == [b"ABCDE", b"FGHIJ"]
+    # greedy tail
+    assert [x for _, x in slider(s, 4, 3, greedy=True)] == [
+        b"ABCD", b"DEFG", b"GHIJ"]
+    assert [x for _, x in slider(s, 4, 3, greedy=False)] == [
+        b"ABCD", b"DEFG", b"GHIJ"]
+    assert [x for _, x in slider(s, 6, 3, greedy=True)] == [
+        b"ABCDEF", b"DEFGHI", b"GHIJ"]
+    assert [x for _, x in slider(s, 6, 3, greedy=False)] == [
+        b"ABCDEF", b"DEFGHI"]
+    # circular wrap
+    assert [x for _, x in slider(s, 6, 4, circular=True)] == [
+        b"ABCDEF", b"EFGHIJ", b"IJABCD"]
