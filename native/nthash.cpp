@@ -11,6 +11,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 #ifdef _OPENMP
 #include <omp.h>
@@ -257,42 +258,95 @@ void kt_hash_reads_loc(const uint8_t* concat, const int64_t* starts,
 }
 
 // Match counting on host: for each read, gather its Bloom rows, AND over
-// the hash functions, and accumulate per-target counts via sparse bit
-// iteration (Bloom words are ~30% dense, so ctz-walking set bits beats
-// dense unpacking).  counts_out is [B, W*32] int32, zeroed here.
+// the hash functions, and accumulate per-target counts — the pospop/pand
+// equivalent.  AVX2 path: each uint32 word expands to 32 0/1 byte lanes
+// (shuffle + bit-mask + cmpeq) subtracted into int8 accumulators, widened
+// every <=255 k-mers; ~5 instructions per 32 targets vs the scalar
+// ctz-walk fallback.  counts_out is [B, W*32] int32, zeroed here.
+
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 void kt_count_block(const uint32_t* bits /* (S+1) x W */, int64_t W,
                     const int32_t* loc /* B x K x h */, int64_t B, int64_t K,
                     int num_hashes, int32_t* counts_out, int threads) {
   const int64_t T = W * 32;
 #ifdef _OPENMP
-#pragma omp parallel for num_threads(threads > 0 ? threads : 1) \
-    schedule(dynamic, 16) if (threads > 1 && B > 64)
+#pragma omp parallel num_threads(threads > 0 ? threads : 1) if (threads > 1 && B > 64)
 #endif
-  for (int64_t r = 0; r < B; ++r) {
-    int32_t* counts = counts_out + r * T;
-    std::memset(counts, 0, T * sizeof(int32_t));
-    const int32_t* lrow = loc + r * K * num_hashes;
-    const int64_t PF = 8;  // prefetch distance (k-mers ahead)
-    for (int64_t kk = 0; kk < K; ++kk) {
-      if (kk + PF < K) {
-        const int32_t* lp = lrow + (kk + PF) * num_hashes;
-        for (int j = 0; j < num_hashes; ++j) {
-          __builtin_prefetch(bits + (int64_t)lp[j] * W, 0, 1);
+  {
+#if defined(__AVX2__)
+    const __m256i shuf = _mm256_setr_epi8(
+        0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1,
+        2, 2, 2, 2, 2, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 3);
+    const __m256i bitsel = _mm256_set1_epi64x(0x8040201008040201ULL);
+    // per-read int8 accumulators, one 32-byte lane group per word
+    std::vector<uint8_t> accbuf(W * 32);
+    uint8_t* acc = accbuf.data();
+#endif
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 16)
+#endif
+    for (int64_t r = 0; r < B; ++r) {
+      int32_t* counts = counts_out + r * T;
+      std::memset(counts, 0, T * sizeof(int32_t));
+      const int32_t* lrow = loc + r * K * num_hashes;
+      const int64_t PF = 8;  // prefetch distance (k-mers ahead)
+#if defined(__AVX2__)
+      for (int64_t k0 = 0; k0 < K; k0 += 255) {
+        const int64_t k1 = (k0 + 255 < K) ? k0 + 255 : K;
+        std::memset(acc, 0, W * 32);
+        for (int64_t kk = k0; kk < k1; ++kk) {
+          if (kk + PF < K) {
+            const int32_t* lp = lrow + (kk + PF) * num_hashes;
+            for (int j = 0; j < num_hashes; ++j) {
+              __builtin_prefetch(bits + (int64_t)lp[j] * W, 0, 1);
+            }
+          }
+          const int32_t* lk = lrow + kk * num_hashes;
+          const uint32_t* row0 = bits + (int64_t)lk[0] * W;
+          for (int64_t w = 0; w < W; ++w) {
+            uint32_t word = row0[w];
+            for (int j = 1; j < num_hashes; ++j) {
+              word &= bits[(int64_t)lk[j] * W + w];
+            }
+            if (!word) continue;
+            __m256i v = _mm256_set1_epi32((int)word);
+            v = _mm256_shuffle_epi8(v, shuf);
+            v = _mm256_and_si256(v, bitsel);
+            v = _mm256_cmpeq_epi8(v, bitsel);  // 0xFF where bit set
+            __m256i* ap = (__m256i*)(acc + w * 32);
+            _mm256_storeu_si256(
+                ap, _mm256_sub_epi8(_mm256_loadu_si256(ap), v));
+          }
+        }
+        // widen int8 accumulators into the int32 counters
+        for (int64_t t = 0; t < T; ++t) counts[t] += acc[t];
+      }
+#else
+      for (int64_t kk = 0; kk < K; ++kk) {
+        if (kk + PF < K) {
+          const int32_t* lp = lrow + (kk + PF) * num_hashes;
+          for (int j = 0; j < num_hashes; ++j) {
+            __builtin_prefetch(bits + (int64_t)lp[j] * W, 0, 1);
+          }
+        }
+        const int32_t* lk = lrow + kk * num_hashes;
+        for (int64_t w = 0; w < W; ++w) {
+          uint32_t word = bits[(int64_t)lk[0] * W + w];
+          for (int j = 1; j < num_hashes; ++j) {
+            word &= bits[(int64_t)lk[j] * W + w];
+          }
+          const int64_t base = w * 32;
+          while (word) {
+            const int b = __builtin_ctz(word);
+            ++counts[base + b];
+            word &= word - 1;
+          }
         }
       }
-      const int32_t* lk = lrow + kk * num_hashes;
-      for (int64_t w = 0; w < W; ++w) {
-        uint32_t word = bits[(int64_t)lk[0] * W + w];
-        for (int j = 1; j < num_hashes; ++j) {
-          word &= bits[(int64_t)lk[j] * W + w];
-        }
-        const int64_t base = w * 32;
-        while (word) {
-          const int b = __builtin_ctz(word);
-          ++counts[base + b];
-          word &= word - 1;
-        }
-      }
+#endif
     }
   }
 }

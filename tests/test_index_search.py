@@ -393,3 +393,22 @@ def test_multi_k_fallback(tmp_path):
     res = eng.search_batch([("b", bytes(read), None)], 0)[0]
     if res.matches:
         assert res.k in (21, 31)
+
+
+@pytest.mark.parametrize("num_hashes", [1, 3])
+def test_native_count_block_vs_oracle(num_hashes):
+    from kmcp_tpu.kmer import native
+
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    S, W = 997, 7
+    bits = RNG.integers(0, 2**32, (S, W), dtype=np.uint32)
+    bits_ext = np.concatenate([bits, np.zeros((1, W), np.uint32)])
+    B, K = 17, 300  # K > 255 exercises the int8 widening chunks
+    hashes = RNG.integers(1, 2**63, (B, K), dtype=np.uint64)
+    mask = RNG.random((B, K)) > 0.25
+    want = count_matches_numpy(bits, hashes, mask, num_hashes)
+    loc = derive_locations(hashes, num_hashes, S).astype(np.int32)
+    loc[~mask] = S
+    got = native.count_block(bits_ext, loc, num_hashes)
+    assert (got == want).all()
