@@ -384,7 +384,7 @@ class HostDB:
         opt = self.opt
         db = self.db
         k = sorted(db.info.ks)[-1]
-        B, L = reads_u8.shape
+        B, L = reads_u8 if isinstance(reads_u8, tuple) else reads_u8.shape
         kmax = L - k + 1
         if seqs is None:
             seqs = [bytes(reads_u8[i, : lens[i]]) for i in range(B)]

@@ -170,7 +170,14 @@ class StreamSearcher:
             }
             lmax = max(-(-(int(lens.max())) // 32) * 32, self.k + 31)
             kmax = lmax - self.k + 1
-            if device_hash:
+            if host_backend:
+                state["reads_u8"] = (len(seqs), lmax)
+                state["seqs_pad"] = seqs
+                state["counts"] = None
+                state["fut"] = dev.search_reads_async(
+                    state["reads_u8"], lens, budget, seqs=seqs
+                )
+            elif device_hash:
                 # ship raw ASCII reads; hashing happens on device
                 B = len(seqs)
                 mat = np.zeros((B, lmax), dtype=np.uint8)
@@ -180,12 +187,7 @@ class StreamSearcher:
                 mat[mask] = concat
                 state["reads_u8"] = mat
                 state["counts"] = None  # nkmers arrives with the results
-                if host_backend:
-                    state["fut"] = dev.search_reads_async(
-                        mat, lens, budget, seqs=seqs
-                    )
-                else:
-                    state["fut"] = dev.search_reads_async(mat, lens, budget)
+                state["fut"] = dev.search_reads_async(mat, lens, budget)
             else:
                 res = native.hash_reads_loc(
                     seqs, self.k, kmax, dev.total_rows, num_hashes,
@@ -210,7 +212,11 @@ class StreamSearcher:
                 budget *= 4
                 if state["counts"] is None:
                     fut = dev.search_reads_async(
-                        state["reads_u8"], state["lens"], budget
+                        state["reads_u8"], state["lens"], budget,
+                        **(
+                            {"seqs": state["seqs_pad"]}
+                            if "seqs_pad" in state else {}
+                        ),
                     )
                 else:
                     fut = dev.search_async(
