@@ -76,6 +76,13 @@ def get_lib():
         ]
         lib.kt_locations.restype = None
         i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.kt_hash_reads.argtypes = [
+            ctypes.c_char_p, i64p, i64p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, i64p,
+            ctypes.c_int,
+        ]
+        lib.kt_hash_reads.restype = None
         lib.kt_hash_reads_loc.argtypes = [
             ctypes.c_char_p, i64p, i64p, ctypes.c_int64, ctypes.c_int,
             ctypes.c_int, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int,
@@ -136,6 +143,42 @@ def scan(
         threads,
     )
     return out, valid.view(bool)
+
+
+def hash_reads_padded(
+    reads: list[bytes],
+    k: int,
+    kmax: int,
+    canonical: bool = True,
+    max_hash: int | None = None,
+    threads: int = 0,
+):
+    """Batched hashing to a zero-padded [B, kmax] uint64 matrix + counts."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B = len(reads)
+    concat = b"".join(reads)
+    lens = np.array([len(r) for r in reads], dtype=np.int64)
+    starts = np.zeros(B, dtype=np.int64)
+    if B > 1:
+        np.cumsum(lens[:-1], out=starts[1:])
+    out = np.zeros((B, kmax), dtype=np.uint64)
+    counts = np.empty(B, dtype=np.int64)
+    if threads <= 0:
+        threads = min(os.cpu_count() or 1, 16)
+    lib.kt_hash_reads(
+        concat,
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        B, k, int(canonical),
+        np.uint64(max_hash if max_hash is not None else 0xFFFFFFFFFFFFFFFF),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        kmax,
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        threads,
+    )
+    return out, counts
 
 
 def hash_reads_loc(

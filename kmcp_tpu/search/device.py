@@ -310,8 +310,10 @@ def _stack_blocks(db):
     indices: list[int] = []
     gsizes: list[int] = []
     sizes: list[int] = []
+    row_offsets: list[int] = []
     row_off = 0
     for b in blocks:
+        row_offsets.append(row_off)
         m = np.asarray(b.bits)
         if m.shape[1] < w_max:
             m = np.pad(m, ((0, 0), (0, w_max - m.shape[1])))
@@ -331,7 +333,7 @@ def _stack_blocks(db):
     stacked = np.concatenate(
         [stacked, np.zeros((1, w_max), dtype=np.uint32)], axis=0
     )
-    return stacked, names, indices, gsizes, sizes, row_off, w_max
+    return stacked, names, indices, gsizes, sizes, row_off, w_max, row_offsets
 
 
 class HostDB:
@@ -348,8 +350,12 @@ class HostDB:
         self.db = db
         self.opt = opt
         self.mesh = None
-        (stacked, names, indices, gsizes, sizes, rows, w) = _stack_blocks(db)
+        (stacked, names, indices, gsizes, sizes, rows, w, row_offsets) = (
+            _stack_blocks(db)
+        )
         self.n_blocks = len(db.blocks)
+        self.block_row_offset = row_offsets
+        self.block_num_sigs = [b.meta.num_sigs for b in db.blocks]
         self.bits_ext_np = stacked
         self.total_rows = rows
         self.sentinel = rows
@@ -376,6 +382,15 @@ class HostDB:
             self._cmin_np[n_max] = t
         return t
 
+    def _hash_batch(self, seqs, k, kmax):
+        from ..kmer import native
+
+        out, counts = native.hash_reads_padded(
+            seqs, k, kmax, canonical=self.db.info.canonical,
+            max_hash=self.db.max_hash,
+        )
+        return out, None, counts
+
     def search_reads_async(self, reads_u8, lens, cand_budget, seqs=None):
         """Synchronous host implementation returning the device-compatible
         packed int32 array [1 + C + C + B]."""
@@ -388,13 +403,28 @@ class HostDB:
         kmax = L - k + 1
         if seqs is None:
             seqs = [bytes(reads_u8[i, : lens[i]]) for i in range(B)]
-        loc, counts_per_read = native.hash_reads_loc(
-            seqs, k, kmax, self.total_rows, db.info.num_hashes,
-            canonical=db.info.canonical, max_hash=db.max_hash,
-        )
-        counts = native.count_block(
-            self.bits_ext_np, loc, db.info.num_hashes
-        )
+        h = db.info.num_hashes
+        if self.n_blocks == 1:
+            loc, counts_per_read = native.hash_reads_loc(
+                seqs, k, kmax, self.total_rows, h,
+                canonical=db.info.canonical, max_hash=db.max_hash,
+            )
+            counts = native.count_block(self.bits_ext_np, loc, h)
+        else:
+            # multi-block: hash once, derive per-block row offsets, count
+            # each block into its slice of the global target space
+            hashes, _, counts_per_read = self._hash_batch(seqs, k, kmax)
+            parts = []
+            for b in range(self.n_blocks):
+                s_b = self.block_num_sigs[b]
+                loc_b = native.locations(hashes, h, s_b)
+                loc_b = loc_b + np.int32(self.block_row_offset[b])
+                # padded k-mer lanes (hash 0) must hit the sentinel row
+                loc_b[hashes == 0] = np.int32(self.sentinel)
+                parts.append(
+                    native.count_block(self.bits_ext_np, loc_b, h)
+                )
+            counts = np.concatenate(parts, axis=1)
         nkmers = counts_per_read.astype(np.int32)
         cmin = self._cmin(int(nkmers.max(initial=1)))
         c_thresh = cmin[np.minimum(nkmers, len(cmin) - 1)][:, None]

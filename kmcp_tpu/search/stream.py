@@ -107,8 +107,8 @@ class StreamSearcher:
             return False
         if engine.opt.sort_by != "qcov" or engine.opt.do_not_sort:
             return False
-        if len(db.blocks) != 1:
-            return False  # multi-block stacking: general path for now
+        if len(db.blocks) != 1 and engine.opt.backend != "host":
+            return False  # device path: single block-group only for now
         if native.get_lib() is None:
             return False
         return True
