@@ -107,10 +107,8 @@ def main() -> None:
             env = dict(
                 os.environ, BENCH_CHILD="1", BENCH_BACKEND=child_backend
             )
-            # default the TPU child to the proven loc-based kernel; the
-            # fused device-hash kernel is opt-in until its first compile
-            # has been seeded through the (flaky) tunnel
-            env.setdefault("KMCP_TPU_DEVICE_HASH", "0")
+            # TPU child uses the Pallas rolling-hash kernel by default
+            env.setdefault("KMCP_TPU_DEVICE_HASH", "1")
             procs[child_backend] = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,

@@ -235,6 +235,45 @@ def _make_read_search_step(
 
 
 @functools.lru_cache(maxsize=None)
+def _make_count_tail(cand_budget: int, min_len: int, dedup_threshold: int):
+    """Jitted tail after device hashing: gather -> count -> threshold ->
+    compaction (single-hash).  loc_t arrives transposed [K, B] from the
+    Pallas hashing kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    def tail(bits_ext, loc_t, nk, lens, cmin, tmin, sizes_pos):
+        loc = loc_t.T  # [B, K]
+        rows = jnp.take(bits_ext, loc, axis=0)  # [B,K,W]
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        bit = (rows[..., None] >> shifts) & jnp.uint32(1)
+        counts = bit.astype(jnp.int32).sum(axis=1)
+        B = counts.shape[0]
+        counts = counts.reshape(B, -1)
+        nkmers = nk[0]
+        c_thresh = jnp.take(
+            cmin, jnp.minimum(nkmers, cmin.shape[0] - 1), axis=0
+        )[:, None]
+        ok = (
+            (counts >= c_thresh)
+            & (counts >= tmin[None, :])
+            & sizes_pos[None, :]
+            & (lens >= min_len)[:, None]
+            & (nkmers <= dedup_threshold)[:, None]
+        )
+        flat_ok = ok.reshape(-1)
+        n_cand = flat_ok.astype(jnp.int32).sum()
+        T = counts.shape[1]
+        (cidx,) = jnp.nonzero(flat_ok, size=cand_budget, fill_value=B * T)
+        cidx = cidx.astype(jnp.int32)
+        cnt = jnp.take(counts.reshape(-1), jnp.minimum(cidx, B * T - 1))
+        cnt = jnp.where(cidx < B * T, cnt, -1)
+        return jnp.concatenate([n_cand[None], cidx, cnt, nkmers])
+
+    return jax.jit(tail)
+
+
+@functools.lru_cache(maxsize=None)
 def _make_search_step(num_hashes: int, cand_budget: int, mesh=None):
     """Jitted search step; with ``mesh`` (axes 'd', 't') the bit matrix is
     sharded over target words on 't' and the read batch over 'd' — the
@@ -559,6 +598,35 @@ class DeviceDB:
             t = jax.device_put(jnp.asarray(tbl), self._dev)
             self._cmin_cache[n_max] = t
         return t
+
+    def search_reads_pallas(self, reads_t_u8, lens, cand_budget):
+        """Pallas rolling-hash kernel + jitted count tail (num_hashes==1).
+
+        reads_t_u8: transposed [lmax, B] uint8 (B multiple of 256)."""
+        import jax.numpy as jnp
+
+        from .pallas_hash import make_pallas_hash_loc
+
+        opt = self.opt
+        db = self.db
+        assert db.info.num_hashes == 1 and self.mesh is None
+        k = sorted(db.info.ks)[-1]
+        lmax = reads_t_u8.shape[0]
+        hash_fn = make_pallas_hash_loc(
+            k, lmax, self.total_rows,
+            int(db.max_hash) if db.max_hash is not None else (1 << 64) - 1,
+        )
+        loc_t, nk = hash_fn(reads_t_u8)
+        tail = _make_count_tail(
+            cand_budget, opt.min_query_len, opt.kmer_dedup_threshold
+        )
+        n_win = lmax - k + 1
+        cmin = self.cmin_for(max(n_win, 1))
+        return tail(
+            self.bits_ext, loc_t, nk,
+            jnp.asarray(np.asarray(lens).astype(np.int32)),
+            cmin, self._tmin, self.sizes_pos,
+        )
 
     def search_reads_async(
         self,

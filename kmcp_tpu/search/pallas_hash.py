@@ -1,0 +1,241 @@
+"""Pallas TPU kernel: batched rolling ntHash1 -> Bloom row locations.
+
+Hardware-shaped alternative to the XLA associative-scan formulation
+(device.py::_make_read_search_step): the roll is sequential along the
+base axis — a cheap dependency chain — while the VPU parallelizes across
+a 256-read lane tile.  uint64 state is carried as explicit uint32
+(hi, lo) pairs (no x64 emulation), seeds are selected arithmetically
+(4 compares, no gathers), and ``hash mod num_sigs`` uses an exact
+fold-and-double reduction in uint32.
+
+Bit-identical to kmcp_tpu/kmer/nthash.py / native/nthash.cpp:
+
+    fh' = rol(fh,1) ^ [rol(seed(out), k) if window full] ^ seed(in)
+    rh' = ror(rh,1) ^ [ror(seedc(out),1)]              ^ rol(seedc(in), k-1)
+    h   = min(fh, rh); invalid windows (non-ACGT, h==0, h>max_hash)
+          emit the sentinel row ``num_sigs``.
+
+Arrays are processed transposed ([L, B] / [K, B]) so each rolling step
+reads and writes full 256-lane rows.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+TILE_B = 256
+
+
+def _split64(v: int) -> tuple[int, int]:
+    return (v >> 32) & 0xFFFFFFFF, v & 0xFFFFFFFF
+
+
+@functools.lru_cache(maxsize=None)
+def make_pallas_hash_loc(
+    k: int,
+    lmax: int,
+    num_sigs: int,
+    max_hash: int,
+    interpret: bool = False,
+):
+    """Build fn(reads_t_u8[lmax, B]) -> (loc_t int32 [kmax, B], nk int32
+    [1, B]).  B must be a multiple of 256."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..kmer.nthash import SEED_A, SEED_C, SEED_G, SEED_T
+
+    kmax = lmax - k + 1
+    S32 = np.uint32(num_sigs)
+    mh_hi, mh_lo = (np.uint32(x) for x in _split64(max_hash))
+    pow32_mod = np.uint32((1 << 32) % num_sigs)
+
+    SA = _split64(int(SEED_A))
+    SC = _split64(int(SEED_C))
+    SG = _split64(int(SEED_G))
+    ST = _split64(int(SEED_T))
+
+    def rol_pair(hi, lo, r: int):
+        r %= 64
+        if r == 0:
+            return hi, lo
+        if r == 32:
+            return lo, hi
+        if r < 32:
+            rr, inv = np.uint32(r), np.uint32(32 - r)
+            return ((hi << rr) | (lo >> inv)), ((lo << rr) | (hi >> inv))
+        return rol_pair(lo, hi, r - 32)
+
+    def ror_pair(hi, lo, r: int):
+        return rol_pair(hi, lo, (64 - r) % 64)
+
+    def seeds_of(bases):
+        """bases: [B] int32 ASCII.  Returns (s_hi, s_lo, sc_hi, sc_lo, ok);
+        comp(A)=T etc., via 4 arithmetic selects on the uppercased byte."""
+        up = bases & jnp.int32(0xDF)  # uppercase ASCII letters
+        is_a = up == jnp.int32(ord("A"))
+        is_c = up == jnp.int32(ord("C"))
+        is_g = up == jnp.int32(ord("G"))
+        is_t = up == jnp.int32(ord("T"))
+        ok = is_a | is_c | is_g | is_t
+
+        def pick(a, c, g, t):
+            z = jnp.zeros_like(up, dtype=jnp.uint32)
+            v = jnp.where(is_a, jnp.uint32(a), z)
+            v = jnp.where(is_c, jnp.uint32(c), v)
+            v = jnp.where(is_g, jnp.uint32(g), v)
+            v = jnp.where(is_t, jnp.uint32(t), v)
+            return v
+
+        s_hi = pick(SA[0], SC[0], SG[0], ST[0])
+        s_lo = pick(SA[1], SC[1], SG[1], ST[1])
+        # complement seeds: A<->T, C<->G
+        sc_hi = pick(ST[0], SG[0], SC[0], SA[0])
+        sc_lo = pick(ST[1], SG[1], SC[1], SA[1])
+        return s_hi, s_lo, sc_hi, sc_lo, ok
+
+    def mod_pair(hi, lo):
+        """(hi*2^32 + lo) mod S, exactly, in uint32 arithmetic."""
+        def dbl16(v):
+            for _ in range(16):
+                v = v << jnp.uint32(1)
+                v = jnp.where(v >= S32, v - S32, v)
+            return v
+
+        r_hi = hi % S32
+        # fold: (r_hi * pow32_mod) mod S via 16-bit splits
+        a1, a0 = r_hi >> jnp.uint32(16), r_hi & jnp.uint32(0xFFFF)
+        b1 = jnp.uint32(int(pow32_mod) >> 16)
+        b0 = jnp.uint32(int(pow32_mod) & 0xFFFF)
+        p11 = (a1 * b1) % S32
+        p10 = (a1 * b0) % S32
+        p01 = (a0 * b1) % S32
+        p00 = (a0 * b0) % S32
+        t = dbl16(dbl16(p11))
+        mid = p10 + p01
+        mid = jnp.where(mid >= S32, mid - S32, mid)
+        t = t + dbl16(mid)
+        t = jnp.where(t >= S32, t - S32, t)
+        t = t + p00
+        t = jnp.where(t >= S32, t - S32, t)
+        t = t + (lo % S32)
+        t = jnp.where(t >= S32, t - S32, t)
+        return t
+
+    # dynamic sublane reads must be 8-aligned on TPU: process positions in
+    # blocks of 8, and fetch the out-base rows from a 16-row aligned block
+    # at a constant intra-block offset (k is static).
+    OFF = (-k) % 8  # (base - k) mod 8, constant
+
+    def kernel(reads_ref, loc_ref, nk_ref):
+        B = TILE_B
+        zero = jnp.zeros((B,), jnp.uint32)
+
+        def blk(bidx, carry):
+            fh_hi, fh_lo, rh_hi, rh_lo, run, nk = carry
+            base = pl.multiple_of(bidx * 8, 8)
+            rows_in = reads_ref[pl.ds(base, 8), :]  # [8, B] int32
+            a_raw = bidx * 8 - (k + OFF)
+            # exactly one boundary block has a_raw == -8; its out rows sit
+            # one 8-row slot later inside the clamped window
+            neg = a_raw < 0
+            a = pl.multiple_of(jnp.maximum(a_raw, 0), 8)
+            rows_out = reads_ref[pl.ds(a, 8 + 8), :]  # [16, B]
+
+            locs = []
+            for j in range(8):
+                i = bidx * 8 + j
+                b_in = rows_in[j, :]
+                s_hi, s_lo, sc_hi, sc_lo, ok_in = seeds_of(b_in)
+                run = jnp.where(ok_in, run + 1, 0)
+                b_out = jnp.where(
+                    neg,
+                    rows_out[max(OFF + j - 8, 0), :],
+                    rows_out[OFF + j, :],
+                )
+                so_hi, so_lo, sco_hi, sco_lo, _ = seeds_of(b_out)
+                # subtract the out-base only when the previous window was
+                # complete (continuous run beyond k bases)
+                use_out = (i >= k) & (run > k)
+
+                nfh = rol_pair(fh_hi, fh_lo, 1)
+                ot = rol_pair(so_hi, so_lo, k % 64)
+                fh_hi = nfh[0] ^ jnp.where(use_out, ot[0], zero) ^ s_hi
+                fh_lo = nfh[1] ^ jnp.where(use_out, ot[1], zero) ^ s_lo
+
+                nrh = ror_pair(rh_hi, rh_lo, 1)
+                oct_ = ror_pair(sco_hi, sco_lo, 1)
+                ict = rol_pair(sc_hi, sc_lo, (k - 1) % 64)
+                rh_hi = nrh[0] ^ jnp.where(use_out, oct_[0], zero) ^ ict[0]
+                rh_lo = nrh[1] ^ jnp.where(use_out, oct_[1], zero) ^ ict[1]
+
+                # reset the rolling state after an invalid base
+                fh_hi = jnp.where(ok_in, fh_hi, zero)
+                fh_lo = jnp.where(ok_in, fh_lo, zero)
+                rh_hi = jnp.where(ok_in, rh_hi, zero)
+                rh_lo = jnp.where(ok_in, rh_lo, zero)
+
+                use_r = (rh_hi < fh_hi) | (
+                    (rh_hi == fh_hi) & (rh_lo < fh_lo)
+                )
+                h_hi = jnp.where(use_r, rh_hi, fh_hi)
+                h_lo = jnp.where(use_r, rh_lo, fh_lo)
+                valid = run >= k
+                valid &= ~((h_hi == zero) & (h_lo == zero))
+                valid &= (h_hi < jnp.uint32(mh_hi)) | (
+                    (h_hi == jnp.uint32(mh_hi))
+                    & (h_lo <= jnp.uint32(mh_lo))
+                )
+                valid &= i >= k - 1  # a full window exists
+                loc = mod_pair(h_hi, h_lo).astype(jnp.int32)
+                locs.append(
+                    jnp.where(valid, loc, jnp.int32(num_sigs))
+                )
+                nk = nk + valid.astype(jnp.int32)
+
+            loc_ref[pl.ds(base, 8), :] = jnp.stack(locs, axis=0)
+            return (fh_hi, fh_lo, rh_hi, rh_lo, run, nk)
+
+        init = (zero, zero, zero, zero,
+                jnp.zeros((TILE_B,), jnp.int32),
+                jnp.zeros((TILE_B,), jnp.int32))
+        final = jax.lax.fori_loop(0, lmax // 8, blk, init)
+        nk_ref[0, :] = final[5]
+
+    @jax.jit
+    def run(reads_t):
+        widened = reads_t.astype(jnp.int32)
+        fn = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((lmax, reads_t.shape[1]), jnp.int32),
+                jax.ShapeDtypeStruct((1, reads_t.shape[1]), jnp.int32),
+            ),
+            grid=(reads_t.shape[1] // TILE_B,),
+            in_specs=[
+                pl.BlockSpec((lmax, TILE_B), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((lmax, TILE_B), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TILE_B), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ),
+            interpret=interpret,
+        )
+        loc_full, nk = fn(widened)
+        return loc_full[k - 1 :, :], nk
+
+    def call(reads_t: np.ndarray):
+        import jax.numpy as jnp
+
+        L, B = reads_t.shape
+        assert L == lmax and B % TILE_B == 0
+        return run(jnp.asarray(reads_t))
+
+    return call

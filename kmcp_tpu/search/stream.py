@@ -143,10 +143,22 @@ class StreamSearcher:
         k_s = str(self.k)
 
         host_backend = opt.backend == "host"
-        device_hash = (
-            os.environ.get("KMCP_TPU_DEVICE_HASH", "1") == "1"
-            or host_backend
+        dh_mode = os.environ.get("KMCP_TPU_DEVICE_HASH", "1")
+        if host_backend:
+            on_tpu = False
+        else:
+            import jax
+
+            on_tpu = jax.devices()[0].platform not in ("cpu",)
+        use_pallas = (
+            not host_backend
+            and on_tpu  # Mosaic kernels need real TPU hardware
+            and dh_mode == "1"
+            and db.info.num_hashes == 1
+            and getattr(dev, "mesh", None) is None
+            and batch_size % 256 == 0
         )
+        device_hash = dh_mode in ("1", "scan") or host_backend
 
         def flush_batch(batch):
             nonlocal kmax
@@ -177,6 +189,16 @@ class StreamSearcher:
                 state["fut"] = dev.search_reads_async(
                     state["reads_u8"], lens, budget, seqs=seqs
                 )
+            elif use_pallas:
+                B = len(seqs)
+                mat = np.zeros((B, lmax), dtype=np.uint8)
+                concat = np.frombuffer(b"".join(seqs), dtype=np.uint8)
+                cols = np.arange(lmax)[None, :]
+                mat[cols < lens[:, None]] = concat
+                reads_t = np.ascontiguousarray(mat.T)
+                state["reads_t"] = reads_t
+                state["counts"] = None
+                state["fut"] = dev.search_reads_pallas(reads_t, lens, budget)
             elif device_hash:
                 # ship raw ASCII reads; hashing happens on device
                 B = len(seqs)
@@ -211,13 +233,18 @@ class StreamSearcher:
             while n_cand > budget:
                 budget *= 4
                 if state["counts"] is None:
-                    fut = dev.search_reads_async(
-                        state["reads_u8"], state["lens"], budget,
-                        **(
-                            {"seqs": state["seqs_pad"]}
-                            if "seqs_pad" in state else {}
-                        ),
-                    )
+                    if "reads_t" in state:
+                        fut = dev.search_reads_pallas(
+                            state["reads_t"], state["lens"], budget
+                        )
+                    else:
+                        fut = dev.search_reads_async(
+                            state["reads_u8"], state["lens"], budget,
+                            **(
+                                {"seqs": state["seqs_pad"]}
+                                if "seqs_pad" in state else {}
+                            ),
+                        )
                 else:
                     fut = dev.search_async(
                         state["loc"], state["n_dev"], budget
