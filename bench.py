@@ -180,11 +180,60 @@ def main() -> None:
         dt = time.time() - t0
     rps = total / dt
 
+    # profile wall-clock: search to a temp TSV, run the full profiler
+    prof_rps = None
+    try:
+        import tempfile
+
+        from kmcp_tpu.profile.core import ProfileOptions, parse_search_tsv
+        from kmcp_tpu.profile.fast import FastProfiler
+        from kmcp_tpu.profile.taxonomy import Taxonomy
+
+        n_prof = min(total, 100_000)
+        with tempfile.TemporaryDirectory() as td:
+            tsv = os.path.join(td, "r.tsv")
+            with open(tsv, "w") as f:
+                if streaming:
+                    st.run(iter(queries[:n_prof]), f)
+                else:
+                    res = engine.search_batch(queries[:n_prof], 0)
+                    write_results(f, res)
+            # taxid map: accession -> species taxid from the demo taxdump
+            taxdump = "/root/reference/demo-profiling/taxdump-custom"
+            name2taxid = {}
+            with open(os.path.join(taxdump, "names.dmp")) as f:
+                for line in f:
+                    parts = [p.strip() for p in line.split("|")]
+                    if len(parts) >= 4 and parts[3] == "scientific name":
+                        name2taxid[parts[1]] = int(parts[0])
+            taxid_map = {}
+            with open(
+                "/root/reference/demo-profiling/taxonomy.tsv"
+            ) as f:
+                header = f.readline().rstrip("\n").split("\t")
+                i_id, i_sp = header.index("id"), header.index("species")
+                for line in f:
+                    parts = line.rstrip("\n").split("\t")
+                    taxid_map[parts[i_id]] = name2taxid[parts[i_sp]]
+            popt = ProfileOptions(mode=1)
+            t0 = time.time()
+            parsed = parse_search_tsv([tsv], popt.max_fpr, popt.min_qcov)
+            prof = FastProfiler(
+                popt, taxdb=Taxonomy(taxdump), taxid_map=taxid_map
+            )
+            targets = prof.run(parsed)
+            prof_dt = time.time() - t0
+            prof_rps = round(n_prof / prof_dt, 1) if prof_dt > 0 else None
+            assert len(targets) >= 10
+    except Exception as e:  # profiling extras must never sink the bench
+        print(f"[bench] profile extra failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
                 "metric": "search_reads_per_s",
                 "value": round(rps, 1),
+                "profile_reads_per_s": prof_rps,
                 "unit": "reads/s",
                 "vs_baseline": round(rps / BASELINE_READS_PER_S, 3),
                 "reads": total,

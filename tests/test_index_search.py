@@ -412,3 +412,34 @@ def test_native_count_block_vs_oracle(num_hashes):
     loc[~mask] = S
     got = native.count_block(bits_ext, loc, num_hashes)
     assert (got == want).all()
+
+
+def test_pallas_hash_kernel_interpret():
+    """Pallas rolling ntHash kernel (interpret mode) is bit-identical to
+    the C++ scanner, including N windows, lowercase, and short reads."""
+    from kmcp_tpu.kmer import native
+    from kmcp_tpu.search.pallas_hash import make_pallas_hash_loc
+
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(13)
+    bases = np.frombuffer(b"ACGTacgtN", dtype=np.uint8)
+    B, L, k, S = 256, 64, 21, 99991
+    reads = []
+    for i in range(B):
+        ln = [64, 50, 25, 21][i % 4]
+        reads.append(
+            rng.choice(bases, size=ln, p=[0.118] * 8 + [0.056]).tobytes()
+        )
+    loc_ref, counts_ref = native.hash_reads_loc(reads, k, L - k + 1, S, 1)
+    mat = np.zeros((B, L), dtype=np.uint8)
+    for i, r in enumerate(reads):
+        mat[i, : len(r)] = np.frombuffer(r, np.uint8)
+    fn = make_pallas_hash_loc(k, L, S, (1 << 64) - 1, interpret=True)
+    loc_t, nk = fn(np.ascontiguousarray(mat.T))
+    loc_p = np.asarray(loc_t).T
+    nk = np.asarray(nk)[0]
+    for i in range(B):
+        a = sorted(x for x in loc_ref[i, :, 0].tolist() if x != S)
+        b = sorted(x for x in loc_p[i].tolist() if x != S)
+        assert a == b and counts_ref[i] == nk[i], i
