@@ -242,11 +242,15 @@ def _make_count_tail(cand_budget: int, min_len: int, dedup_threshold: int):
     import jax
     import jax.numpy as jnp
 
-    def tail(bits_ext, loc_t, nk, lens, cmin, tmin, sizes_pos):
-        loc = loc_t.T  # [B, K]
-        rows = jnp.take(bits_ext, loc, axis=0)  # [B,K,W]
+    def tail(bits_ext, loc_ts, nk, lens, cmin, tmin, sizes_pos):
+        # loc_ts: tuple of transposed [K, B] location planes, one per
+        # hash function; rows AND together across planes
+        acc = None
+        for loc_t in loc_ts:
+            rows = jnp.take(bits_ext, loc_t.T, axis=0)  # [B,K,W]
+            acc = rows if acc is None else (acc & rows)
         shifts = jnp.arange(32, dtype=jnp.uint32)
-        bit = (rows[..., None] >> shifts) & jnp.uint32(1)
+        bit = (acc[..., None] >> shifts) & jnp.uint32(1)
         counts = bit.astype(jnp.int32).sum(axis=1)
         B = counts.shape[0]
         counts = counts.reshape(B, -1)
@@ -609,21 +613,24 @@ class DeviceDB:
 
         opt = self.opt
         db = self.db
-        assert db.info.num_hashes == 1 and self.mesh is None
+        assert self.mesh is None
+        h = db.info.num_hashes
         k = sorted(db.info.ks)[-1]
         lmax = reads_t_u8.shape[0]
         hash_fn = make_pallas_hash_loc(
             k, lmax, self.total_rows,
             int(db.max_hash) if db.max_hash is not None else (1 << 64) - 1,
+            num_hashes=h,
         )
-        loc_t, nk = hash_fn(reads_t_u8)
+        outs = hash_fn(reads_t_u8)
+        loc_ts, nk = outs[:h], outs[h]
         tail = _make_count_tail(
             cand_budget, opt.min_query_len, opt.kmer_dedup_threshold
         )
         n_win = lmax - k + 1
         cmin = self.cmin_for(max(n_win, 1))
         return tail(
-            self.bits_ext, loc_t, nk,
+            self.bits_ext, tuple(loc_ts), nk,
             jnp.asarray(np.asarray(lens).astype(np.int32)),
             cmin, self._tmin, self.sizes_pos,
         )

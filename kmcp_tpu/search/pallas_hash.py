@@ -39,9 +39,14 @@ def make_pallas_hash_loc(
     num_sigs: int,
     max_hash: int,
     interpret: bool = False,
+    num_hashes: int = 1,
 ):
-    """Build fn(reads_t_u8[lmax, B]) -> (loc_t int32 [kmax, B], nk int32
-    [1, B]).  B must be a multiple of 256."""
+    """Build fn(reads_t_u8[lmax, B]) -> (loc_t int32 [kmax, B] per hash
+    function, ..., nk int32 [1, B]).  B must be a multiple of 256.
+
+    For num_hashes > 1 the Bloom locations follow the reference's
+    ``uint32(hi + lo*j) mod S`` derivation (util-hash.go:61-142) — pure
+    uint32 arithmetic, no pair modulo needed."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -131,7 +136,9 @@ def make_pallas_hash_loc(
     # at a constant intra-block offset (k is static).
     OFF = (-k) % 8  # (base - k) mod 8, constant
 
-    def kernel(reads_ref, loc_ref, nk_ref):
+    def kernel(reads_ref, *out_refs):
+        loc_refs = out_refs[:num_hashes]
+        nk_ref = out_refs[num_hashes]
         B = TILE_B
         zero = jnp.zeros((B,), jnp.uint32)
 
@@ -146,7 +153,7 @@ def make_pallas_hash_loc(
             a = pl.multiple_of(jnp.maximum(a_raw, 0), 8)
             rows_out = reads_ref[pl.ds(a, 8 + 8), :]  # [16, B]
 
-            locs = []
+            locs = [[] for _ in range(num_hashes)]
             for j in range(8):
                 i = bidx * 8 + j
                 b_in = rows_in[j, :]
@@ -191,13 +198,24 @@ def make_pallas_hash_loc(
                     & (h_lo <= jnp.uint32(mh_lo))
                 )
                 valid &= i >= k - 1  # a full window exists
-                loc = mod_pair(h_hi, h_lo).astype(jnp.int32)
-                locs.append(
-                    jnp.where(valid, loc, jnp.int32(num_sigs))
-                )
+                if num_hashes == 1:
+                    loc = mod_pair(h_hi, h_lo).astype(jnp.int32)
+                    locs[0].append(
+                        jnp.where(valid, loc, jnp.int32(num_sigs))
+                    )
+                else:
+                    for hj in range(num_hashes):
+                        v = h_hi + h_lo * jnp.uint32(hj)  # uint32 wrap
+                        loc = (v % S32).astype(jnp.int32)
+                        locs[hj].append(
+                            jnp.where(valid, loc, jnp.int32(num_sigs))
+                        )
                 nk = nk + valid.astype(jnp.int32)
 
-            loc_ref[pl.ds(base, 8), :] = jnp.stack(locs, axis=0)
+            for hj in range(num_hashes):
+                loc_refs[hj][pl.ds(base, 8), :] = jnp.stack(
+                    locs[hj], axis=0
+                )
             return (fh_hi, fh_lo, rh_hi, rh_lo, run, nk)
 
         init = (zero, zero, zero, zero,
@@ -209,27 +227,25 @@ def make_pallas_hash_loc(
     @jax.jit
     def run(reads_t):
         widened = reads_t.astype(jnp.int32)
+        B = reads_t.shape[1]
+        loc_spec = pl.BlockSpec((lmax, TILE_B), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
         fn = pl.pallas_call(
             kernel,
-            out_shape=(
-                jax.ShapeDtypeStruct((lmax, reads_t.shape[1]), jnp.int32),
-                jax.ShapeDtypeStruct((1, reads_t.shape[1]), jnp.int32),
-            ),
-            grid=(reads_t.shape[1] // TILE_B,),
-            in_specs=[
-                pl.BlockSpec((lmax, TILE_B), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=(
-                pl.BlockSpec((lmax, TILE_B), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
+            out_shape=tuple(
+                [jax.ShapeDtypeStruct((lmax, B), jnp.int32)] * num_hashes
+            ) + (jax.ShapeDtypeStruct((1, B), jnp.int32),),
+            grid=(B // TILE_B,),
+            in_specs=[loc_spec],
+            out_specs=tuple([loc_spec] * num_hashes) + (
                 pl.BlockSpec((1, TILE_B), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ),
             interpret=interpret,
         )
-        loc_full, nk = fn(widened)
-        return loc_full[k - 1 :, :], nk
+        outs = fn(widened)
+        locs = [o[k - 1 :, :] for o in outs[:num_hashes]]
+        return (*locs, outs[num_hashes])
 
     def call(reads_t: np.ndarray):
         import jax.numpy as jnp

@@ -154,7 +154,6 @@ class StreamSearcher:
             not host_backend
             and on_tpu  # Mosaic kernels need real TPU hardware
             and dh_mode == "1"
-            and db.info.num_hashes == 1
             and getattr(dev, "mesh", None) is None
             and batch_size % 256 == 0
         )
