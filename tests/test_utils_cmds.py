@@ -120,3 +120,35 @@ def test_split_genomes(tmp_path):
     recs = list(read_fastx(out_dir / files[0]))
     assert recs[0].id.startswith("NC_000913.3")
     assert len(recs) > 1  # fragments of the other genome were assigned
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference repo absent")
+def test_metaphlan_report_formats(demo_db, taxid_map, tmp_path):  # noqa: F811
+    from .test_profile_e2e import simulate_reads
+
+    fq, _ = simulate_reads(tmp_path)
+    tsv = tmp_path / "m.tsv.gz"
+    run_cli("-q", "search", "-d", demo_db, str(fq), "-o", str(tsv))
+    for version in ("2", "3"):
+        rep = tmp_path / f"m.v{version}"
+        run_cli(
+            "-q", "profile", "-T", taxid_map, "-X", TAXDUMP, "-m", "1",
+            str(tsv), "-o", os.devnull,
+            "-M", str(rep), "--metaphlan-report-version", version,
+            "-s", "sampleX",
+        )
+        lines = open(f"{rep}.profile").read().splitlines()
+        assert lines[0] == "#SampleID\tsampleX"
+        if version == "3":
+            assert lines[1].startswith("#clade_name\tNCBI_tax_id")
+            data = lines[2:]
+        else:
+            data = lines[1:]
+        assert data
+        # clade rows use rank prefixes and percentages <= 100
+        top = data[0].split("\t")
+        assert top[0].startswith("k__")
+        pct = float(top[2] if version == "3" else top[1])
+        assert 0 < pct <= 100.0001
+        # species rows present with full prefixed lineage
+        assert any("|s__" in l.split("\t")[0] for l in data)
