@@ -106,6 +106,7 @@ class Block:
         self.sizes = np.asarray(self.meta.sizes, dtype=np.float64)
         self.backend = backend
         self._jax_counter = None
+        self._bits_ext = None
 
     def counts(self, hashes, mask, num_hashes) -> np.ndarray:
         if self.backend == "jax":
@@ -115,8 +116,26 @@ class Block:
                 )
             c = self._jax_counter(hashes, mask)
         else:
-            c = count_matches_numpy(self.bits, hashes, mask, num_hashes)
+            c = self._counts_host(hashes, mask, num_hashes)
         return c[:, : self.meta.num_targets]
+
+    def _counts_host(self, hashes, mask, num_hashes) -> np.ndarray:
+        """C++ count kernel when available; NumPy reference otherwise."""
+        from ..kmer import native
+
+        if native.get_lib() is None:
+            return count_matches_numpy(self.bits, hashes, mask, num_hashes)
+        if self._bits_ext is None:
+            b = np.ascontiguousarray(self.bits)
+            self._bits_ext = np.concatenate(
+                [b, np.zeros((1, b.shape[1]), np.uint32)], axis=0
+            )
+        S = self.meta.num_sigs
+        loc = native.locations(hashes, num_hashes, S)
+        if loc is None:
+            return count_matches_numpy(self.bits, hashes, mask, num_hashes)
+        loc[~mask] = S  # sentinel (zero) row
+        return native.count_block(self._bits_ext, loc, num_hashes)
 
 
 class SearchDB:
