@@ -443,3 +443,32 @@ def test_pallas_hash_kernel_interpret():
         a = sorted(x for x in loc_ref[i, :, 0].tolist() if x != S)
         b = sorted(x for x in loc_p[i].tolist() if x != S)
         assert a == b and counts_ref[i] == nk[i], i
+
+
+def test_stream_keep_top_scores_parity(tmp_path):
+    """keep-top-scores in the stream python writer matches the engine's
+    quirky truncation."""
+    import io
+
+    from kmcp_tpu.search.engine import SearchEngine, SearchOptions
+    from kmcp_tpu.search.stream import StreamSearcher
+    from kmcp_tpu.search.tsv import write_results
+
+    db, genomes = _tiny_db(tmp_path, [21], n_genomes=4)
+    rng = np.random.default_rng(2)
+    reads = []
+    for i in range(200):
+        g = genomes[int(rng.integers(0, 4))]
+        p = int(rng.integers(0, len(g) - 150))
+        reads.append((f"r{i}", g[p : p + 150], None))
+
+    opt_np = SearchOptions(backend="numpy", keep_top_scores=1)
+    buf1 = io.StringIO()
+    write_results(
+        buf1, SearchEngine([db], opt_np).search_batch(reads, 0), False
+    )
+    opt_j = SearchOptions(backend="jax", keep_top_scores=1, batch_size=128)
+    st = StreamSearcher(SearchEngine([db], opt_j))
+    buf2 = io.StringIO()
+    st.run(iter(reads), buf2)
+    assert buf1.getvalue() == buf2.getvalue()
