@@ -9,6 +9,11 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 namespace {
 
@@ -79,12 +84,20 @@ int64_t kt_write_rows(
   StrTab tmeta{tmeta_data, tmeta_offsets};
   StrTab fpr{fpr_data, fpr_offsets};
 
-  char* p = buf;
-  int64_t row = 0;
-  for (int64_t r = 0; r < n_reads; ++r) {
-    if (flags[r]) continue;  // slow-path read, rows written by the caller
+  // candidate-row start per read (rows are grouped by read in order)
+  std::vector<int64_t> row_start(n_reads + 1);
+  {
+    int64_t acc = 0;
+    for (int64_t r = 0; r < n_reads; ++r) {
+      row_start[r] = acc;
+      if (!flags[r]) acc += hits[r];
+    }
+    row_start[n_reads] = acc;
+  }
+
+  auto emit_read = [&](int64_t r, char* p) -> char* {
     const int32_t h = hits[r];
-    if (h == 0) continue;  // unmatched (keep-unmatched handled by caller)
+    int64_t row = row_start[r];
     int64_t lq;
     const char* sq = qid.at(r, &lq);
     const int64_t n = nkmers[r];
@@ -121,6 +134,45 @@ int64_t kt_write_rows(
       p = put_int(p, qidx_base + r);
       *p++ = '\n';
     }
+    return p;
+  };
+
+#ifdef _OPENMP
+  const int nt_req = 4;
+  if (n_rows > 4096) {
+    // parallel format into per-chunk scratch, then concatenate in order
+    const int nt = nt_req;
+    const int64_t per = (n_reads + nt - 1) / nt;
+    std::vector<std::vector<char>> bufs(nt);
+    std::vector<int64_t> lens(nt, 0);
+#pragma omp parallel num_threads(nt)
+    {
+      const int tid = omp_get_thread_num();
+      const int64_t r0 = tid * per;
+      const int64_t r1 = (r0 + per < n_reads) ? r0 + per : n_reads;
+      if (r0 < n_reads) {
+        const int64_t rows_here = row_start[r1] - row_start[r0];
+        bufs[tid].resize((size_t)rows_here * 256 + 64);
+        char* p = bufs[tid].data();
+        for (int64_t r = r0; r < r1; ++r) {
+          if (flags[r] || hits[r] == 0) continue;
+          p = emit_read(r, p);
+        }
+        lens[tid] = p - bufs[tid].data();
+      }
+    }
+    char* p = buf;
+    for (int tid = 0; tid < nt; ++tid) {
+      std::memcpy(p, bufs[tid].data(), lens[tid]);
+      p += lens[tid];
+    }
+    return p - buf;
+  }
+#endif
+  char* p = buf;
+  for (int64_t r = 0; r < n_reads; ++r) {
+    if (flags[r] || hits[r] == 0) continue;
+    p = emit_read(r, p);
   }
   return p - buf;
 }
