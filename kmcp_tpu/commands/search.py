@@ -31,6 +31,13 @@ def iter_queries(
         it1, it2 = read_fastx(read1), read_fastx(read2)
         for r1, r2 in zip(it1, it2):
             yield r1.id, r1.seq, r2.seq
+        leftover = next(it1, None) or next(it2, None)
+        if leftover is not None:
+            print(
+                "[search] WARNING: -1/-2 files have unequal record counts; "
+                f"extra records from '{leftover.id}' on were ignored",
+                file=sys.stderr,
+            )
         return
     if read1:
         files = [read1] + files
@@ -109,11 +116,12 @@ def run_search(
         if not no_header_row:
             out.write(HEADER)
 
-        # fast streaming path: single-end reads vs a plain single-group DB
-        if not paired and not whole_file:
+        # fast streaming path: single-end (or, host backend, paired)
+        # reads vs a plain single-group DB
+        if not whole_file:
             from ..search.stream import StreamSearcher
 
-            if StreamSearcher.usable(engine):
+            if StreamSearcher.usable(engine, paired=paired):
                 streamer = StreamSearcher(engine)
                 total, matched = streamer.run(
                     iter_queries(
@@ -121,6 +129,7 @@ def run_search(
                         query_id, k_max,
                     ),
                     out,
+                    paired=paired,
                 )
                 if verbose:
                     el = time.time() - t0

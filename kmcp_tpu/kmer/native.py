@@ -80,14 +80,14 @@ def get_lib():
             ctypes.c_char_p, i64p, i64p, ctypes.c_int64, ctypes.c_int,
             ctypes.c_int, ctypes.c_uint64,
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, i64p,
-            ctypes.c_int,
+            ctypes.c_int, ctypes.c_int64,
         ]
         lib.kt_hash_reads.restype = None
         lib.kt_hash_reads_loc.argtypes = [
             ctypes.c_char_p, i64p, i64p, ctypes.c_int64, ctypes.c_int,
             ctypes.c_int, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, i64p,
-            ctypes.c_int,
+            ctypes.c_int, ctypes.c_int64,
         ]
         lib.kt_hash_reads_loc.restype = None
         lib.kt_build_word_column.argtypes = [
@@ -152,8 +152,12 @@ def hash_reads_padded(
     canonical: bool = True,
     max_hash: int | None = None,
     threads: int = 0,
+    dedup_threshold: int = 0,
 ):
-    """Batched hashing to a zero-padded [B, kmax] uint64 matrix + counts."""
+    """Batched hashing to a zero-padded [B, kmax] uint64 matrix + counts.
+    With ``dedup_threshold`` > 0, rows with more than that many k-mers are
+    sorted + deduplicated (the reference's large-query deduplication,
+    util-db-search.go:874-908) and counts reflect the unique set."""
     lib = get_lib()
     if lib is None:
         return None
@@ -176,7 +180,7 @@ def hash_reads_padded(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         kmax,
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        threads,
+        threads, dedup_threshold,
     )
     return out, counts
 
@@ -190,6 +194,7 @@ def hash_reads_loc(
     canonical: bool = True,
     max_hash: int | None = None,
     threads: int = 0,
+    dedup_threshold: int = 0,
 ):
     """Fused batched hash+mod: reads -> padded [B, kmax, h] int32 Bloom
     locations (padding lanes point at the sentinel row ``num_sigs``) plus
@@ -217,7 +222,7 @@ def hash_reads_loc(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         kmax,
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        threads,
+        threads, dedup_threshold,
     )
     return out, counts
 

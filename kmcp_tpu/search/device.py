@@ -425,18 +425,26 @@ class HostDB:
             self._cmin_np[n_max] = t
         return t
 
-    def _hash_batch(self, seqs, k, kmax):
+    def _hash_batch(self, seqs, k, kmax, dedup_threshold=0):
         from ..kmer import native
 
         out, counts = native.hash_reads_padded(
             seqs, k, kmax, canonical=self.db.info.canonical,
-            max_hash=self.db.max_hash,
+            max_hash=self.db.max_hash, dedup_threshold=dedup_threshold,
         )
         return out, None, counts
 
-    def search_reads_async(self, reads_u8, lens, cand_budget, seqs=None):
+    def search_reads_async(self, reads_u8, lens, cand_budget, seqs=None,
+                           dedup_threshold=0, eff_lens=None):
         """Synchronous host implementation returning the device-compatible
-        packed int32 array [1 + C + C + B]."""
+        packed int32 array [1 + C + C + B].
+
+        ``dedup_threshold`` > 0 enables in-kernel per-read deduplication
+        of large k-mer sets (reference util-db-search.go:874-908), so
+        such reads need no slow-path fallback.  ``eff_lens`` overrides
+        the per-read lengths used for the min-query-length filter (for
+        paired reads: max(len1, len2), while ``lens`` sizes the joined
+        hash rows)."""
         from ..kmer import native
 
         opt = self.opt
@@ -451,12 +459,15 @@ class HostDB:
             loc, counts_per_read = native.hash_reads_loc(
                 seqs, k, kmax, self.total_rows, h,
                 canonical=db.info.canonical, max_hash=db.max_hash,
+                dedup_threshold=dedup_threshold,
             )
             counts = native.count_block(self.bits_ext_np, loc, h)
         else:
             # multi-block: hash once, derive per-block row offsets, count
             # each block into its slice of the global target space
-            hashes, _, counts_per_read = self._hash_batch(seqs, k, kmax)
+            hashes, _, counts_per_read = self._hash_batch(
+                seqs, k, kmax, dedup_threshold=dedup_threshold
+            )
             parts = []
             for b in range(self.n_blocks):
                 s_b = self.block_num_sigs[b]
@@ -471,13 +482,19 @@ class HostDB:
         nkmers = counts_per_read.astype(np.int32)
         cmin = self._cmin(int(nkmers.max(initial=1)))
         c_thresh = cmin[np.minimum(nkmers, len(cmin) - 1)][:, None]
+        len_ok = np.asarray(
+            eff_lens if eff_lens is not None else lens
+        ) >= opt.min_query_len
         ok = (
             (counts >= c_thresh)
             & (counts >= self._tmin_np[None, :])
             & self.sizes_pos_np[None, :]
-            & (np.asarray(lens) >= opt.min_query_len)[:, None]
-            & (nkmers <= opt.kmer_dedup_threshold)[:, None]
+            & len_ok[:, None]
         )
+        if dedup_threshold <= 0:
+            # without in-kernel dedup, over-threshold reads fall back to
+            # the object engine upstream
+            ok &= (nkmers <= opt.kmer_dedup_threshold)[:, None]
         flat = np.nonzero(ok.reshape(-1))[0].astype(np.int32)
         n_cand = len(flat)
         out = np.empty(1 + 2 * cand_budget + B, dtype=np.int32)

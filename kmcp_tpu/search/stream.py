@@ -75,29 +75,36 @@ class StreamSearcher:
             self._tmeta_tab = native.make_strtab(metas)
         return self._tname_tab, self._tmeta_tab
 
-    def _fpr_tab(self, nmax: int):
-        """Flat (nmax+1)^2 string table of %.4e query-FPR values for the
-        count ranges that can actually pass the thresholds."""
-        tab = self._fpr_tabs.get(nmax)
-        if tab is None:
-            from .device import build_cmin_table
-
-            cmin = build_cmin_table(
-                nmax, self.opt.min_kmers, self.opt.min_query_cov,
-                self.opt.max_fpr, self.db.query_fpr,
-            )
-            empty = b""
-            strings = [empty] * ((nmax + 1) * (nmax + 1))
-            qf = self.db.query_fpr
-            for n in range(nmax + 1):
-                for c in range(int(cmin[n]), n + 1):
-                    strings[n * (nmax + 1) + c] = f"{qf(n, c):.4e}".encode()
-            tab = native.make_strtab(strings)
-            self._fpr_tabs[nmax] = tab
-        return tab
+    def _fpr_tab(self, nmax: int, pairs: np.ndarray):
+        """Flat (nmax+1)^2 string table of %.4e query-FPR values, filled
+        lazily for the (n, c) pairs observed in the results (eagerly
+        enumerating every pair up to cmin costs O(nmax^2 * n) Theorem-2
+        evaluations — seconds for paired-read n ranges)."""
+        ent = self._fpr_tabs.get(nmax)
+        if ent is None:
+            ent = {
+                "strings": [b""] * ((nmax + 1) * (nmax + 1)),
+                "have": set(),
+                "tab": None,
+            }
+            self._fpr_tabs[nmax] = ent
+        qf = self.db.query_fpr
+        have = ent["have"]
+        strings = ent["strings"]
+        new = False
+        for p in np.unique(pairs).tolist():
+            if p in have:
+                continue
+            have.add(p)
+            n, c = divmod(p, nmax + 1)
+            strings[p] = f"{qf(n, c):.4e}".encode()
+            new = True
+        if new or ent["tab"] is None:
+            ent["tab"] = native.make_strtab(strings)
+        return ent["tab"]
 
     @classmethod
-    def usable(cls, engine: SearchEngine) -> bool:
+    def usable(cls, engine: SearchEngine, paired: bool = False) -> bool:
         if len(engine.dbs) != 1:
             return False
         db = engine.dbs[0]
@@ -109,15 +116,26 @@ class StreamSearcher:
             return False
         if len(db.blocks) != 1 and engine.opt.backend != "host":
             return False  # device path: single block-group only for now
+        if paired and (engine.opt.backend != "host" or engine.opt.try_se):
+            # paired mates join into one hash row (host in-kernel dedup
+            # handles the >256-k-mer sets); --try-se needs the object
+            # engine's retry plan
+            return False
         if native.get_lib() is None:
             return False
         return True
 
     # ------------------------------------------------------------------
 
-    def run(self, queries, out, start_idx: int = 0) -> tuple[int, int]:
-        """queries: iterator of (id, seq, seq2).  Paired/whole-file queries
-        fall back upstream; here seq2 must be None."""
+    def run(
+        self, queries, out, start_idx: int = 0, paired: bool = False
+    ) -> tuple[int, int]:
+        """queries: iterator of (id, seq, seq2).  Whole-file queries fall
+        back upstream.  With ``paired`` (host backend only), mates hash as
+        one joined row ``seq1 + N + seq2`` — the 'N' resets the rolling
+        window so the k-mer multiset equals the reference's concatenation
+        of both mates' k-mers (util-db-search.go:800-805), and in-kernel
+        dedup reproduces its >256-k-mer unique step."""
         opt = self.opt
         db = self.db
         dev = self.dev
@@ -163,20 +181,41 @@ class StreamSearcher:
             nonlocal kmax
             real_b = len(batch)
             ids = [q[0] for q in batch]
-            seqs = [q[1] for q in batch]
+            if paired:
+                seqs = [
+                    q[1] + b"N" + q[2] if q[2] else q[1] for q in batch
+                ]
+                qlen_r = [
+                    len(q[1]) + (len(q[2]) if q[2] else 0) for q in batch
+                ]
+                eff_r = [
+                    max(len(q[1]), len(q[2]) if q[2] else 0) for q in batch
+                ]
+            else:
+                seqs = [q[1] for q in batch]
             # pad to the fixed batch size so every device call shares one
             # compiled shape (empty reads gather only the sentinel row)
             if real_b < batch_size:
                 seqs = seqs + [b""] * (batch_size - real_b)
             lens = np.array([len(s) for s in seqs], dtype=np.int64)
+            if paired:
+                qlen = np.zeros(len(seqs), dtype=np.int64)
+                qlen[:real_b] = qlen_r
+                eff = np.zeros(len(seqs), dtype=np.int64)
+                eff[:real_b] = eff_r
+            else:
+                qlen = eff = lens
             # budget sized for ~3 matches/read average; overflow retries
             # with 4x (recompile cached per budget size)
             budget = 3 * batch_size
             state = {
                 "real_b": real_b,
                 "ids": ids,
+                "queries": batch,
                 "seqs": seqs,
                 "lens": lens,
+                "qlen": qlen,
+                "eff": eff,
                 "budget": budget,
             }
             lmax = max(-(-(int(lens.max())) // 32) * 32, self.k + 31)
@@ -185,8 +224,15 @@ class StreamSearcher:
                 state["reads_u8"] = (len(seqs), lmax)
                 state["seqs_pad"] = seqs
                 state["counts"] = None
+                # in-kernel dedup of >threshold k-mer sets: no slow-path
+                # fallback needed for long or paired reads
+                state["host_extra"] = {
+                    "dedup_threshold": opt.kmer_dedup_threshold,
+                    "eff_lens": eff,
+                }
                 state["fut"] = dev.search_reads_async(
-                    state["reads_u8"], lens, budget, seqs=seqs
+                    state["reads_u8"], lens, budget, seqs=seqs,
+                    **state["host_extra"],
                 )
             elif use_pallas:
                 B = len(seqs)
@@ -237,12 +283,12 @@ class StreamSearcher:
                             state["reads_t"], state["lens"], budget
                         )
                     else:
+                        extra = dict(state.get("host_extra", {}))
+                        if "seqs_pad" in state:
+                            extra["seqs"] = state["seqs_pad"]
                         fut = dev.search_reads_async(
                             state["reads_u8"], state["lens"], budget,
-                            **(
-                                {"seqs": state["seqs_pad"]}
-                                if "seqs_pad" in state else {}
-                            ),
+                            **extra,
                         )
                 else:
                     fut = dev.search_async(
@@ -260,10 +306,19 @@ class StreamSearcher:
             if state["counts"] is None:
                 # device-hash mode: per-read k-mer counts ride along
                 state["counts"] = arr[1 + 2 * budget : 1 + 2 * budget + len(state["lens"])].astype(np.int64)
-            state["too_short"] = state["lens"] < opt.min_query_len
-            state["over_dedup"] = state["counts"] > opt.kmer_dedup_threshold
+            state["too_short"] = state["eff"] < opt.min_query_len
+            if "host_extra" in state:
+                # host path deduplicated in-kernel; counts are unique
+                state["over_dedup"] = np.zeros(
+                    len(state["counts"]), dtype=bool
+                )
+            else:
+                state["over_dedup"] = (
+                    state["counts"] > opt.kmer_dedup_threshold
+                )
             state["counts"] = state["counts"][:B]
             state["lens"] = state["lens"][:B]
+            state["qlen"] = state["qlen"][:B]
             state["too_short"] = state["too_short"][:B]
             state["over_dedup"] = state["over_dedup"][:B]
             counts_host = state["counts"]
@@ -281,10 +336,7 @@ class StreamSearcher:
             slow_set = set(slow_rows.tolist())
             slow_results: dict[int, QueryResult] = {}
             if slow_set:
-                subset = [
-                    (state["ids"][r], state["seqs"][r], None)
-                    for r in sorted(slow_set)
-                ]
+                subset = [state["queries"][r] for r in sorted(slow_set)]
                 res = self.engine.search_batch(subset, 0)
                 for r, qr in zip(sorted(slow_set), res):
                     slow_results[r] = qr
@@ -353,11 +405,14 @@ class StreamSearcher:
         flags = np.zeros(B, dtype=np.uint8)
         for r in slow_set:
             flags[r] = 1
-        qlen = state["lens"]
+        qlen = state["qlen"]
         nkmers = state["counts"]
         tname_tab, tmeta_tab = self._target_tabs()
         nmax = max(64, -(-int(nkmers.max(initial=1)) // 64) * 64)
-        fpr_tab = self._fpr_tab(nmax)
+        pairs = nkmers[qi].astype(np.int64) * (nmax + 1) + cnt.astype(
+            np.int64
+        )
+        fpr_tab = self._fpr_tab(nmax, pairs)
         qid_tab = native.make_strtab([s.encode() for s in state["ids"]])
 
         if not slow_set:
@@ -420,7 +475,7 @@ class StreamSearcher:
                 if opt.keep_unmatched:
                     nk = 0 if state["too_short"][r] else int(counts_host[r])
                     w(
-                        f"{qid}\t{state['lens'][r]}\t{nk}\t0\t0\t\t-1\t0"
+                        f"{qid}\t{state['qlen'][r]}\t{nk}\t0\t0\t\t-1\t0"
                         f"\t0\t{k_s}\t0\t0\t0\t0\t{idx0 + r}\n"
                     )
                 continue
@@ -431,7 +486,7 @@ class StreamSearcher:
             if top_n > 0:
                 rows = self._apply_top_n(qi, cnt, lo, hi_, n, top_n)
             h_out = str(len(rows))
-            prefix = f"{qid}\t{state['lens'][r]}\t{n}\t"
+            prefix = f"{qid}\t{state['qlen'][r]}\t{n}\t"
             suffix = f"\t{idx0 + r}\n"
             for i in rows:
                 ti = int(t[i])

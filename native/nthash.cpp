@@ -9,6 +9,7 @@
 //
 // Build:  g++ -O3 -march=native -shared -fPIC -o libkthash.so nthash.cpp -fopenmp
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -100,6 +101,59 @@ void scan_range(const uint8_t* seq, int64_t L, int k, int canonical,
   }
 }
 
+// Hash one read's k-mers (canonical, hash!=0, <= max_hash) into buf
+// (capacity cap); returns the number kept (never exceeds cap — callers
+// size cap to the window count).  If dedup_threshold > 0 and more than
+// that many k-mers were kept, the buffer is sorted and deduplicated in
+// place (the reference's deduplication of large queries,
+// util-db-search.go:874-908) and the unique count is returned.
+static int64_t hash_row(const uint8_t* seq, int64_t L, int k, int canonical,
+                        uint64_t max_hash, uint64_t* buf, int64_t cap,
+                        int64_t dedup_threshold) {
+  int64_t nout = 0;
+  const int64_t n = L - k + 1;
+  if (n > 0) {
+    int64_t run = 0;
+    uint64_t fh = 0, rh = 0;
+    const unsigned ku = (unsigned)k;
+    for (int64_t i = 0; i < L; ++i) {
+      const uint8_t b = seq[i];
+      if (!T.ok[b]) {
+        run = 0;
+        continue;
+      }
+      ++run;
+      if (run < k) continue;
+      const int64_t w = i - k + 1;
+      if (run == k) {
+        fh = 0;
+        rh = 0;
+        for (int j = 0; j < k; ++j) {
+          const uint8_t c = seq[w + j];
+          fh ^= rol(T.seed[c], (unsigned)(k - 1 - j));
+          rh ^= rol(T.seedc[c], (unsigned)j);
+        }
+      } else {
+        const uint8_t ob = seq[w - 1];
+        fh = rol(fh, 1) ^ rol(T.seed[ob], ku) ^ T.seed[b];
+        rh = ror(rh, 1) ^ ror(T.seedc[ob], 1) ^ rol(T.seedc[b], ku - 1);
+      }
+      const uint64_t h = canonical ? (rh < fh ? rh : fh) : fh;
+      if (h == 0 || h > max_hash) continue;
+      if (nout < cap) buf[nout++] = h;
+    }
+  }
+  if (dedup_threshold > 0 && nout > dedup_threshold) {
+    std::sort(buf, buf + nout);
+    int64_t m = 0;
+    for (int64_t i = 0; i < nout; ++i) {
+      if (i == 0 || buf[i] != buf[i - 1]) buf[m++] = buf[i];
+    }
+    nout = m;
+  }
+  return nout;
+}
+
 }  // namespace
 
 extern "C" {
@@ -144,50 +198,17 @@ void kthash_scan_mt(const uint8_t* seq, int64_t L, int k, int canonical,
 void kt_hash_reads(const uint8_t* concat, const int64_t* starts,
                    const int64_t* lens, int64_t n_reads, int k, int canonical,
                    uint64_t max_hash, uint64_t* out, int64_t kmax,
-                   int64_t* counts, int threads) {
+                   int64_t* counts, int threads, int64_t dedup_threshold) {
 #ifdef _OPENMP
 #pragma omp parallel for num_threads(threads > 0 ? threads : 1) \
     schedule(dynamic, 64) if (threads > 1 && n_reads > 256)
 #endif
   for (int64_t r = 0; r < n_reads; ++r) {
-    const uint8_t* seq = concat + starts[r];
-    const int64_t L = lens[r];
     uint64_t* row = out + r * kmax;
-    int64_t nout = 0;
-    const int64_t n = L - k + 1;
-    if (n > 0) {
-      int64_t run = 0;
-      uint64_t fh = 0, rh = 0;
-      const unsigned ku = (unsigned)k;
-      for (int64_t i = 0; i < L; ++i) {
-        const uint8_t b = seq[i];
-        if (!T.ok[b]) {
-          run = 0;
-          continue;
-        }
-        ++run;
-        if (run < k) continue;
-        const int64_t w = i - k + 1;
-        if (run == k) {
-          fh = 0;
-          rh = 0;
-          for (int j = 0; j < k; ++j) {
-            const uint8_t c = seq[w + j];
-            fh ^= rol(T.seed[c], (unsigned)(k - 1 - j));
-            rh ^= rol(T.seedc[c], (unsigned)j);
-          }
-        } else {
-          const uint8_t ob = seq[w - 1];
-          fh = rol(fh, 1) ^ rol(T.seed[ob], ku) ^ T.seed[b];
-          rh = ror(rh, 1) ^ ror(T.seedc[ob], 1) ^ rol(T.seedc[b], ku - 1);
-        }
-        const uint64_t h = canonical ? (rh < fh ? rh : fh) : fh;
-        if (h == 0 || h > max_hash) continue;
-        if (nout < kmax) row[nout] = h;
-        ++nout;
-      }
-    }
-    counts[r] = nout;
+    counts[r] = hash_row(concat + starts[r], lens[r], k, canonical, max_hash,
+                         row, kmax, dedup_threshold);
+    // zero-pad so callers can mask padded lanes by hash == 0
+    for (int64_t j = counts[r]; j < kmax; ++j) row[j] = 0;
   }
 }
 
@@ -198,62 +219,39 @@ void kt_hash_reads_loc(const uint8_t* concat, const int64_t* starts,
                        const int64_t* lens, int64_t n_reads, int k,
                        int canonical, uint64_t max_hash, uint64_t num_sigs,
                        int num_hashes, int32_t* out, int64_t kmax,
-                       int64_t* counts, int threads) {
+                       int64_t* counts, int threads, int64_t dedup_threshold) {
 #ifdef _OPENMP
-#pragma omp parallel for num_threads(threads > 0 ? threads : 1) \
-    schedule(dynamic, 64) if (threads > 1 && n_reads > 256)
+#pragma omp parallel num_threads(threads > 0 ? threads : 1) \
+    if (threads > 1 && n_reads > 256)
 #endif
-  for (int64_t r = 0; r < n_reads; ++r) {
-    const uint8_t* seq = concat + starts[r];
-    const int64_t L = lens[r];
-    int32_t* row = out + r * kmax * num_hashes;
-    for (int64_t j = 0; j < kmax * num_hashes; ++j) row[j] = (int32_t)num_sigs;
-    int64_t nout = 0;
-    const int64_t n = L - k + 1;
-    if (n > 0) {
-      int64_t run = 0;
-      uint64_t fh = 0, rh = 0;
-      const unsigned ku = (unsigned)k;
-      for (int64_t i = 0; i < L; ++i) {
-        const uint8_t b = seq[i];
-        if (!T.ok[b]) {
-          run = 0;
-          continue;
-        }
-        ++run;
-        if (run < k) continue;
-        const int64_t w = i - k + 1;
-        if (run == k) {
-          fh = 0;
-          rh = 0;
-          for (int j = 0; j < k; ++j) {
-            const uint8_t c = seq[w + j];
-            fh ^= rol(T.seed[c], (unsigned)(k - 1 - j));
-            rh ^= rol(T.seedc[c], (unsigned)j);
-          }
-        } else {
-          const uint8_t ob = seq[w - 1];
-          fh = rol(fh, 1) ^ rol(T.seed[ob], ku) ^ T.seed[b];
-          rh = ror(rh, 1) ^ ror(T.seedc[ob], 1) ^ rol(T.seedc[b], ku - 1);
-        }
-        const uint64_t h = canonical ? (rh < fh ? rh : fh) : fh;
-        if (h == 0 || h > max_hash) continue;
-        if (nout < kmax) {
-          if (num_hashes == 1) {
-            row[nout] = (int32_t)(h % num_sigs);
-          } else {
-            const uint32_t a = (uint32_t)(h >> 32);
-            const uint32_t bb = (uint32_t)h;
-            for (int j = 0; j < num_hashes; ++j) {
-              const uint32_t v = a + bb * (uint32_t)j;
-              row[nout * num_hashes + j] = (int32_t)((uint64_t)v % num_sigs);
-            }
+  {
+    std::vector<uint64_t> buf((size_t)kmax);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 64)
+#endif
+    for (int64_t r = 0; r < n_reads; ++r) {
+      int32_t* row = out + r * kmax * num_hashes;
+      const int64_t nout =
+          hash_row(concat + starts[r], lens[r], k, canonical, max_hash,
+                   buf.data(), kmax, dedup_threshold);
+      if (num_hashes == 1) {
+        for (int64_t i = 0; i < nout; ++i)
+          row[i] = (int32_t)(buf[i] % num_sigs);
+        for (int64_t i = nout; i < kmax; ++i) row[i] = (int32_t)num_sigs;
+      } else {
+        for (int64_t i = 0; i < nout; ++i) {
+          const uint32_t a = (uint32_t)(buf[i] >> 32);
+          const uint32_t bb = (uint32_t)buf[i];
+          for (int j = 0; j < num_hashes; ++j) {
+            const uint32_t v = a + bb * (uint32_t)j;
+            row[i * num_hashes + j] = (int32_t)((uint64_t)v % num_sigs);
           }
         }
-        ++nout;
+        for (int64_t i = nout * num_hashes; i < kmax * num_hashes; ++i)
+          row[i] = (int32_t)num_sigs;
       }
+      counts[r] = nout;
     }
-    counts[r] = nout;
   }
 }
 

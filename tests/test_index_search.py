@@ -472,3 +472,101 @@ def test_stream_keep_top_scores_parity(tmp_path):
     buf2 = io.StringIO()
     st.run(iter(reads), buf2)
     assert buf1.getvalue() == buf2.getvalue()
+
+
+def test_stream_paired_parity(tmp_path):
+    """Paired-end streaming (host backend, joined mate1+N+mate2 rows with
+    in-kernel dedup of the >256-k-mer sets) must stay byte-identical to
+    the object engine, including a junk mate, a short mate, and an empty
+    mate (util-db-search.go:800-908 semantics)."""
+    import io
+
+    from kmcp_tpu.search.engine import SearchEngine, SearchOptions
+    from kmcp_tpu.search.stream import StreamSearcher
+    from kmcp_tpu.search.tsv import write_results
+
+    db, genomes = _tiny_db(tmp_path, [21], n_genomes=4, fpr=0.1)
+    rng = np.random.default_rng(3)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    rc = bytes.maketrans(b"ACGT", b"TGCA")
+    reads = []
+    for i in range(300):
+        g = genomes[int(rng.integers(0, 4))]
+        p = int(rng.integers(0, len(g) - 500))
+        r1 = g[p : p + 150]
+        r2 = g[p + 200 : p + 350].translate(rc)[::-1]
+        if i % 23 == 0:  # junk mate: random bases
+            r2 = rng.choice(bases, size=150).tobytes()
+        elif i % 31 == 0:  # short mate (< min_query_len but >= k)
+            r2 = r2[:25]
+        elif i % 41 == 0:  # empty mate
+            r2 = b""
+        reads.append((f"p{i}", r1, r2))
+
+    opt_np = SearchOptions(backend="numpy")
+    buf1 = io.StringIO()
+    write_results(
+        buf1, SearchEngine([db], opt_np).search_batch(reads, 0), False
+    )
+
+    opt_h = SearchOptions(backend="host", batch_size=128)
+    eng_h = SearchEngine([db], opt_h)
+    assert StreamSearcher.usable(eng_h, paired=True)
+    st = StreamSearcher(eng_h)
+    buf2 = io.StringIO()
+    total, _ = st.run(iter(reads), buf2, paired=True)
+    assert total == 300
+    assert buf1.getvalue() == buf2.getvalue()
+
+    # try-se falls back to the object engine
+    opt_se = SearchOptions(backend="host", try_se=True)
+    assert not StreamSearcher.usable(SearchEngine([db], opt_se), paired=True)
+
+
+def test_native_dedup_matches_numpy_unique(tmp_path):
+    """In-kernel per-row dedup (hash_row sort+unique) equals np.unique of
+    the raw hash multiset, for both the padded-hash and fused-loc paths."""
+    from kmcp_tpu.kmer import native
+    from kmcp_tpu.kmer.nthash import hash_reads_batch
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(9)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    # short repeated motif forces duplicate k-mers within one read
+    motif = rng.choice(bases, size=40).tobytes()
+    reads = [motif * 12, rng.choice(bases, size=500).tobytes(), b"ACGT" * 100]
+    k = 21
+    kmax = max(len(r) for r in reads) - k + 1
+
+    H, M, counts = hash_reads_batch(reads, k, canonical=True)
+    for thr in (0, 100):
+        out, cnts = native.hash_reads_padded(
+            reads, k, kmax, dedup_threshold=thr
+        )
+        for r in range(len(reads)):
+            raw = H[r][M[r]]
+            if thr and len(raw) > thr:
+                want = np.unique(raw)
+            else:
+                want = raw
+            assert cnts[r] == len(want)
+            got = out[r, : cnts[r]]
+            assert np.array_equal(np.sort(got), np.sort(want))
+
+    S = 10007
+    loc, cnts = native.hash_reads_loc(
+        reads, k, kmax, S, 1, dedup_threshold=100
+    )
+    for r in range(len(reads)):
+        raw = H[r][M[r]]
+        want = np.unique(raw) if len(raw) > 100 else raw
+        assert cnts[r] == len(want)
+        got = loc[r, : cnts[r], 0]
+        assert np.array_equal(
+            np.sort(got), np.sort((want % S).astype(np.int32))
+        )
+        assert np.all(loc[r, cnts[r] :, :] == S)
