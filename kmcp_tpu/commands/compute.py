@@ -279,6 +279,9 @@ def run_compute(
         for f in all_files:
             infos.extend(compute_file(f, out_dir, opt))
     else:
+        # threads beat processes here: the hot work (native OpenMP scan,
+        # numpy sort/unique) releases the GIL, and forked workers pay
+        # page-fault + imbalance costs (measured 2-2.6x slower)
         with cf.ThreadPoolExecutor(max_workers=workers) as ex:
             for res in ex.map(
                 lambda f: compute_file(f, out_dir, opt), all_files
