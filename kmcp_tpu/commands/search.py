@@ -123,6 +123,19 @@ def run_search(
 
             if StreamSearcher.usable(engine, paired=paired):
                 streamer = StreamSearcher(engine)
+                progress = None
+                if verbose:
+                    # live throughput line per drained batch, the
+                    # reference's every-8192-queries log (search.go:740-744)
+                    def progress(done, _t0=t0):
+                        el = time.time() - _t0
+                        if el > 0:
+                            print(
+                                f"[search] {done} queries done at "
+                                f"{done / 1e6 / (el / 60):.3f} M queries/min",
+                                file=sys.stderr,
+                            )
+
                 total, matched = streamer.run(
                     iter_queries(
                         files or [], read1, read2, False, use_filename,
@@ -130,6 +143,7 @@ def run_search(
                     ),
                     out,
                     paired=paired,
+                    progress=progress,
                 )
                 if verbose:
                     el = time.time() - t0

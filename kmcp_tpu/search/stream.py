@@ -128,7 +128,8 @@ class StreamSearcher:
     # ------------------------------------------------------------------
 
     def run(
-        self, queries, out, start_idx: int = 0, paired: bool = False
+        self, queries, out, start_idx: int = 0, paired: bool = False,
+        progress=None,
     ) -> tuple[int, int]:
         """queries: iterator of (id, seq, seq2).  Whole-file queries fall
         back upstream.  With ``paired`` (host backend only), mates hash as
@@ -372,6 +373,8 @@ class StreamSearcher:
                     idx0, fmtq, fmtt, fpr_memo, names, chunk_idx_s,
                     chunks_s, gsize_s, k_s,
                 )
+            if progress is not None:
+                progress(total)
 
 
         batch: list = []
