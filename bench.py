@@ -216,8 +216,14 @@ def main() -> None:
                     parts = line.rstrip("\n").split("\t")
                     taxid_map[parts[i_id]] = name2taxid[parts[i_sp]]
             popt = ProfileOptions(mode=1)
+            from kmcp_tpu.profile.fast import flat_from_files
+
             t0 = time.time()
-            parsed = parse_search_tsv([tsv], popt.max_fpr, popt.min_qcov)
+            parsed = flat_from_files([tsv], popt.max_fpr, popt.min_qcov)
+            if parsed is None:
+                parsed = parse_search_tsv(
+                    [tsv], popt.max_fpr, popt.min_qcov
+                )
             prof = FastProfiler(
                 popt, taxdb=Taxonomy(taxdump), taxid_map=taxid_map
             )

@@ -61,27 +61,39 @@ def run_profile(
             "for --level species"
         )
 
-    if verbose:
-        print(f"[profile] parsing {len(files)} search result file(s)",
-              file=sys.stderr)
-    parsed = parse_search_tsv(files, opt.max_fpr, opt.min_qcov)
-    if verbose:
-        print(
-            f"[profile] {len(parsed.groups)} matched queries, "
-            f"{len(parsed.target_names)} targets seen",
-            file=sys.stderr,
-        )
-
-    from ..profile.fast import FastProfiler
+    from ..profile.fast import FastProfiler, flat_from_files
 
     use_fast = FastProfiler.usable(opt) and os.environ.get(
         "KMCP_TPU_PROFILE_ENGINE", "fast"
     ) != "reference"
+
+    if verbose:
+        print(f"[profile] parsing {len(files)} search result file(s)",
+              file=sys.stderr)
+    parsed = None
+    flat = None
+    if use_fast and not binning_file:
+        # columnar native parse, no per-row Python objects (binning
+        # still needs the row-group representation below)
+        flat = flat_from_files(files, opt.max_fpr, opt.min_qcov)
+    if flat is None:
+        parsed = parse_search_tsv(files, opt.max_fpr, opt.min_qcov)
+    if verbose:
+        ng = flat.n_groups if flat is not None else len(parsed.groups)
+        nt = (
+            flat.n_targets if flat is not None
+            else len(parsed.target_names)
+        )
+        print(
+            f"[profile] {ng} matched queries, {nt} targets seen",
+            file=sys.stderr,
+        )
+
     if use_fast:
         prof = FastProfiler(opt, taxdb=taxdb, taxid_map=taxid_map)
     else:
         prof = Profiler(opt, taxdb=taxdb, taxid_map=taxid_map)
-    targets = prof.run(parsed)
+    targets = prof.run(flat if flat is not None else parsed)
     if verbose:
         print(f"[profile] {len(targets)} references in the profile",
               file=sys.stderr)

@@ -17,6 +17,7 @@ import numpy as np
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO, "native", "nthash.cpp")
 _SRC_WRITER = os.path.join(_REPO, "native", "writer.cpp")
+_SRC_PARSER = os.path.join(_REPO, "native", "parser.cpp")
 _BUILD_DIR = os.path.join(_REPO, "native", "build")
 _SO = os.path.join(_BUILD_DIR, "libkthash.so")
 
@@ -27,9 +28,10 @@ _tried = False
 
 def _build() -> bool:
     os.makedirs(_BUILD_DIR, exist_ok=True)
+    srcs = [_SRC, _SRC_WRITER, _SRC_PARSER]
     cmd = [
         "g++", "-O3", "-march=native", "-funroll-loops", "-shared", "-fPIC",
-        "-fopenmp", "-o", _SO, _SRC, _SRC_WRITER,
+        "-fopenmp", "-o", _SO, *srcs,
     ]
     try:
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
@@ -38,7 +40,7 @@ def _build() -> bool:
     if res.returncode != 0:
         # retry without openmp/march
         res = subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC, _SRC_WRITER],
+            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, *srcs],
             capture_output=True, text=True, timeout=120,
         )
         if res.returncode != 0:
@@ -57,7 +59,11 @@ def get_lib():
         _tried = True
         if os.environ.get("KMCP_TPU_NO_NATIVE"):
             return None
-        if not os.path.isfile(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if not os.path.isfile(_SO) or os.path.getmtime(_SO) < max(
+            os.path.getmtime(s)
+            for s in (_SRC, _SRC_WRITER, _SRC_PARSER)
+            if os.path.isfile(s)
+        ):
             if not _build():
                 return None
         try:
@@ -114,6 +120,16 @@ def get_lib():
             ctypes.c_int64, ctypes.c_void_p,
         ]
         lib.kt_write_rows.restype = ctypes.c_int64
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.kt_parse_search_tsv.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_double,
+            ctypes.c_double,
+            i64p, i32p, i32p, i64p, f64p,
+            i64p, i64p, i32p, i64p,
+            i64p, i64p,
+            i64p,
+        ]
+        lib.kt_parse_search_tsv.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -364,3 +380,67 @@ def locations(
         threads,
     )
     return out.reshape(*hashes.shape, num_hashes)
+
+
+def parse_search_tsv(buf: bytes, max_fpr: float, min_qcov: float):
+    """Columnar parse of one search-result TSV's decompressed content
+    (row filters qCov >= min / FPR <= max, consecutive-query grouping,
+    target interning — util-profile.go:94-182 semantics).
+
+    Returns a dict of arrays: group/target/frag/qlen/qcov per row,
+    tgt_names (list[bytes]), tgt_idx_num, tgt_gsize per target,
+    grp_query (list[bytes]) per group, total_queries; or None when the
+    native library is unavailable.  Raises ValueError on malformed rows.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    # capacity: number of newlines bounds rows/groups/targets
+    cap = max(buf.count(b"\n") + 1, 1)
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    f64 = ctypes.POINTER(ctypes.c_double)
+    row_group = np.empty(cap, dtype=np.int64)
+    row_target = np.empty(cap, dtype=np.int32)
+    row_frag = np.empty(cap, dtype=np.int32)
+    row_qlen = np.empty(cap, dtype=np.int64)
+    row_qcov = np.empty(cap, dtype=np.float64)
+    tgt_off = np.empty(cap, dtype=np.int64)
+    tgt_len = np.empty(cap, dtype=np.int64)
+    tgt_idx_num = np.empty(cap, dtype=np.int32)
+    tgt_gsize = np.empty(cap, dtype=np.int64)
+    grp_off = np.empty(cap, dtype=np.int64)
+    grp_len = np.empty(cap, dtype=np.int64)
+    counts = np.zeros(5, dtype=np.int64)
+    rc = lib.kt_parse_search_tsv(
+        buf, len(buf), max_fpr, min_qcov,
+        row_group.ctypes.data_as(i64), row_target.ctypes.data_as(i32),
+        row_frag.ctypes.data_as(i32), row_qlen.ctypes.data_as(i64),
+        row_qcov.ctypes.data_as(f64),
+        tgt_off.ctypes.data_as(i64), tgt_len.ctypes.data_as(i64),
+        tgt_idx_num.ctypes.data_as(i32), tgt_gsize.ctypes.data_as(i64),
+        grp_off.ctypes.data_as(i64), grp_len.ctypes.data_as(i64),
+        counts.ctypes.data_as(i64),
+    )
+    if rc != 0:
+        raise ValueError("invalid kmcp search result format")
+    n_rows, n_groups, n_targets, total_q, matched_q = (
+        int(c) for c in counts
+    )
+    return {
+        "group": row_group[:n_rows],
+        "target": row_target[:n_rows],
+        "frag": row_frag[:n_rows],
+        "qlen": row_qlen[:n_rows],
+        "qcov": row_qcov[:n_rows],
+        "tgt_names": [
+            buf[int(o) : int(o) + int(l)]
+            for o, l in zip(tgt_off[:n_targets], tgt_len[:n_targets])
+        ],
+        "tgt_idx_num": tgt_idx_num[:n_targets].copy(),
+        "tgt_gsize": tgt_gsize[:n_targets].copy(),
+        "grp_off": grp_off[:n_groups].copy(),
+        "grp_len": grp_len[:n_groups].copy(),
+        "total_queries": total_q,
+        "matched_queries": matched_q,
+    }

@@ -32,9 +32,12 @@ from .taxonomy import Taxonomy
 
 
 class FlatInput:
-    """Column-array view of a ParsedInput."""
+    """Column-array view of a ParsedInput (or of the native columnar
+    parser's output, via ``from_arrays``)."""
 
-    def __init__(self, parsed: ParsedInput):
+    def __init__(self, parsed: ParsedInput | None):
+        if parsed is None:
+            return  # from_arrays fills the fields
         n_rows = sum(len(g) for g in parsed.groups)
         self.n_groups = len(parsed.groups)
         self.n_targets = len(parsed.target_names)
@@ -60,7 +63,29 @@ class FlatInput:
                     self.idx_num[m.target] = m.idx_num
                     self.gsize[m.target] = m.gsize
                 i += 1
+        self._factorize()
 
+    @classmethod
+    def from_arrays(
+        cls, group, target, frag, qlen, qcov, idx_num, gsize,
+        target_names, n_groups, total_queries,
+    ) -> "FlatInput":
+        self = cls(None)
+        self.n_groups = int(n_groups)
+        self.n_targets = len(target_names)
+        self.target_names = target_names
+        self.total_queries = int(total_queries)
+        self.group = np.ascontiguousarray(group, dtype=np.int64)
+        self.target = np.ascontiguousarray(target, dtype=np.int32)
+        self.frag = np.ascontiguousarray(frag, dtype=np.int32)
+        self.qlen = np.ascontiguousarray(qlen, dtype=np.int64)
+        self.qcov = np.ascontiguousarray(qcov, dtype=np.float64)
+        self.idx_num = np.ascontiguousarray(idx_num, dtype=np.int32)
+        self.gsize = np.ascontiguousarray(gsize, dtype=np.int64)
+        self._factorize()
+        return self
+
+    def _factorize(self):
         # factorize (group, target)
         key = self.group * np.int64(self.n_targets) + self.target
         uniq, first, inverse, counts = np.unique(
@@ -85,6 +110,68 @@ class FlatInput:
         self.row_tf = self.frag_off[self.target] + self.frag
         self.gt_first_tf = self.frag_off[self.gt_target] + self.gt_first_frag
         self.row_inv_msize = 1.0 / self.gt_msize[self.gt_of_row]
+
+
+def flat_from_files(
+    files: list[str], max_fpr: float, min_qcov: float
+) -> FlatInput | None:
+    """Columnar native parse of search TSVs straight into a FlatInput
+    (no per-row Python objects); None when the native parser is
+    unavailable.  Target ids are re-interned across files; groups never
+    span a file boundary (matching core.parse_search_tsv)."""
+    from ..kmer import native
+    from ..seqio.fastx import xopen
+
+    if native.get_lib() is None:
+        return None
+    name2id: dict[str, int] = {}
+    names: list[str] = []
+    idx_num: list[int] = []
+    gsize: list[int] = []
+    groups = []
+    targets = []
+    frags = []
+    qlens = []
+    qcovs = []
+    g_off = 0
+    total_queries = 0
+    for path in files:
+        with xopen(path, "rb") as f:
+            buf = f.read()
+        try:
+            d = native.parse_search_tsv(buf, max_fpr, min_qcov)
+        except ValueError:
+            raise SystemExit("invalid kmcp search result format")
+        if d is None:
+            return None
+        local2global = np.empty(len(d["tgt_names"]), dtype=np.int32)
+        for li, nm in enumerate(d["tgt_names"]):
+            s = nm.decode()
+            gi = name2id.get(s)
+            if gi is None:
+                gi = len(names)
+                name2id[s] = gi
+                names.append(s)
+                idx_num.append(int(d["tgt_idx_num"][li]))
+                gsize.append(int(d["tgt_gsize"][li]))
+            local2global[li] = gi
+        groups.append(d["group"] + g_off)
+        targets.append(local2global[d["target"]])
+        frags.append(d["frag"])
+        qlens.append(d["qlen"])
+        qcovs.append(d["qcov"])
+        g_off += len(d["grp_off"])
+        total_queries += d["total_queries"]
+    return FlatInput.from_arrays(
+        np.concatenate(groups) if groups else np.empty(0, np.int64),
+        np.concatenate(targets) if targets else np.empty(0, np.int32),
+        np.concatenate(frags) if frags else np.empty(0, np.int32),
+        np.concatenate(qlens) if qlens else np.empty(0, np.int64),
+        np.concatenate(qcovs) if qcovs else np.empty(0, np.float64),
+        np.asarray(idx_num, dtype=np.int32),
+        np.asarray(gsize, dtype=np.int64),
+        names, g_off, total_queries,
+    )
 
 
 def species_ids(
@@ -283,9 +370,9 @@ class FastProfiler:
 
     # --------------------------------------------------------------- run
 
-    def run(self, parsed: ParsedInput) -> list[Target]:
+    def run(self, parsed: "ParsedInput | FlatInput") -> list[Target]:
         opt, p = self.opt, self.p
-        flat = FlatInput(parsed)
+        flat = parsed if isinstance(parsed, FlatInput) else FlatInput(parsed)
         self.total_queries = flat.total_queries
         self.n_reads = float(flat.n_groups)
         if self.level_species:

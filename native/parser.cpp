@@ -1,0 +1,154 @@
+// Columnar parser for kmcp search-result TSVs — the profile hot path.
+//
+// Replaces the per-row Python object parse (kmcp_tpu/profile/core.py
+// parse_search_tsv, mirroring the reference's streaming row filter at
+// kmcp/cmd/util-profile.go:94-182) with a single pass that emits the
+// column arrays the vectorized profiler consumes: per-row group id,
+// interned target id, fragment index, query length and qCov, plus
+// per-target chunk-count/genome-size and per-group query-id offsets.
+// Row filters (qCov >= min, FPR <= max) use strtod, which rounds
+// identically to Python's float() for these decimal literals.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+
+namespace {
+
+struct SV {
+  const char* p;
+  size_t n;
+  bool operator==(const SV& o) const {
+    return n == o.n && std::memcmp(p, o.p, n) == 0;
+  }
+};
+
+struct SVHash {
+  size_t operator()(const SV& s) const {
+    // FNV-1a
+    uint64_t h = 1469598103934665603ull;
+    for (size_t i = 0; i < s.n; ++i) {
+      h ^= (unsigned char)s.p[i];
+      h *= 1099511628211ull;
+    }
+    return (size_t)h;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Parse one file's decompressed content.  Caller allocates the output
+// arrays with capacity >= number of '\n' in buf (rows) and a target /
+// group capacity of the same size.  Returns 0 on success, -1 on a
+// malformed row (fewer than 13 columns).
+//
+// Outputs (all caller-allocated):
+//   row_group[i64], row_target[i32], row_frag[i32], row_qlen[i64],
+//   row_qcov[f64]                            — per kept row
+//   tgt_off/tgt_len [i64], tgt_idx_num[i32], tgt_gsize[i64]
+//                                            — per interned target,
+//                                              name as (offset, len) into buf
+//   grp_off/grp_len [i64]                    — per group, query id offsets
+//   out_counts[5]: n_rows, n_groups, n_targets, total_queries,
+//                  n_matched_queries (from '# matched queries:' lines)
+int64_t kt_parse_search_tsv(const char* buf, int64_t len, double max_fpr,
+                            double min_qcov, int64_t* row_group,
+                            int32_t* row_target, int32_t* row_frag,
+                            int64_t* row_qlen, double* row_qcov,
+                            int64_t* tgt_off, int64_t* tgt_len,
+                            int32_t* tgt_idx_num, int64_t* tgt_gsize,
+                            int64_t* grp_off, int64_t* grp_len,
+                            int64_t* out_counts) {
+  std::unordered_map<SV, int32_t, SVHash> intern;
+  int64_t n_rows = 0, n_groups = 0, total_queries = 0, matched_queries = 0;
+  SV prev_query{nullptr, 0};
+  bool have_prev = false;
+
+  const char* p = buf;
+  const char* end = buf + len;
+  while (p < end) {
+    const char* nl = (const char*)memchr(p, '\n', end - p);
+    const char* eol = nl ? nl : end;
+    if (p == eol) {
+      p = eol + 1;
+      continue;
+    }
+    if (*p == '#') {
+      // "# input queries: N" / "# matched queries: N"
+      static const char kIn[] = "# input queries:";
+      static const char kMa[] = "# matched queries:";
+      if ((size_t)(eol - p) > sizeof(kIn) - 1 &&
+          std::memcmp(p, kIn, sizeof(kIn) - 1) == 0) {
+        total_queries += strtoll(p + sizeof(kIn) - 1, nullptr, 10);
+      } else if ((size_t)(eol - p) > sizeof(kMa) - 1 &&
+                 std::memcmp(p, kMa, sizeof(kMa) - 1) == 0) {
+        matched_queries += strtoll(p + sizeof(kMa) - 1, nullptr, 10);
+      }
+      p = eol + 1;
+      continue;
+    }
+    // split the 13+ needed columns
+    const char* col[13];
+    size_t cln[13];
+    int nc = 0;
+    const char* q = p;
+    while (nc < 13 && q <= eol) {
+      const char* tab = (const char*)memchr(q, '\t', eol - q);
+      const char* ce = tab ? tab : eol;
+      col[nc] = q;
+      cln[nc] = ce - q;
+      ++nc;
+      if (!tab) break;
+      q = ce + 1;
+    }
+    if (nc < 13) return -1;
+
+    const double qcov = strtod(col[11], nullptr);
+    if (qcov >= min_qcov) {
+      const double fpr = strtod(col[3], nullptr);
+      if (fpr <= max_fpr) {
+        const SV query{col[0], cln[0]};
+        if (!have_prev || !(query == prev_query)) {
+          grp_off[n_groups] = col[0] - buf;
+          grp_len[n_groups] = (int64_t)cln[0];
+          ++n_groups;
+        }
+        prev_query = query;
+        have_prev = true;
+
+        const SV tname{col[5], cln[5]};
+        int32_t tid;
+        auto it = intern.find(tname);
+        if (it == intern.end()) {
+          tid = (int32_t)intern.size();
+          intern.emplace(tname, tid);
+          tgt_off[tid] = col[5] - buf;
+          tgt_len[tid] = (int64_t)cln[5];
+          tgt_idx_num[tid] = (int32_t)strtol(col[7], nullptr, 10);
+          tgt_gsize[tid] = strtoll(col[8], nullptr, 10);
+        } else {
+          tid = it->second;
+        }
+        row_group[n_rows] = n_groups - 1;
+        row_target[n_rows] = tid;
+        row_frag[n_rows] = (int32_t)strtol(col[6], nullptr, 10);
+        row_qlen[n_rows] = strtoll(col[1], nullptr, 10);
+        row_qcov[n_rows] = qcov;
+        ++n_rows;
+      }
+    }
+    p = eol + 1;
+  }
+  out_counts[0] = n_rows;
+  out_counts[1] = n_groups;
+  out_counts[2] = (int64_t)intern.size();
+  out_counts[3] = total_queries;
+  out_counts[4] = matched_queries;
+  return 0;
+}
+
+}  // extern "C"

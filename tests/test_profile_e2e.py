@@ -222,3 +222,22 @@ def test_fast_profiler_equals_reference_engine(demo_db, taxid_map, tmp_path):
         assert [round(x, 9) for x in r.rel_depth] == pytest.approx(
             [round(x, 9) for x in f.rel_depth]
         )
+
+    # the native columnar parser must feed the fast engine identically
+    from kmcp_tpu.profile.fast import FlatInput, flat_from_files
+
+    flat = flat_from_files([str(tsv)], opt.max_fpr, opt.min_qcov)
+    if flat is not None:  # native lib available
+        import numpy as np
+
+        f2 = FlatInput(parsed)
+        assert flat.target_names == f2.target_names
+        for a in ("group", "target", "frag", "qlen", "qcov", "idx_num",
+                  "gsize", "row_tf", "gt_msize"):
+            assert np.array_equal(getattr(flat, a), getattr(f2, a)), a
+        assert flat.total_queries == f2.total_queries
+        nat = FastProfiler(opt, taxdb, taxmap).run(flat)
+        na = {t.name: t for t in nat}
+        assert set(na) == set(fa)
+        for name in fa:
+            assert na[name].percentage == fa[name].percentage
