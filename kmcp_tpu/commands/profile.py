@@ -72,10 +72,13 @@ def run_profile(
               file=sys.stderr)
     parsed = None
     flat = None
-    if use_fast and not binning_file:
-        # columnar native parse, no per-row Python objects (binning
-        # still needs the row-group representation below)
-        flat = flat_from_files(files, opt.max_fpr, opt.min_qcov)
+    if use_fast:
+        # columnar native parse, no per-row Python objects; query-id
+        # offsets are retained when binning needs them
+        flat = flat_from_files(
+            files, opt.max_fpr, opt.min_qcov,
+            keep_queries=bool(binning_file),
+        )
     if flat is None:
         parsed = parse_search_tsv(files, opt.max_fpr, opt.min_qcov)
     if verbose:
@@ -134,7 +137,9 @@ def run_profile(
             binning_file += ".binning.gz"
         with xopen(binning_file, "wt") as f:
             write_binning_header(f, sample_id)
-            for query, taxid in prof.binning(parsed, targets):
+            for query, taxid in prof.binning(
+                flat if flat is not None else parsed, targets
+            ):
                 f.write(f"{query}\t{taxid}\n")
 
     return targets

@@ -113,12 +113,15 @@ class FlatInput:
 
 
 def flat_from_files(
-    files: list[str], max_fpr: float, min_qcov: float
+    files: list[str], max_fpr: float, min_qcov: float,
+    keep_queries: bool = False,
 ) -> FlatInput | None:
     """Columnar native parse of search TSVs straight into a FlatInput
     (no per-row Python objects); None when the native parser is
     unavailable.  Target ids are re-interned across files; groups never
-    span a file boundary (matching core.parse_search_tsv)."""
+    span a file boundary (matching core.parse_search_tsv).  With
+    ``keep_queries``, per-group query ids stay addressable as (buffer,
+    offset, len) for lazy decoding (binning)."""
     from ..kmer import native
     from ..seqio.fastx import xopen
 
@@ -133,6 +136,7 @@ def flat_from_files(
     frags = []
     qlens = []
     qcovs = []
+    qsrc = []  # (buf, grp_off, grp_len, first_group) per file
     g_off = 0
     total_queries = 0
     for path in files:
@@ -160,9 +164,11 @@ def flat_from_files(
         frags.append(d["frag"])
         qlens.append(d["qlen"])
         qcovs.append(d["qcov"])
+        if keep_queries:
+            qsrc.append((buf, d["grp_off"], d["grp_len"], g_off))
         g_off += len(d["grp_off"])
         total_queries += d["total_queries"]
-    return FlatInput.from_arrays(
+    flat = FlatInput.from_arrays(
         np.concatenate(groups) if groups else np.empty(0, np.int64),
         np.concatenate(targets) if targets else np.empty(0, np.int32),
         np.concatenate(frags) if frags else np.empty(0, np.int32),
@@ -172,6 +178,18 @@ def flat_from_files(
         np.asarray(gsize, dtype=np.int64),
         names, g_off, total_queries,
     )
+    if keep_queries:
+        flat.query_src = qsrc
+    return flat
+
+
+def _flat_group_query(flat: FlatInput, g: int) -> str:
+    """Decode group g's query id from the retained file buffers."""
+    for buf, offs, lens, first in reversed(flat.query_src):
+        if g >= first:
+            o = int(offs[g - first])
+            return buf[o : o + int(lens[g - first])].decode()
+    raise IndexError(g)
 
 
 def species_ids(
@@ -547,9 +565,42 @@ class FastProfiler:
         return [m for m in rows if m.target in allowed]
 
     def binning(self, parsed, targets):
+        if isinstance(parsed, FlatInput) and hasattr(parsed, "query_src"):
+            return self._binning_flat(parsed, targets)
         from .core import Profiler
 
         return Profiler.binning(self, parsed, targets)
+
+    def _binning_flat(self, flat: FlatInput, targets):
+        """Columnar per-read LCA assignment (profile.go:2619-2778): keep
+        profiled targets, single-target groups take that target's taxid,
+        multi-target groups take the LCA; query ids decode lazily."""
+        name_to_tid = {n: i for i, n in enumerate(flat.target_names)}
+        whitelist = np.zeros(flat.n_targets, dtype=bool)
+        for t in targets:
+            tid = name_to_tid.get(t.name)
+            if tid is not None:
+                whitelist[tid] = True
+        t_tax = np.array(
+            [self._taxid_of(n) for n in flat.target_names], dtype=np.int64
+        )
+        keep = np.flatnonzero(whitelist[flat.gt_target])
+        if len(keep) == 0:
+            return
+        groups = flat.gt_group[keep]  # sorted (gt order is group-major)
+        tgts = flat.gt_target[keep]
+        starts = np.flatnonzero(
+            np.concatenate(([True], groups[1:] != groups[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(groups)]))
+        lca = self.taxdb.lca_many
+        for s, e in zip(starts, ends):
+            g = int(groups[s])
+            q = _flat_group_query(flat, g)
+            if e - s == 1:
+                yield q, int(t_tax[tgts[s]])
+            else:
+                yield q, lca([int(t_tax[t]) for t in tgts[s:e]])
 
     # ------------------------------------------------------------ helpers
 

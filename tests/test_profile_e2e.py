@@ -241,3 +241,15 @@ def test_fast_profiler_equals_reference_engine(demo_db, taxid_map, tmp_path):
         assert set(na) == set(fa)
         for name in fa:
             assert na[name].percentage == fa[name].percentage
+
+        # columnar binning == row-group binning
+        flat_q = flat_from_files(
+            [str(tsv)], opt.max_fpr, opt.min_qcov, keep_queries=True
+        )
+        fp = FastProfiler(opt, taxdb, taxmap)
+        nat2 = fp.run(flat_q)
+        bin_flat = list(fp.binning(flat_q, nat2))
+        fp2 = FastProfiler(opt, taxdb, taxmap)
+        fp2.run(parsed)
+        bin_rows = list(fp2.binning(parsed, fast))
+        assert bin_flat == bin_rows
