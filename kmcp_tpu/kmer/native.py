@@ -130,6 +130,17 @@ def get_lib():
             i64p,
         ]
         lib.kt_parse_search_tsv.restype = ctypes.c_int64
+        lib.kt_merge_scan.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+            i64p, i64p, i64p, i64p, i64p, i64p, f64p, i64p,
+        ]
+        lib.kt_merge_scan.restype = ctypes.c_int64
+        lib.kt_merge_emit.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, i64p,
+            i64p, i64p, i64p, i64p, i64p, i64p, i32p,
+            ctypes.c_void_p,
+        ]
+        lib.kt_merge_emit.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -444,3 +455,75 @@ def parse_search_tsv(buf: bytes, max_fpr: float, min_qcov: float):
         "total_queries": total_q,
         "matched_queries": matched_q,
     }
+
+
+def merge_scan(buf: bytes, score_col: int):
+    """Scan one search TSV for the k-way merge: per-row spans, hits-column
+    spans, query-id lengths, queryIdx and score, plus the file's stat-line
+    totals.  None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = max(buf.count(b"\n") + 1, 1)
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    f64 = ctypes.POINTER(ctypes.c_double)
+    row_off = np.empty(cap, dtype=np.int64)
+    row_len = np.empty(cap, dtype=np.int64)
+    hits_off = np.empty(cap, dtype=np.int64)
+    hits_len = np.empty(cap, dtype=np.int64)
+    qid_len = np.empty(cap, dtype=np.int64)
+    qidx = np.empty(cap, dtype=np.int64)
+    score = np.empty(cap, dtype=np.float64)
+    counts = np.zeros(3, dtype=np.int64)
+    rc = lib.kt_merge_scan(
+        buf, len(buf), score_col,
+        row_off.ctypes.data_as(i64), row_len.ctypes.data_as(i64),
+        hits_off.ctypes.data_as(i64), hits_len.ctypes.data_as(i64),
+        qid_len.ctypes.data_as(i64), qidx.ctypes.data_as(i64),
+        score.ctypes.data_as(f64), counts.ctypes.data_as(i64),
+    )
+    if rc != 0:
+        raise ValueError("invalid kmcp search result format")
+    n = int(counts[0])
+    return {
+        "row_off": row_off[:n], "row_len": row_len[:n],
+        "hits_off": hits_off[:n], "hits_len": hits_len[:n],
+        "qid_len": qid_len[:n], "qidx": qidx[:n], "score": score[:n],
+        "total_queries": int(counts[1]),
+        "matched_queries": int(counts[2]),
+    }
+
+
+def merge_emit(buf: bytes, order, row_off, row_len, hits_off, hits_len,
+               qid_len, qidx, hits):
+    """Assemble merged output rows (hits column rewritten) in ``order``.
+    Returns bytes, or raises SystemExit on a query-id mismatch within a
+    queryIdx group (reporting the offending output position)."""
+    lib = get_lib()
+    n_out = len(order)
+    bufsize = int(row_len.sum()) + n_out * 12 + 64
+    out = _get_write_buf(bufsize)
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.kt_merge_emit(
+        buf, n_out,
+        np.ascontiguousarray(order, dtype=np.int64).ctypes.data_as(i64),
+        np.ascontiguousarray(row_off, dtype=np.int64).ctypes.data_as(i64),
+        np.ascontiguousarray(row_len, dtype=np.int64).ctypes.data_as(i64),
+        np.ascontiguousarray(hits_off, dtype=np.int64).ctypes.data_as(i64),
+        np.ascontiguousarray(hits_len, dtype=np.int64).ctypes.data_as(i64),
+        np.ascontiguousarray(qid_len, dtype=np.int64).ctypes.data_as(i64),
+        np.ascontiguousarray(qidx, dtype=np.int64).ctypes.data_as(i64),
+        np.ascontiguousarray(hits, dtype=np.int32).ctypes.data_as(i32),
+        out.ctypes.data,
+    )
+    if rc < 0:
+        i = -int(rc) - 2
+        r = int(order[i])
+        row = buf[int(row_off[r]) : int(row_off[r]) + int(row_len[r])]
+        qid = row.split(b"\t", 1)[0].decode()
+        raise SystemExit(
+            f"[queryIdx: {int(qidx[r])}] unmatched sequence Ids: "
+            f"'{qid}' — results must come from the same query file"
+        )
+    return out[:rc].tobytes()

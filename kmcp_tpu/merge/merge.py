@@ -17,6 +17,8 @@ from __future__ import annotations
 import heapq
 import sys
 
+import numpy as np
+
 from ..seqio.fastx import xopen
 
 HEADER = (
@@ -57,6 +59,70 @@ def _iter_results(path: str, score_field: int):
     yield None, None, stats
 
 
+def _run_merge_native(files: list[str], out, score_field: int) -> None:
+    """Columnar merge: one C++ scan per file (row spans + queryIdx +
+    score), a global lexsort (queryIdx asc, score desc, stream order for
+    ties — the heap merge's exact ordering for queryIdx-sorted inputs),
+    then one C++ emit pass that splices the rewritten hits column."""
+    from ..kmer import native
+
+    bufs = []
+    scans = []
+    off = 0
+    for path in files:
+        with xopen(path, "rb") as f:
+            b = f.read()
+        try:
+            d = native.merge_scan(b, score_field)
+        except ValueError:
+            raise SystemExit("invalid kmcp search result format")
+        d["row_off"] = d["row_off"] + off
+        d["hits_off"] = d["hits_off"] + off
+        off += len(b)
+        bufs.append(b)
+        scans.append(d)
+    buf = b"".join(bufs)
+    qidx = np.concatenate([d["qidx"] for d in scans])
+    score = np.concatenate([d["score"] for d in scans])
+    n = len(qidx)
+    order = np.lexsort((np.arange(n), -score, qidx))
+    qs = qidx[order]
+    if n:
+        new_group = np.concatenate(([True], qs[1:] != qs[:-1]))
+        group_id = np.cumsum(new_group) - 1
+        counts = np.bincount(group_id).astype(np.int32)
+        hits = counts[group_id]
+        matched = len(counts)
+    else:
+        hits = np.empty(0, dtype=np.int32)
+        matched = 0
+    data = native.merge_emit(
+        buf, order,
+        np.concatenate([d["row_off"] for d in scans]),
+        np.concatenate([d["row_len"] for d in scans]),
+        np.concatenate([d["hits_off"] for d in scans]),
+        np.concatenate([d["hits_len"] for d in scans]),
+        np.concatenate([d["qid_len"] for d in scans]),
+        qidx, hits,
+    )
+    out.write(data.decode("utf-8", "surrogateescape"))
+
+    totals = [d["total_queries"] for d in scans]
+    nonzero = [t for t in totals if t != 0]
+    total = nonzero[0] if nonzero else 0
+    for t in nonzero[1:]:
+        if t != total:
+            raise SystemExit(
+                f"different numbers of queries across input files "
+                f"({total} vs {t}) — please make sure they come from "
+                "the same input query"
+            )
+    out.write(f"# input queries: {total}\n")
+    out.write(f"# matched queries: {matched}\n")
+    pct = matched / total * 100 if total else 0.0
+    out.write(f"# matched percentage: {pct:.4f}%\n")
+
+
 def run_merge(
     files: list[str],
     out_file: str = "-",
@@ -78,6 +144,12 @@ def run_merge(
                     if line.startswith("#query") or line.startswith("# "):
                         continue
                     out.write(line)
+            return
+
+        from ..kmer import native
+
+        if native.get_lib() is not None:
+            _run_merge_native(files, out, score_field)
             return
 
         iters = [_iter_results(f, score_field) for f in files]

@@ -151,4 +151,120 @@ int64_t kt_parse_search_tsv(const char* buf, int64_t len, double max_fpr,
   return 0;
 }
 
+// ------------------------------------------------------------------ merge
+
+// Scan one search-result file for the k-way merge (kmcp merge,
+// kmcp/cmd/merge.go:160-260): per data row emit its byte span, the
+// hits-column span (rewritten at output time), query-id length
+// (column 0 starts at the row offset), queryIdx and the score column.
+// '# input queries/matched queries' stat lines accumulate into
+// out_counts[1..2]; out_counts[0] = number of rows.  Returns 0, or -1
+// on a row with fewer than 15 columns.
+int64_t kt_merge_scan(const char* buf, int64_t len, int score_col,
+                      int64_t* row_off, int64_t* row_len,
+                      int64_t* hits_off, int64_t* hits_len,
+                      int64_t* qid_len, int64_t* qidx, double* score,
+                      int64_t* out_counts) {
+  int64_t n_rows = 0, total_queries = 0, matched_queries = 0;
+  const char* p = buf;
+  const char* end = buf + len;
+  while (p < end) {
+    const char* nl = (const char*)memchr(p, '\n', end - p);
+    const char* eol = nl ? nl : end;
+    if (p == eol) {
+      p = eol + 1;
+      continue;
+    }
+    if (*p == '#') {
+      static const char kIn[] = "# input queries:";
+      static const char kMa[] = "# matched queries:";
+      if ((size_t)(eol - p) > sizeof(kIn) - 1 &&
+          std::memcmp(p, kIn, sizeof(kIn) - 1) == 0) {
+        total_queries += strtoll(p + sizeof(kIn) - 1, nullptr, 10);
+      } else if ((size_t)(eol - p) > sizeof(kMa) - 1 &&
+                 std::memcmp(p, kMa, sizeof(kMa) - 1) == 0) {
+        matched_queries += strtoll(p + sizeof(kMa) - 1, nullptr, 10);
+      }
+      p = eol + 1;
+      continue;
+    }
+    const char* col[15];
+    size_t cln[15];
+    int nc = 0;
+    const char* q = p;
+    while (nc < 15 && q <= eol) {
+      const char* tab = (const char*)memchr(q, '\t', eol - q);
+      const char* ce = tab ? tab : eol;
+      col[nc] = q;
+      cln[nc] = ce - q;
+      ++nc;
+      if (!tab) break;
+      q = ce + 1;
+    }
+    if (nc < 15) return -1;
+    row_off[n_rows] = p - buf;
+    row_len[n_rows] = eol - p;
+    hits_off[n_rows] = col[4] - buf;
+    hits_len[n_rows] = (int64_t)cln[4];
+    qid_len[n_rows] = (int64_t)cln[0];
+    qidx[n_rows] = strtoll(col[14], nullptr, 10);
+    score[n_rows] = strtod(col[score_col], nullptr);
+    ++n_rows;
+    p = eol + 1;
+  }
+  out_counts[0] = n_rows;
+  out_counts[1] = total_queries;
+  out_counts[2] = matched_queries;
+  return 0;
+}
+
+// Emit merged rows in `order`, splicing the rewritten hits value, and
+// verify that all rows of one queryIdx share a query id (merge.go's
+// unmatched-sequence-Id check).  Returns bytes written, or -(i+2) when
+// output position i's query id mismatches its group's first row.
+int64_t kt_merge_emit(const char* buf, int64_t n_out, const int64_t* order,
+                      const int64_t* row_off, const int64_t* row_len,
+                      const int64_t* hits_off, const int64_t* hits_len,
+                      const int64_t* qid_len, const int64_t* qidx,
+                      const int32_t* hits, char* out) {
+  char* p = out;
+  int64_t cur_qidx = -1;
+  const char* cur_qid = nullptr;
+  int64_t cur_qid_len = 0;
+  for (int64_t i = 0; i < n_out; ++i) {
+    const int64_t r = order[i];
+    const char* row = buf + row_off[r];
+    if (qidx[r] != cur_qidx) {
+      cur_qidx = qidx[r];
+      cur_qid = row;
+      cur_qid_len = qid_len[r];
+    } else if (qid_len[r] != cur_qid_len ||
+               std::memcmp(row, cur_qid, cur_qid_len) != 0) {
+      return -(i + 2);
+    }
+    const int64_t pre = hits_off[r] - row_off[r];
+    std::memcpy(p, row, pre);
+    p += pre;
+    // hits value (<= 10 digits)
+    int32_t v = hits[i];
+    if (v == 0) {
+      *p++ = '0';
+    } else {
+      char tmp[12];
+      int n = 0;
+      while (v > 0) {
+        tmp[n++] = '0' + (v % 10);
+        v /= 10;
+      }
+      while (n > 0) *p++ = tmp[--n];
+    }
+    const char* post = row + pre + hits_len[r];
+    const int64_t post_len = row_len[r] - pre - hits_len[r];
+    std::memcpy(p, post, post_len);
+    p += post_len;
+    *p++ = '\n';
+  }
+  return p - out;
+}
+
 }  // extern "C"
