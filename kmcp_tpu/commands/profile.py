@@ -68,6 +68,24 @@ def run_profile(
     ) != "reference"
 
     if verbose:
+        # the reference's "[main parameters]" block (profile.go:393-423);
+        # preset-resolved values, mirroring its post-override dump
+        from ..profile.core import resolve_params
+
+        p = resolve_params(opt)
+        print(
+            "[profile] main parameters:\n"
+            f"  mode: {opt.mode}, engine: "
+            f"{'fast' if use_fast else 'reference'}, level: {opt.level}\n"
+            f"  max-fpr: {opt.max_fpr}, min-qcov: {opt.min_qcov}\n"
+            f"  min-chunks-reads: {p['min_reads']}, "
+            f"min-uniq-reads: {p['min_ureads']}, "
+            f"min-chunks-fraction: {p['min_frags_prop']}, "
+            f"max-chunks-depth-stdev: {p['max_depth_stdev']}",
+            file=sys.stderr,
+        )
+
+    if verbose:
         print(f"[profile] parsing {len(files)} search result file(s)",
               file=sys.stderr)
     parsed = None

@@ -104,6 +104,24 @@ def run_search(
                 )
 
     k_max = max(engine.dbs[0].info.ks)
+    if verbose:
+        # the reference's "[main parameters]" block (search.go:412-420)
+        print(
+            "[search] main parameters:\n"
+            f"  database: {db_dir}\n"
+            f"  backend: {opt.backend}, paired: {paired}, "
+            f"whole-file: {whole_file}\n"
+            f"  min-query-len: {opt.min_query_len}, "
+            f"min-kmers: {opt.min_kmers}, "
+            f"query-cov: {opt.min_query_cov}, "
+            f"target-cov: {opt.min_target_cov}, "
+            f"max-fpr: {opt.max_fpr}\n"
+            f"  sort-by: {opt.sort_by}, "
+            f"keep-top-scores: {opt.keep_top_scores}, "
+            f"keep-unmatched: {opt.keep_unmatched}, "
+            f"try-se: {opt.try_se}",
+            file=sys.stderr,
+        )
     t0 = time.time()
 
     if out_file == "-":
