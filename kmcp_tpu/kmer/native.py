@@ -118,6 +118,7 @@ def get_lib():
             i64p,
             ctypes.c_char_p, i64p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_int64,
         ]
         lib.kt_write_rows.restype = ctypes.c_int64
         f64p = ctypes.POINTER(ctypes.c_double)
@@ -279,14 +280,19 @@ def write_rows(
     sizes: np.ndarray,
     fpr_tab, fpr_nmax: int,
     qidx_base: int,
+    keep_unmatched: bool = False,
+    k: int = 0,
 ) -> bytes | None:
-    """Format match rows natively; returns the TSV bytes or None."""
+    """Format match rows natively; returns the TSV bytes or None.
+    With ``keep_unmatched``, reads with no hits emit the reference's
+    unmatched row (kSize column = ``k``; flags bit1 marks too-short
+    reads whose k-mer count reports as 0)."""
     lib = get_lib()
     if lib is None:
         return None
     n_rows = len(qi)
     n_reads = len(qlen)
-    est = n_rows * 256 + 64
+    est = (n_rows + (n_reads if keep_unmatched else 0)) * 256 + 64
     buf = _get_write_buf(est)
     i64p = ctypes.POINTER(ctypes.c_int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
@@ -325,6 +331,7 @@ def write_rows(
         sz64.ctypes.data_as(i64p),
         fd, fo.ctypes.data_as(i64p), fpr_nmax,
         qidx_base, buf.ctypes.data,
+        int(keep_unmatched), (ks := str(k).encode()), len(ks),
     )
     return buf[:n].tobytes()
 

@@ -357,11 +357,7 @@ class StreamSearcher:
             )
 
             top_n = opt.keep_top_scores
-            use_native = (
-                top_n <= 0
-                and not opt.keep_unmatched
-                and native.get_lib() is not None
-            )
+            use_native = top_n <= 0 and native.get_lib() is not None
             if use_native:
                 self._write_native(
                     out, state, qi, t, cnt, hits, slow_set, slow_results,
@@ -405,11 +401,12 @@ class StreamSearcher:
         """One kt_write_rows call per run of fast reads; slow reads'
         pre-formatted rows interleave between runs."""
         B = len(state["ids"])
-        flags = np.zeros(B, dtype=np.uint8)
+        flags = np.where(state["too_short"], 2, 0).astype(np.uint8)
         for r in slow_set:
             flags[r] = 1
         qlen = state["qlen"]
         nkmers = state["counts"]
+        ku = self.opt.keep_unmatched
         tname_tab, tmeta_tab = self._target_tabs()
         nmax = max(64, -(-int(nkmers.max(initial=1)) // 64) * 64)
         pairs = nkmers[qi].astype(np.int64) * (nmax + 1) + cnt.astype(
@@ -423,6 +420,7 @@ class StreamSearcher:
                 qi, t, cnt, qlen, nkmers, hits, flags,
                 qid_tab, tname_tab, tmeta_tab,
                 self.dev.sizes, fpr_tab, nmax, idx0,
+                keep_unmatched=ku, k=self.k,
             )
             out.write(data.decode("utf-8", "surrogateescape"))
             return
@@ -443,9 +441,10 @@ class StreamSearcher:
                     qi[rows_lo:rows_hi] - r0, t[rows_lo:rows_hi],
                     cnt[rows_lo:rows_hi],
                     qlen[r0:r1], nkmers[r0:r1], hits[r0:r1],
-                    np.zeros(r1 - r0, dtype=np.uint8),
+                    flags[r0:r1] & np.uint8(2),
                     sub_qid, self._tname_tab, self._tmeta_tab,
                     self.dev.sizes, fpr_tab, nmax, idx0 + r0,
+                    keep_unmatched=ku, k=self.k,
                 )
                 out.write(data.decode("utf-8", "surrogateescape"))
             if sr < B:

@@ -66,9 +66,12 @@ extern "C" {
 //
 // Candidate arrays (already sorted by read, score desc): qi, t, cnt [n_rows].
 // Per-read arrays (length n_reads, indexed by local read id): qlen, nkmers,
-// hits, flags (bit0: write unmatched row, bit1: skip entirely).
+// hits, flags (bit0: skip entirely — slow-path read written by the caller;
+// bit1: too-short read, unmatched row reports 0 k-mers).
 // Per-target tables: names/chunkidx/chunks/gsize strings, sizes int64.
 // fpr_tab: string table indexed by n*(nmax+1)+c.
+// keep_unmatched emits the reference's unmatched row (search.go:593-605):
+// qid qlen nk 0 0 "" -1 0 0 k 0 0 0 0 idx.
 int64_t kt_write_rows(
     const int32_t* qi, const int32_t* t, const int32_t* cnt, int64_t n_rows,
     int64_t n_reads, const int64_t* qlen, const int64_t* nkmers,
@@ -78,7 +81,8 @@ int64_t kt_write_rows(
     const char* tmeta_data, const int64_t* tmeta_offsets,  // "\tchunkIdx\tchunks\tgsize\tk\t" per target
     const int64_t* sizes,
     const char* fpr_data, const int64_t* fpr_offsets, int64_t fpr_nmax,
-    int64_t qidx_base, char* buf) {
+    int64_t qidx_base, char* buf, int keep_unmatched, const char* k_str,
+    int64_t k_str_len) {
   StrTab qid{qid_data, qid_offsets};
   StrTab tname{tname_data, tname_offsets};
   StrTab tmeta{tmeta_data, tmeta_offsets};
@@ -90,7 +94,7 @@ int64_t kt_write_rows(
     int64_t acc = 0;
     for (int64_t r = 0; r < n_reads; ++r) {
       row_start[r] = acc;
-      if (!flags[r]) acc += hits[r];
+      if (!(flags[r] & 1)) acc += hits[r];
     }
     row_start[n_reads] = acc;
   }
@@ -101,6 +105,22 @@ int64_t kt_write_rows(
     int64_t lq;
     const char* sq = qid.at(r, &lq);
     const int64_t n = nkmers[r];
+    if (h == 0) {
+      if (!keep_unmatched) return p;
+      p = put_str(p, sq, lq);
+      *p++ = '\t';
+      p = put_int(p, qlen[r]);
+      *p++ = '\t';
+      p = put_int(p, (flags[r] & 2) ? 0 : n);
+      std::memcpy(p, "\t0\t0\t\t-1\t0\t0\t", 13);
+      p += 13;
+      p = put_str(p, k_str, k_str_len);
+      std::memcpy(p, "\t0\t0\t0\t0\t", 9);
+      p += 9;
+      p = put_int(p, qidx_base + r);
+      *p++ = '\n';
+      return p;
+    }
     for (int32_t j = 0; j < h; ++j, ++row) {
       const int64_t ti = t[row];
       const int64_t c = cnt[row];
@@ -152,10 +172,10 @@ int64_t kt_write_rows(
       const int64_t r1 = (r0 + per < n_reads) ? r0 + per : n_reads;
       if (r0 < n_reads) {
         const int64_t rows_here = row_start[r1] - row_start[r0];
-        bufs[tid].resize((size_t)rows_here * 256 + 64);
+        bufs[tid].resize((size_t)(rows_here + (r1 - r0)) * 256 + 64);
         char* p = bufs[tid].data();
         for (int64_t r = r0; r < r1; ++r) {
-          if (flags[r] || hits[r] == 0) continue;
+          if (flags[r] & 1) continue;
           p = emit_read(r, p);
         }
         lens[tid] = p - bufs[tid].data();
@@ -171,7 +191,7 @@ int64_t kt_write_rows(
 #endif
   char* p = buf;
   for (int64_t r = 0; r < n_reads; ++r) {
-    if (flags[r] || hits[r] == 0) continue;
+    if (flags[r] & 1) continue;
     p = emit_read(r, p);
   }
   return p - buf;
