@@ -570,3 +570,43 @@ def test_native_dedup_matches_numpy_unique(tmp_path):
             np.sort(got), np.sort((want % S).astype(np.int32))
         )
         assert np.all(loc[r, cnts[r] :, :] == S)
+
+
+def test_multihost_distributed_search():
+    """Two real processes, each owning half the DB words, run the global
+    (d, t) mesh step via jax.distributed + Gloo and match the
+    single-process oracle (the reference's per-node sub-database +
+    offline merge, as one SPMD program)."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tools", "multihost_worker.py")
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, worker, str(i), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-2000:]}"
+        assert f"proc {i}: OK" in out
