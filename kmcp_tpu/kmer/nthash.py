@@ -238,6 +238,16 @@ def hash_reads_batch(
     valid = valid & (h != 0)
     if max_hash is not None:
         valid = valid & (h <= np.uint64(max_hash))
+    if B == 1 and k_max_pad == 0:
+        # single huge read (whole-file queries): skip the padded-matrix
+        # scatter entirely — the compressed vector IS row 0
+        hv = h[valid]
+        n = len(hv)
+        return (
+            hv.reshape(1, -1) if n else np.zeros((1, 1), np.uint64),
+            np.ones((1, n), dtype=bool) if n else np.zeros((1, 1), bool),
+            np.array([n], dtype=np.int64),
+        )
     pos = np.nonzero(valid)[0]
     hv = h[pos]
     # Windows of read r occupy the contiguous range [starts[r], starts[r+1])
