@@ -25,7 +25,7 @@ import numpy as np
 
 from ..kmer import kset as ksetmod
 from ..kmer.kset import KsetFileInfo, KsetMeta, write_kset
-from ..kmer.sketches import generate_kmers
+from ..kmer.sketches import generate_kmers, unique_sorted
 from ..seqio.fastx import (
     concat_with_ns,
     read_fastx,
@@ -198,7 +198,7 @@ def compute_file(
 
         for frag_idx, (_start, sub) in enumerate(chunks):
             codes = sketch(sub)
-            codes = np.unique(codes)
+            codes = unique_sorted(codes)
             out_file = os.path.join(
                 out_dir, f"{ref_name}-chunk_{frag_idx}.kset"
             )
@@ -220,7 +220,7 @@ def compute_file(
     elif by_seq:
         # one output per sequence (compute.go --by-seq)
         for rec in records:
-            codes = np.unique(sketch(rec.seq))
+            codes = unique_sorted(sketch(rec.seq))
             out_file = os.path.join(out_dir, f"{base_file}-id_{rec.id}.kset")
             write_kset(out_file, codes, meta_for(rec.id, 0, len(rec.seq), 1))
             infos.append(
@@ -237,7 +237,7 @@ def compute_file(
         # whole file pooled into one k-mer set (compute.go:894-962)
         genome_size = sum(len(r.seq) for r in records)
         parts = [sketch(r.seq) for r in records]
-        codes = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+        codes = unique_sorted(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
         if len(codes) == 0:
             return []
         out_file = os.path.join(out_dir, f"{base_file}.kset")

@@ -76,6 +76,10 @@ def get_lib():
             ctypes.c_int,
         ]
         lib.kthash_scan_mt.restype = None
+        lib.kt_sort_unique.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, ctypes.c_int,
+        ]
+        lib.kt_sort_unique.restype = ctypes.c_int64
         lib.kt_locations.argtypes = [
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, ctypes.c_int,
             ctypes.c_uint64, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
@@ -534,3 +538,19 @@ def merge_emit(buf: bytes, order, row_off, row_len, hits_off, hits_len,
             f"'{qid}' — results must come from the same query file"
         )
     return out[:rc].tobytes()
+
+
+def sort_unique(hashes: np.ndarray, threads: int = 0) -> np.ndarray | None:
+    """Parallel in-place sort + unique of a uint64 array; returns the
+    unique sorted values (a view of the scratch copy) or None when the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(hashes, dtype=np.uint64).copy()
+    if threads <= 0:
+        threads = min(os.cpu_count() or 1, 16)
+    m = lib.kt_sort_unique(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(a), threads
+    )
+    return a[:m]

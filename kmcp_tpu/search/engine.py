@@ -47,7 +47,7 @@ from ..index.format import (
     read_db_info,
 )
 from ..kmer.nthash import hash_reads_batch
-from ..kmer.sketches import generate_kmers, max_hash_for_scale
+from ..kmer.sketches import generate_kmers, max_hash_for_scale, unique_sorted
 from .fpr import QueryFPRCache
 from .kernel import JaxBlockCounter, count_matches_numpy
 
@@ -348,7 +348,7 @@ class SearchEngine:
                         km = db.generate_query_kmers(seq2, k)
                         qlen = len(seq2)
                     if len(km) > opt.kmer_dedup_threshold:
-                        km = np.unique(km)
+                        km = unique_sorted(km)
                     meta[qi] = (qlen, len(km), k)
                     if len(km) < opt.min_kmers:
                         done[qi] = True
@@ -397,7 +397,7 @@ class SearchEngine:
                     )
                     nk = int(counts[r])
                     if nk > opt.kmer_dedup_threshold:
-                        km = np.unique(H[r][M[r]])
+                        km = unique_sorted(H[r][M[r]])
                         meta[qi] = (qlen, len(km), k)
                         if len(km) < opt.min_kmers:
                             done[qi] = True

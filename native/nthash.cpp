@@ -378,6 +378,58 @@ void kt_build_word_column(const uint64_t* hashes, const int64_t* h_offsets,
 // Multi-hash derivation splits the 64-bit value into a=hi32, b=lo32 and uses
 // uint32(a + b*j) — deliberate uint32 wraparound, matching
 // kmcp/cmd/util-hash.go:61-142.
+// Parallel sort + unique of a uint64 hash array, in place: radix
+// partition by the top byte (hashes are uniform, so buckets balance),
+// sort each bucket concurrently, then compact out duplicates.  Returns
+// the unique count.  Replaces numpy's single-threaded sort in the
+// compute dedup (reference sortutil.Uint64s + unique counting,
+// kmcp/cmd/compute.go:832-858) and in large-query dedup.
+int64_t kt_sort_unique(uint64_t* a, int64_t n, int threads) {
+  if (n <= 1) return n;
+  if (threads <= 0) threads = 1;
+  if (n < (int64_t)1 << 16 || threads == 1) {
+    std::sort(a, a + n);
+    int64_t m = 0;
+    for (int64_t i = 0; i < n; ++i)
+      if (i == 0 || a[i] != a[i - 1]) a[m++] = a[i];
+    return m;
+  }
+  constexpr int B = 256;
+  std::vector<int64_t> count(B, 0);
+  // count pass (parallel, per-thread counts merged)
+#ifdef _OPENMP
+#pragma omp parallel num_threads(threads)
+  {
+    std::vector<int64_t> local(B, 0);
+#pragma omp for schedule(static)
+    for (int64_t i = 0; i < n; ++i) ++local[a[i] >> 56];
+#pragma omp critical
+    for (int b = 0; b < B; ++b) count[b] += local[b];
+  }
+#else
+  for (int64_t i = 0; i < n; ++i) ++count[a[i] >> 56];
+#endif
+  std::vector<int64_t> off(B + 1, 0);
+  for (int b = 0; b < B; ++b) off[b + 1] = off[b] + count[b];
+  // scatter into bucket order (single pass; memory = one extra copy)
+  std::vector<uint64_t> tmp((size_t)n);
+  {
+    std::vector<int64_t> cur(off.begin(), off.end() - 1);
+    for (int64_t i = 0; i < n; ++i) tmp[cur[a[i] >> 56]++] = a[i];
+  }
+  std::memcpy(a, tmp.data(), (size_t)n * 8);
+  // sort buckets in parallel; buckets are independent ranges
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(threads) schedule(dynamic, 1)
+#endif
+  for (int b = 0; b < B; ++b) std::sort(a + off[b], a + off[b + 1]);
+  // compact duplicates (bucket boundaries preserve global order)
+  int64_t m = 0;
+  for (int64_t i = 0; i < n; ++i)
+    if (i == 0 || a[i] != a[i - 1]) a[m++] = a[i];
+  return m;
+}
+
 void kt_locations(const uint64_t* hashes, int64_t n, int num_hashes,
                   uint64_t num_sigs, int32_t* out, int threads) {
   if (num_sigs == 0) return;
