@@ -248,13 +248,17 @@ def run_index(
             threshold_1=threshold_1,
         )
 
-    if os.path.exists(out_dir):
-        if not force:
-            raise SystemExit(
-                f"kmcp-tpu index: out dir exists: {out_dir} (use --force)"
-            )
-        shutil.rmtree(out_dir)
-    os.makedirs(out_dir)
+    if not dry_run:
+        # --dry-run only prints the block plan (index.go:141-144),
+        # touching nothing on disk
+        if os.path.exists(out_dir):
+            if not force:
+                raise SystemExit(
+                    f"kmcp-tpu index: out dir exists: {out_dir} "
+                    "(use --force)"
+                )
+            shutil.rmtree(out_dir)
+        os.makedirs(out_dir)
 
     block_files: list[str] = []
     total_kmers = 0

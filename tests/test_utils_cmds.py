@@ -152,3 +152,56 @@ def test_metaphlan_report_formats(demo_db, taxid_map, tmp_path):  # noqa: F811
         assert 0 < pct <= 100.0001
         # species rows present with full prefixed lineage
         assert any("|s__" in l.split("\t")[0] for l in data)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference repo absent")
+def test_cli_paired_search_and_dry_run(demo_db, tmp_path):  # noqa: F811
+    """CLI-level paired (-1/-2) streaming search and index --dry-run."""
+    from kmcp_tpu.seqio.fastx import read_fastx
+
+    ref = os.path.join(
+        REFERENCE_DIR, "demo-profiling", "refs", "GCF_002949675.1.fa.gz"
+    )
+    g = b"".join(r.seq for r in read_fastx(ref))
+    rc = bytes.maketrans(b"ACGT", b"TGCA")
+    r1 = tmp_path / "r1.fq"
+    r2 = tmp_path / "r2.fq"
+    with open(r1, "w") as f1, open(r2, "w") as f2:
+        for i in range(50):
+            p = 1000 + i * 500
+            a = g[p : p + 150].decode()
+            b = g[p + 200 : p + 350].translate(rc)[::-1].decode()
+            f1.write(f"@q{i}/1\n{a}\n+\n{'I' * len(a)}\n")
+            f2.write(f"@q{i}/2\n{b}\n+\n{'I' * len(b)}\n")
+    out = tmp_path / "p.tsv"
+    run_cli("-q", "search", "-d", demo_db, "-1", str(r1), "-2", str(r2),
+            "-o", str(out), "--backend", "host")
+    rows = [l.split("\t") for l in open(out) if not l.startswith("#")]
+    assert rows
+    # paired qLen = len1 + len2 and the right target tops every read
+    assert all(r[1] == "300" for r in rows)
+    byq = {}
+    for r in rows:
+        byq.setdefault(r[0], r)
+    assert all(r[5] == "GCF_002949675.1" for r in byq.values())
+
+    # index --dry-run prints the block plan without writing
+    kdir = tmp_path / "ks"
+    run_cli("-q", "compute", ref, "-k", "21", "-n", "4", "-O", str(kdir),
+            "--force")
+    out_dir = tmp_path / "noidx"
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    res = subprocess.run(
+        [_sys.executable, "-m", "kmcp_tpu", "index", "-I", str(kdir),
+         "-O", str(out_dir), "--dry-run"],
+        capture_output=True, text=True, env=env,
+    )
+    assert res.returncode == 0, res.stderr
+    assert "block" in res.stderr.lower()  # plan is logged to stderr
+    assert not os.path.isdir(out_dir)
