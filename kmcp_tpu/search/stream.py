@@ -109,7 +109,16 @@ class StreamSearcher:
             return False
         db = engine.dbs[0]
         if db.is_sketch:
-            return False
+            # minimizer queries stream on the host backend (C++ window-min
+            # selection, bit-identical to sketches.minimizer_sketch);
+            # syncmer stays on the object engine
+            if not (
+                db.info.minimizer
+                and not db.info.syncmer
+                and engine.opt.backend == "host"
+                and not paired
+            ):
+                return False
         if engine.opt.backend not in ("jax", "host"):
             return False
         if engine.opt.sort_by != "qcov" or engine.opt.do_not_sort:

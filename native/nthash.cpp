@@ -101,6 +101,87 @@ void scan_range(const uint8_t* seq, int64_t L, int k, int canonical,
   }
 }
 
+// Per-window canonical hashes with NO value filtering: invalid windows
+// (containing non-ACGT) emit UINT64_MAX, everything else (including 0
+// and values above any scale cutoff) emits the raw hash.  Feeds the
+// minimizer selection, which must see every position.
+static int64_t hash_row_positions(const uint8_t* seq, int64_t L, int k,
+                                  int canonical, uint64_t* vals) {
+  const int64_t n = L - k + 1;
+  if (n <= 0) return n < 0 ? 0 : n;
+  int64_t run = 0;
+  uint64_t fh = 0, rh = 0;
+  const unsigned ku = (unsigned)k;
+  for (int64_t w = 0; w < n; ++w) vals[w] = UINT64_MAX;
+  for (int64_t i = 0; i < L; ++i) {
+    const uint8_t b = seq[i];
+    if (!T.ok[b]) {
+      run = 0;
+      continue;
+    }
+    ++run;
+    if (run < k) continue;
+    const int64_t w = i - k + 1;
+    if (run == k) {
+      fh = 0;
+      rh = 0;
+      for (int j = 0; j < k; ++j) {
+        const uint8_t c = seq[w + j];
+        fh ^= rol(T.seed[c], (unsigned)(k - 1 - j));
+        rh ^= rol(T.seedc[c], (unsigned)j);
+      }
+    } else {
+      const uint8_t ob = seq[w - 1];
+      fh = rol(fh, 1) ^ rol(T.seed[ob], ku) ^ T.seed[b];
+      rh = ror(rh, 1) ^ ror(T.seedc[ob], 1) ^ rol(T.seedc[b], ku - 1);
+    }
+    vals[w] = canonical ? (rh < fh ? rh : fh) : fh;
+  }
+  return n;
+}
+
+// Minimizer selection over per-window values: sliding window of w
+// positions, monotonic deque keeping the FIRST index of the minimum on
+// ties, one emission per distinct chosen position; fully-invalid
+// windows emit nothing; scale cutoff and the hash!=0 drop apply to the
+// selected values (sketches.py minimizer_sketch semantics, mirroring
+// the reference's NewMinimizerSketch, compute.go:750,776-788).
+static int64_t select_minimizers(const uint64_t* vals, int64_t n, int w,
+                                 uint64_t max_hash, uint64_t* out,
+                                 int64_t cap) {
+  int64_t m = 0;
+  auto emit = [&](uint64_t v) {
+    if (v != 0 && v <= max_hash && m < cap) out[m++] = v;
+  };
+  if (n == 0) return 0;
+  if (n < w) {
+    uint64_t mn = UINT64_MAX;
+    for (int64_t i = 0; i < n; ++i) {
+      if (vals[i] == UINT64_MAX) return 0;  // any invalid k-mer: skip
+      if (vals[i] < mn) mn = vals[i];
+    }
+    emit(mn);
+    return m;
+  }
+  std::vector<int64_t> dq((size_t)n);
+  int64_t head = 0, tail = 0;  // dq[head..tail) indices, values ascending
+  int64_t last_pos = -1;
+  for (int64_t i = 0; i < n; ++i) {
+    // strict > keeps the earliest index on equal values
+    while (tail > head && vals[dq[tail - 1]] > vals[i]) --tail;
+    dq[tail++] = i;
+    if (dq[head] <= i - w) ++head;
+    if (i >= w - 1) {
+      const int64_t pos = dq[head];
+      if (pos != last_pos && vals[pos] != UINT64_MAX) {
+        emit(vals[pos]);
+        last_pos = pos;
+      }
+    }
+  }
+  return m;
+}
+
 // Hash one read's k-mers (canonical, hash!=0, <= max_hash) into buf
 // (capacity cap); returns the number kept (never exceeds cap — callers
 // size cap to the window count).  If dedup_threshold > 0 and more than
@@ -109,8 +190,23 @@ void scan_range(const uint8_t* seq, int64_t L, int k, int canonical,
 // util-db-search.go:874-908) and the unique count is returned.
 static int64_t hash_row(const uint8_t* seq, int64_t L, int k, int canonical,
                         uint64_t max_hash, uint64_t* buf, int64_t cap,
-                        int64_t dedup_threshold) {
+                        int64_t dedup_threshold, int minimizer_w = 0,
+                        uint64_t* vals_scratch = nullptr) {
   int64_t nout = 0;
+  if (minimizer_w > 0 && vals_scratch != nullptr) {
+    const int64_t n =
+        hash_row_positions(seq, L, k, canonical, vals_scratch);
+    nout = select_minimizers(vals_scratch, n, minimizer_w, max_hash, buf,
+                             cap);
+    if (dedup_threshold > 0 && nout > dedup_threshold) {
+      std::sort(buf, buf + nout);
+      int64_t m = 0;
+      for (int64_t i = 0; i < nout; ++i)
+        if (i == 0 || buf[i] != buf[i - 1]) buf[m++] = buf[i];
+      nout = m;
+    }
+    return nout;
+  }
   const int64_t n = L - k + 1;
   if (n > 0) {
     int64_t run = 0;
@@ -198,17 +294,25 @@ void kthash_scan_mt(const uint8_t* seq, int64_t L, int k, int canonical,
 void kt_hash_reads(const uint8_t* concat, const int64_t* starts,
                    const int64_t* lens, int64_t n_reads, int k, int canonical,
                    uint64_t max_hash, uint64_t* out, int64_t kmax,
-                   int64_t* counts, int threads, int64_t dedup_threshold) {
+                   int64_t* counts, int threads, int64_t dedup_threshold,
+                   int minimizer_w) {
 #ifdef _OPENMP
-#pragma omp parallel for num_threads(threads > 0 ? threads : 1) \
-    schedule(dynamic, 64) if (threads > 1 && n_reads > 256)
+#pragma omp parallel num_threads(threads > 0 ? threads : 1) \
+    if (threads > 1 && n_reads > 256)
 #endif
-  for (int64_t r = 0; r < n_reads; ++r) {
-    uint64_t* row = out + r * kmax;
-    counts[r] = hash_row(concat + starts[r], lens[r], k, canonical, max_hash,
-                         row, kmax, dedup_threshold);
-    // zero-pad so callers can mask padded lanes by hash == 0
-    for (int64_t j = counts[r]; j < kmax; ++j) row[j] = 0;
+  {
+    std::vector<uint64_t> vals(minimizer_w > 0 ? (size_t)kmax : 0);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 64)
+#endif
+    for (int64_t r = 0; r < n_reads; ++r) {
+      uint64_t* row = out + r * kmax;
+      counts[r] =
+          hash_row(concat + starts[r], lens[r], k, canonical, max_hash, row,
+                   kmax, dedup_threshold, minimizer_w, vals.data());
+      // zero-pad so callers can mask padded lanes by hash == 0
+      for (int64_t j = counts[r]; j < kmax; ++j) row[j] = 0;
+    }
   }
 }
 
@@ -219,13 +323,15 @@ void kt_hash_reads_loc(const uint8_t* concat, const int64_t* starts,
                        const int64_t* lens, int64_t n_reads, int k,
                        int canonical, uint64_t max_hash, uint64_t num_sigs,
                        int num_hashes, int32_t* out, int64_t kmax,
-                       int64_t* counts, int threads, int64_t dedup_threshold) {
+                       int64_t* counts, int threads, int64_t dedup_threshold,
+                       int minimizer_w) {
 #ifdef _OPENMP
 #pragma omp parallel num_threads(threads > 0 ? threads : 1) \
     if (threads > 1 && n_reads > 256)
 #endif
   {
     std::vector<uint64_t> buf((size_t)kmax);
+    std::vector<uint64_t> vals(minimizer_w > 0 ? (size_t)kmax : 0);
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic, 64)
 #endif
@@ -233,7 +339,8 @@ void kt_hash_reads_loc(const uint8_t* concat, const int64_t* starts,
       int32_t* row = out + r * kmax * num_hashes;
       const int64_t nout =
           hash_row(concat + starts[r], lens[r], k, canonical, max_hash,
-                   buf.data(), kmax, dedup_threshold);
+                   buf.data(), kmax, dedup_threshold, minimizer_w,
+                   vals.data());
       if (num_hashes == 1) {
         for (int64_t i = 0; i < nout; ++i)
           row[i] = (int32_t)(buf[i] % num_sigs);
