@@ -90,14 +90,14 @@ def get_lib():
             ctypes.c_char_p, i64p, i64p, ctypes.c_int64, ctypes.c_int,
             ctypes.c_int, ctypes.c_uint64,
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, i64p,
-            ctypes.c_int, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         ]
         lib.kt_hash_reads.restype = None
         lib.kt_hash_reads_loc.argtypes = [
             ctypes.c_char_p, i64p, i64p, ctypes.c_int64, ctypes.c_int,
             ctypes.c_int, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, i64p,
-            ctypes.c_int, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         ]
         lib.kt_hash_reads_loc.restype = None
         lib.kt_build_word_column.argtypes = [
@@ -186,6 +186,7 @@ def hash_reads_padded(
     threads: int = 0,
     dedup_threshold: int = 0,
     minimizer_w: int = 0,
+    syncmer_s: int = 0,
 ):
     """Batched hashing to a zero-padded [B, kmax] uint64 matrix + counts.
     With ``dedup_threshold`` > 0, rows with more than that many k-mers are
@@ -213,7 +214,7 @@ def hash_reads_padded(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         kmax,
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        threads, dedup_threshold, minimizer_w,
+        threads, dedup_threshold, minimizer_w, syncmer_s,
     )
     return out, counts
 
@@ -229,6 +230,7 @@ def hash_reads_loc(
     threads: int = 0,
     dedup_threshold: int = 0,
     minimizer_w: int = 0,
+    syncmer_s: int = 0,
 ):
     """Fused batched hash+mod: reads -> padded [B, kmax, h] int32 Bloom
     locations (padding lanes point at the sentinel row ``num_sigs``) plus
@@ -256,7 +258,7 @@ def hash_reads_loc(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         kmax,
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        threads, dedup_threshold, minimizer_w,
+        threads, dedup_threshold, minimizer_w, syncmer_s,
     )
     return out, counts
 

@@ -425,13 +425,14 @@ class HostDB:
             self._cmin_np[n_max] = t
         return t
 
-    def _hash_batch(self, seqs, k, kmax, dedup_threshold=0, minimizer_w=0):
+    def _hash_batch(self, seqs, k, kmax, dedup_threshold=0, minimizer_w=0,
+                    syncmer_s=0):
         from ..kmer import native
 
         out, counts = native.hash_reads_padded(
             seqs, k, kmax, canonical=self.db.info.canonical,
             max_hash=self.db.max_hash, dedup_threshold=dedup_threshold,
-            minimizer_w=minimizer_w,
+            minimizer_w=minimizer_w, syncmer_s=syncmer_s,
         )
         return out, None, counts
 
@@ -457,11 +458,13 @@ class HostDB:
             seqs = [bytes(reads_u8[i, : lens[i]]) for i in range(B)]
         h = db.info.num_hashes
         mw = db.info.minimizer_w if db.info.minimizer else 0
+        ss = db.info.syncmer_s if db.info.syncmer else 0
         if self.n_blocks == 1:
             loc, counts_per_read = native.hash_reads_loc(
                 seqs, k, kmax, self.total_rows, h,
                 canonical=db.info.canonical, max_hash=db.max_hash,
                 dedup_threshold=dedup_threshold, minimizer_w=mw,
+                syncmer_s=ss,
             )
             counts = native.count_block(self.bits_ext_np, loc, h)
         else:
@@ -469,7 +472,7 @@ class HostDB:
             # each block into its slice of the global target space
             hashes, _, counts_per_read = self._hash_batch(
                 seqs, k, kmax, dedup_threshold=dedup_threshold,
-                minimizer_w=mw,
+                minimizer_w=mw, syncmer_s=ss,
             )
             parts = []
             for b in range(self.n_blocks):

@@ -109,15 +109,11 @@ class StreamSearcher:
             return False
         db = engine.dbs[0]
         if db.is_sketch:
-            # minimizer queries stream on the host backend (C++ window-min
-            # selection, bit-identical to sketches.minimizer_sketch);
-            # syncmer stays on the object engine
-            if not (
-                db.info.minimizer
-                and not db.info.syncmer
-                and engine.opt.backend == "host"
-                and not paired
-            ):
+            # minimizer and closed-syncmer queries stream on the host
+            # backend (C++ selection, bit-identical to sketches.py);
+            # paired sketch queries keep the engine (joined-mate windows
+            # would cross the mate junction)
+            if not (engine.opt.backend == "host" and not paired):
                 return False
         if engine.opt.backend not in ("jax", "host"):
             return False

@@ -182,6 +182,40 @@ static int64_t select_minimizers(const uint64_t* vals, int64_t n, int w,
   return m;
 }
 
+// Closed-syncmer selection: k-mer i is kept when the minimum canonical
+// s-mer hash within it (window [i, i+k-s], invalid s-mers = UINT64_MAX,
+// value-based comparison) equals the first or last s-mer's value
+// (sketches.py closed_syncmer_sketch; reference NewSyncmerSketch,
+// compute.go:748,763-775).  kvals/svals are per-position hashes from
+// hash_row_positions at k and s.
+static int64_t select_syncmers(const uint64_t* kvals, int64_t nk,
+                               const uint64_t* svals, int64_t ns, int w,
+                               uint64_t max_hash, uint64_t* out,
+                               int64_t cap) {
+  int64_t m = 0;
+  if (nk <= 0 || w <= 0 || ns < w) return 0;
+  std::vector<int64_t> dq((size_t)ns);
+  int64_t head = 0, tail = 0;
+  // prime the deque with the first w-1 s-mers
+  for (int64_t i = 0; i < w - 1 && i < ns; ++i) {
+    while (tail > head && svals[dq[tail - 1]] > svals[i]) --tail;
+    dq[tail++] = i;
+  }
+  for (int64_t i = 0; i < nk; ++i) {
+    const int64_t j = i + w - 1;  // last s-mer of k-mer i
+    while (tail > head && svals[dq[tail - 1]] > svals[j]) --tail;
+    dq[tail++] = j;
+    if (dq[head] < i) ++head;
+    const uint64_t v = kvals[i];
+    if (v == UINT64_MAX) continue;
+    const uint64_t mn = svals[dq[head]];
+    if ((mn == svals[i] || mn == svals[j]) && v != 0 && v <= max_hash &&
+        m < cap)
+      out[m++] = v;
+  }
+  return m;
+}
+
 // Hash one read's k-mers (canonical, hash!=0, <= max_hash) into buf
 // (capacity cap); returns the number kept (never exceeds cap — callers
 // size cap to the window count).  If dedup_threshold > 0 and more than
@@ -191,13 +225,21 @@ static int64_t select_minimizers(const uint64_t* vals, int64_t n, int w,
 static int64_t hash_row(const uint8_t* seq, int64_t L, int k, int canonical,
                         uint64_t max_hash, uint64_t* buf, int64_t cap,
                         int64_t dedup_threshold, int minimizer_w = 0,
-                        uint64_t* vals_scratch = nullptr) {
+                        uint64_t* vals_scratch = nullptr, int syncmer_s = 0,
+                        uint64_t* svals_scratch = nullptr) {
   int64_t nout = 0;
-  if (minimizer_w > 0 && vals_scratch != nullptr) {
+  if ((minimizer_w > 0 || syncmer_s > 0) && vals_scratch != nullptr) {
     const int64_t n =
         hash_row_positions(seq, L, k, canonical, vals_scratch);
-    nout = select_minimizers(vals_scratch, n, minimizer_w, max_hash, buf,
-                             cap);
+    if (syncmer_s > 0 && svals_scratch != nullptr) {
+      const int64_t ns =
+          hash_row_positions(seq, L, syncmer_s, canonical, svals_scratch);
+      nout = select_syncmers(vals_scratch, n, svals_scratch, ns,
+                             k - syncmer_s + 1, max_hash, buf, cap);
+    } else {
+      nout = select_minimizers(vals_scratch, n, minimizer_w, max_hash, buf,
+                               cap);
+    }
     if (dedup_threshold > 0 && nout > dedup_threshold) {
       std::sort(buf, buf + nout);
       int64_t m = 0;
@@ -295,13 +337,15 @@ void kt_hash_reads(const uint8_t* concat, const int64_t* starts,
                    const int64_t* lens, int64_t n_reads, int k, int canonical,
                    uint64_t max_hash, uint64_t* out, int64_t kmax,
                    int64_t* counts, int threads, int64_t dedup_threshold,
-                   int minimizer_w) {
+                   int minimizer_w, int syncmer_s) {
+  const int sketchy = minimizer_w > 0 || syncmer_s > 0;
 #ifdef _OPENMP
 #pragma omp parallel num_threads(threads > 0 ? threads : 1) \
     if (threads > 1 && n_reads > 256)
 #endif
   {
-    std::vector<uint64_t> vals(minimizer_w > 0 ? (size_t)kmax : 0);
+    std::vector<uint64_t> vals(sketchy ? (size_t)(kmax + k) : 0);
+    std::vector<uint64_t> svals(syncmer_s > 0 ? (size_t)(kmax + k) : 0);
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic, 64)
 #endif
@@ -309,7 +353,8 @@ void kt_hash_reads(const uint8_t* concat, const int64_t* starts,
       uint64_t* row = out + r * kmax;
       counts[r] =
           hash_row(concat + starts[r], lens[r], k, canonical, max_hash, row,
-                   kmax, dedup_threshold, minimizer_w, vals.data());
+                   kmax, dedup_threshold, minimizer_w, vals.data(),
+                   syncmer_s, svals.data());
       // zero-pad so callers can mask padded lanes by hash == 0
       for (int64_t j = counts[r]; j < kmax; ++j) row[j] = 0;
     }
@@ -324,14 +369,16 @@ void kt_hash_reads_loc(const uint8_t* concat, const int64_t* starts,
                        int canonical, uint64_t max_hash, uint64_t num_sigs,
                        int num_hashes, int32_t* out, int64_t kmax,
                        int64_t* counts, int threads, int64_t dedup_threshold,
-                       int minimizer_w) {
+                       int minimizer_w, int syncmer_s) {
+  const int sketchy = minimizer_w > 0 || syncmer_s > 0;
 #ifdef _OPENMP
 #pragma omp parallel num_threads(threads > 0 ? threads : 1) \
     if (threads > 1 && n_reads > 256)
 #endif
   {
     std::vector<uint64_t> buf((size_t)kmax);
-    std::vector<uint64_t> vals(minimizer_w > 0 ? (size_t)kmax : 0);
+    std::vector<uint64_t> vals(sketchy ? (size_t)(kmax + k) : 0);
+    std::vector<uint64_t> svals(syncmer_s > 0 ? (size_t)(kmax + k) : 0);
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic, 64)
 #endif
@@ -340,7 +387,7 @@ void kt_hash_reads_loc(const uint8_t* concat, const int64_t* starts,
       const int64_t nout =
           hash_row(concat + starts[r], lens[r], k, canonical, max_hash,
                    buf.data(), kmax, dedup_threshold, minimizer_w,
-                   vals.data());
+                   vals.data(), syncmer_s, svals.data());
       if (num_hashes == 1) {
         for (int64_t i = 0; i < nout; ++i)
           row[i] = (int32_t)(buf[i] % num_sigs);

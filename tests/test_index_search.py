@@ -668,3 +668,57 @@ def test_stream_minimizer_parity(tmp_path):
     total, _ = st.run(iter(reads), buf2)
     assert total == 250
     assert buf1.getvalue() == buf2.getvalue()
+
+
+def test_stream_syncmer_parity(tmp_path):
+    """Closed-syncmer query streaming must stay byte-identical to the
+    object engine's sketch path."""
+    import io
+
+    from kmcp_tpu.commands.compute import ComputeOptions, run_compute
+    from kmcp_tpu.index.build import run_index
+    from kmcp_tpu.search.engine import SearchEngine, SearchOptions
+    from kmcp_tpu.search.stream import StreamSearcher
+    from kmcp_tpu.search.tsv import write_results
+
+    rng = np.random.default_rng(31)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genomes = []
+    for g in range(3):
+        seq = rng.choice(bases, size=40000).tobytes()
+        p = tmp_path / f"g{g}.fa"
+        p.write_text(f">g{g}\n{seq.decode()}\n")
+        genomes.append(seq)
+    run_compute(
+        out_dir=str(tmp_path / "ks"),
+        files=[str(tmp_path / f"g{g}.fa") for g in range(3)],
+        opt=ComputeOptions(ks=[21], split_number=2, split_overlap=100,
+                           syncmer_s=11),
+        force=True,
+    )
+    run_index(in_dir=str(tmp_path / "ks"), out_dir=str(tmp_path / "db"),
+              num_hashes=1, fpr=0.1, force=True)
+
+    reads = []
+    for i in range(200):
+        g = genomes[int(rng.integers(0, 3))]
+        p = int(rng.integers(0, len(g) - 150))
+        r = bytearray(g[p : p + 150])
+        if i % 23 == 0:
+            r[70] = ord("N")
+        reads.append((f"r{i}", bytes(r), None))
+
+    opt_np = SearchOptions(backend="numpy", min_kmers=3)
+    buf1 = io.StringIO()
+    write_results(
+        buf1, SearchEngine([str(tmp_path / "db")], opt_np).search_batch(
+            reads, 0
+        ), False,
+    )
+    opt_h = SearchOptions(backend="host", batch_size=128, min_kmers=3)
+    eng = SearchEngine([str(tmp_path / "db")], opt_h)
+    assert StreamSearcher.usable(eng)
+    st = StreamSearcher(eng)
+    buf2 = io.StringIO()
+    st.run(iter(reads), buf2)
+    assert buf1.getvalue() == buf2.getvalue()
