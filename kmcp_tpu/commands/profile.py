@@ -96,6 +96,9 @@ def run_profile(
         flat = flat_from_files(
             files, opt.max_fpr, opt.min_qcov,
             keep_queries=bool(binning_file),
+            chunk_bytes=int(
+                os.environ.get("KMCP_TPU_PARSE_CHUNK", str(512 << 20))
+            ),
         )
     if flat is None:
         parsed = parse_search_tsv(files, opt.max_fpr, opt.min_qcov)

@@ -114,14 +114,17 @@ class FlatInput:
 
 def flat_from_files(
     files: list[str], max_fpr: float, min_qcov: float,
-    keep_queries: bool = False,
+    keep_queries: bool = False, chunk_bytes: int = 512 << 20,
 ) -> FlatInput | None:
     """Columnar native parse of search TSVs straight into a FlatInput
     (no per-row Python objects); None when the native parser is
     unavailable.  Target ids are re-interned across files; groups never
-    span a file boundary (matching core.parse_search_tsv).  With
+    span a file boundary (matching core.parse_search_tsv).  Files read
+    in ``chunk_bytes`` blocks so the transient raw buffer stays bounded
+    (a group spanning a block boundary is fused back into one).  With
     ``keep_queries``, per-group query ids stay addressable as (buffer,
-    offset, len) for lazy decoding (binning)."""
+    offset, len) for lazy decoding (binning) — buffers are then retained.
+    """
     from ..kmer import native
     from ..seqio.fastx import xopen
 
@@ -136,38 +139,66 @@ def flat_from_files(
     frags = []
     qlens = []
     qcovs = []
-    qsrc = []  # (buf, grp_off, grp_len, first_group) per file
+    qsrc = []  # (buf, grp_off, grp_len, first_group) per block
     g_off = 0
     total_queries = 0
     for path in files:
+        prev_tail_qid = None  # last group's query id in the prior block
         with xopen(path, "rb") as f:
-            buf = f.read()
-        try:
-            d = native.parse_search_tsv(buf, max_fpr, min_qcov)
-        except ValueError:
-            raise SystemExit("invalid kmcp search result format")
-        if d is None:
-            return None
-        local2global = np.empty(len(d["tgt_names"]), dtype=np.int32)
-        for li, nm in enumerate(d["tgt_names"]):
-            s = nm.decode()
-            gi = name2id.get(s)
-            if gi is None:
-                gi = len(names)
-                name2id[s] = gi
-                names.append(s)
-                idx_num.append(int(d["tgt_idx_num"][li]))
-                gsize.append(int(d["tgt_gsize"][li]))
-            local2global[li] = gi
-        groups.append(d["group"] + g_off)
-        targets.append(local2global[d["target"]])
-        frags.append(d["frag"])
-        qlens.append(d["qlen"])
-        qcovs.append(d["qcov"])
-        if keep_queries:
-            qsrc.append((buf, d["grp_off"], d["grp_len"], g_off))
-        g_off += len(d["grp_off"])
-        total_queries += d["total_queries"]
+            carry = b""
+            eof = False
+            while not eof:
+                data = f.read(chunk_bytes)
+                buf = carry + data
+                if data:
+                    nl = buf.rfind(b"\n")
+                    if nl < 0:
+                        carry = buf
+                        continue
+                    carry = buf[nl + 1 :]
+                    buf = buf[: nl + 1]
+                else:
+                    carry = b""
+                    eof = True
+                try:
+                    d = native.parse_search_tsv(buf, max_fpr, min_qcov)
+                except ValueError:
+                    raise SystemExit("invalid kmcp search result format")
+                if d is None:
+                    return None
+                ng = len(d["grp_off"])
+                local2global = np.empty(len(d["tgt_names"]), dtype=np.int32)
+                for li, nm in enumerate(d["tgt_names"]):
+                    s = nm.decode()
+                    gi = name2id.get(s)
+                    if gi is None:
+                        gi = len(names)
+                        name2id[s] = gi
+                        names.append(s)
+                        idx_num.append(int(d["tgt_idx_num"][li]))
+                        gsize.append(int(d["tgt_gsize"][li]))
+                    local2global[li] = gi
+                fuse = 0
+                if ng and prev_tail_qid is not None:
+                    o = int(d["grp_off"][0])
+                    first_qid = buf[o : o + int(d["grp_len"][0])]
+                    if first_qid == prev_tail_qid:
+                        fuse = 1  # block starts mid-group: same group id
+                groups.append(d["group"] + (g_off - fuse))
+                targets.append(local2global[d["target"]])
+                frags.append(d["frag"])
+                qlens.append(d["qlen"])
+                qcovs.append(d["qcov"])
+                if keep_queries and ng > fuse:
+                    qsrc.append((
+                        buf, d["grp_off"][fuse:], d["grp_len"][fuse:],
+                        g_off,
+                    ))
+                if ng:
+                    o = int(d["grp_off"][ng - 1])
+                    prev_tail_qid = buf[o : o + int(d["grp_len"][ng - 1])]
+                g_off += ng - fuse
+                total_queries += d["total_queries"]
     flat = FlatInput.from_arrays(
         np.concatenate(groups) if groups else np.empty(0, np.int64),
         np.concatenate(targets) if targets else np.empty(0, np.int32),
