@@ -262,6 +262,28 @@ def main(argv: list[str] | None = None) -> int:
             extra = [l.strip() for l in f if l.strip()]
         args.files = list(args.files) + extra
 
+    try:
+        return _dispatch(args)
+    except FileNotFoundError as e:
+        # bad inputs get the reference's clean one-liner, not a
+        # traceback (checkError -> log.Error, util-cli.go:35-40)
+        raise SystemExit(
+            f"kmcp-tpu {args.command}: file not found: {e.filename}"
+        )
+    except IsADirectoryError as e:
+        raise SystemExit(
+            f"kmcp-tpu {args.command}: is a directory, expected a file: "
+            f"{e.filename}"
+        )
+    except PermissionError as e:
+        raise SystemExit(
+            f"kmcp-tpu {args.command}: permission denied: {e.filename}"
+        )
+    except ValueError as e:
+        raise SystemExit(f"kmcp-tpu {args.command}: {e}")
+
+
+def _dispatch(args) -> int:
     if args.command == "compute":
         from .commands.compute import FASTX_RE, ComputeOptions, run_compute
 
