@@ -74,6 +74,13 @@ def build_parser() -> argparse.ArgumentParser:
         "with reference block partitioning)",
     )
     i.add_argument("--native-block-targets", type=int, default=4096)
+    i.add_argument(
+        "--block-screen", action="store_true",
+        help="also build per-block k-mer-union Bloom screens so reads "
+        "skip blocks they share no k-mers with (large-T search; "
+        "kmcp-tpu extension, changes which false-positive-only matches "
+        "appear)",
+    )
 
     # ------------------------------------------------------------- search
     s = sub.add_parser("search", help="search sequences against a database")
@@ -329,6 +336,7 @@ def _dispatch(args) -> int:
             alias=args.alias,
             force=args.force,
             dry_run=args.dry_run,
+            block_screen=args.block_screen,
             tpu_native=args.tpu_native,
             native_block_targets=args.native_block_targets,
         )

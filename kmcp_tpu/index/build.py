@@ -203,6 +203,29 @@ def build_block_bits(
     return bits
 
 
+def _write_union_screen(out_dir, bid, targets, fpr_u: float = 0.25):
+    """Per-block k-mer-union Bloom bitset (1 hash, fpr_u) — the
+    large-T block screen: reads sharing no k-mers with a block's union
+    skip its dense count entirely (kmcp-tpu native extension; the
+    reference counts every block for every read)."""
+    from ..kmer import native
+    from .format import write_block_union
+    from .sizing import calc_signature_size
+
+    if native.get_lib() is None:
+        return
+    total = sum(t.kmers for t in targets)
+    num_bits = -(-calc_signature_size(max(total, 1), 1, fpr_u) // 64) * 64
+    words = np.zeros((num_bits + 63) // 64, dtype=np.uint64)
+    for t in targets:
+        hs = np.asarray(read_kset(t.path)[0])
+        w = native.union_fill(hs, num_bits)
+        if w is None:
+            return
+        words |= w
+    write_block_union(out_dir, bid, words, num_bits, fpr_u)
+
+
 def run_index(
     in_dir: str,
     out_dir: str,
@@ -217,6 +240,7 @@ def run_index(
     alias: str = "",
     force: bool = False,
     dry_run: bool = False,
+    block_screen: bool = False,
     round_pow2: bool = False,
     tpu_native: bool = False,
     native_block_targets: int = 4096,
@@ -277,6 +301,8 @@ def run_index(
             )
             continue
         bits = build_block_bits(targets, num_sigs, num_hashes)
+        if block_screen:
+            _write_union_screen(out_dir, bid, targets)
         meta = BlockMeta(
             names=[t.name for t in targets],
             gsizes=[t.genome_size for t in targets],

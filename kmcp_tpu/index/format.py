@@ -111,6 +111,31 @@ def read_block_bits(db_dir: str, block_id: int, mmap: bool = True) -> np.ndarray
     return np.load(bits_path, mmap_mode="r" if mmap else None)
 
 
+def union_path(db_dir: str, block_id: int) -> str:
+    return os.path.join(db_dir, f"block_{block_id:03d}.union.npz")
+
+
+def write_block_union(
+    db_dir: str, block_id: int, words: np.ndarray, num_bits: int,
+    fpr: float,
+) -> None:
+    """Per-block k-mer-union Bloom bitset: the large-T block screen
+    (kmcp-tpu native extension; no reference equivalent)."""
+    np.savez(
+        union_path(db_dir, block_id), words=words,
+        num_bits=np.int64(num_bits), fpr=np.float64(fpr),
+    )
+
+
+def read_block_union(db_dir: str, block_id: int):
+    """(words, num_bits, fpr) or None when the block has no screen."""
+    path = union_path(db_dir, block_id)
+    if not os.path.isfile(path):
+        return None
+    with np.load(path) as z:
+        return z["words"], int(z["num_bits"]), float(z["fpr"])
+
+
 def write_db_info(db_dir: str, info: DBInfo) -> None:
     with open(os.path.join(db_dir, DB_INFO_FILE), "w") as f:
         json.dump(info.to_json(), f, indent=1)

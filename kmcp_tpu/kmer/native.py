@@ -109,8 +109,19 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.kt_count_block.restype = None
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.kt_union_fill.argtypes = [
+            u64p, ctypes.c_int64, ctypes.c_uint64, u64p, ctypes.c_int,
+        ]
+        lib.kt_union_fill.restype = None
+        lib.kt_union_count.argtypes = [
+            u64p, ctypes.c_uint64, u64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ]
+        lib.kt_union_count.restype = None
         i32p = ctypes.POINTER(ctypes.c_int32)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.kt_write_rows.argtypes = [
@@ -365,9 +376,11 @@ def build_word_column(
 
 
 def count_block(
-    bits_ext: np.ndarray, loc: np.ndarray, num_hashes: int, threads: int = 0
+    bits_ext: np.ndarray, loc: np.ndarray, num_hashes: int, threads: int = 0,
+    active: np.ndarray | None = None,
 ) -> np.ndarray | None:
-    """[B, W*32] int32 match counts on host (C++ sparse-bit iteration)."""
+    """[B, W*32] int32 match counts on host (C++ sparse-bit iteration).
+    ``active`` (uint8 per read) skips screened reads (zero counts)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -378,10 +391,55 @@ def count_block(
     out = np.empty((B, W * 32), dtype=np.int32)
     if threads <= 0:
         threads = min(os.cpu_count() or 1, 16)
+    act_p = None
+    if active is not None:
+        active = np.ascontiguousarray(active, dtype=np.uint8)
+        act_p = active.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
     lib.kt_count_block(
         bits_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), W,
         loc_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), B, K,
         num_hashes,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), threads, act_p,
+    )
+    return out
+
+
+def union_fill(hashes: np.ndarray, num_bits: int, threads: int = 0):
+    """Bloom bitset (1 hash) over ``hashes % num_bits``: the per-block
+    union screen.  Returns uint64 words or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = np.ascontiguousarray(hashes, dtype=np.uint64).ravel()
+    words = np.zeros((num_bits + 63) // 64, dtype=np.uint64)
+    if threads <= 0:
+        threads = min(os.cpu_count() or 1, 16)
+    lib.kt_union_fill(
+        h.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(h),
+        np.uint64(num_bits),
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), threads,
+    )
+    return words
+
+
+def union_count(
+    words: np.ndarray, num_bits: int, hashes: np.ndarray, threads: int = 0
+):
+    """Per-read count of k-mers present in a union bitset; hashes is the
+    padded [B, kmax] matrix (0 = padding)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    w = np.ascontiguousarray(words, dtype=np.uint64)
+    h = np.ascontiguousarray(hashes, dtype=np.uint64)
+    B, kmax = h.shape
+    out = np.empty(B, dtype=np.int32)
+    if threads <= 0:
+        threads = min(os.cpu_count() or 1, 16)
+    lib.kt_union_count(
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        np.uint64(num_bits),
+        h.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), B, kmax,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), threads,
     )
     return out

@@ -413,6 +413,13 @@ class HostDB:
             self.sizes.astype(np.float64), opt.min_target_cov
         )
         self._cmin_np: dict[int, np.ndarray] = {}
+        # per-block union screens (large-T block skip; native extension)
+        from ..index.format import read_block_union
+
+        self.block_unions = [
+            read_block_union(db.path, b) for b in range(self.n_blocks)
+        ]
+        self.has_screen = any(u is not None for u in self.block_unions)
 
     def _cmin(self, n_max: int) -> np.ndarray:
         n_max = max(64, -(-n_max // 64) * 64)
@@ -474,6 +481,13 @@ class HostDB:
                 seqs, k, kmax, dedup_threshold=dedup_threshold,
                 minimizer_w=mw, syncmer_s=ss,
             )
+            screen_theta = None
+            if self.has_screen:
+                # a block's union screen passes a read only when its
+                # union-bloom hit count clears the junk-FP band:
+                # mean fpr_u*n plus 3 sigma (declared native-mode
+                # semantics; see index/build.py _write_union_screen)
+                nk = counts_per_read.astype(np.float64)
             parts = []
             for b in range(self.n_blocks):
                 s_b = self.block_num_sigs[b]
@@ -481,8 +495,25 @@ class HostDB:
                 loc_b = loc_b + np.int32(self.block_row_offset[b])
                 # padded k-mer lanes (hash 0) must hit the sentinel row
                 loc_b[hashes == 0] = np.int32(self.sentinel)
+                active = None
+                u = self.block_unions[b]
+                if u is not None:
+                    words, num_bits, fpr_u = u
+                    uc = native.union_count(words, num_bits, hashes)
+                    if uc is not None:
+                        theta = np.maximum(
+                            opt.min_kmers,
+                            np.ceil(
+                                fpr_u * nk
+                                + 3.0
+                                * np.sqrt(nk * fpr_u * (1 - fpr_u))
+                            ),
+                        )
+                        active = (uc >= theta).astype(np.uint8)
                 parts.append(
-                    native.count_block(self.bits_ext_np, loc_b, h)
+                    native.count_block(
+                        self.bits_ext_np, loc_b, h, active=active
+                    )
                 )
             counts = np.concatenate(parts, axis=1)
         nkmers = counts_per_read.astype(np.int32)

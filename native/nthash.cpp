@@ -422,7 +422,8 @@ void kt_hash_reads_loc(const uint8_t* concat, const int64_t* starts,
 
 void kt_count_block(const uint32_t* bits /* (S+1) x W */, int64_t W,
                     const int32_t* loc /* B x K x h */, int64_t B, int64_t K,
-                    int num_hashes, int32_t* counts_out, int threads) {
+                    int num_hashes, int32_t* counts_out, int threads,
+                    const uint8_t* active /* B, NULL = all */) {
   const int64_t T = W * 32;
 #ifdef _OPENMP
 #pragma omp parallel num_threads(threads > 0 ? threads : 1) if (threads > 1 && B > 64)
@@ -443,6 +444,7 @@ void kt_count_block(const uint32_t* bits /* (S+1) x W */, int64_t W,
     for (int64_t r = 0; r < B; ++r) {
       int32_t* counts = counts_out + r * T;
       std::memset(counts, 0, T * sizeof(int32_t));
+      if (active && !active[r]) continue;  // block-screened read
       const int32_t* lrow = loc + r * K * num_hashes;
       const int64_t PF = 8;  // prefetch distance (k-mers ahead)
 #if defined(__AVX2__)
@@ -532,6 +534,47 @@ void kt_build_word_column(const uint64_t* hashes, const int64_t* h_offsets,
 // Multi-hash derivation splits the 64-bit value into a=hi32, b=lo32 and uses
 // uint32(a + b*j) — deliberate uint32 wraparound, matching
 // kmcp/cmd/util-hash.go:61-142.
+// Fill a Bloom bitset (1 hash) with hashes % U: the per-block union
+// screen for large-T search (each block's k-mer union in one bitset, so
+// reads cheaply skip blocks they share no k-mers with).
+void kt_union_fill(const uint64_t* hashes, int64_t n, uint64_t U,
+                   uint64_t* words, int threads) {
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(threads > 0 ? threads : 1) \
+    schedule(static) if (threads > 1 && n > 1 << 20)
+#endif
+  for (int64_t i = 0; i < n; ++i) {
+    const uint64_t b = hashes[i] % U;
+#ifdef _OPENMP
+#pragma omp atomic
+#endif
+    words[b >> 6] |= 1ull << (b & 63);
+  }
+}
+
+// Per-read count of k-mers present in a union bitset.  hashes is the
+// padded [B, kmax] matrix (0 = padding, never counted since hash 0 is
+// dropped upstream).
+void kt_union_count(const uint64_t* words, uint64_t U,
+                    const uint64_t* hashes, int64_t B, int64_t kmax,
+                    int32_t* out, int threads) {
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(threads > 0 ? threads : 1) \
+    schedule(dynamic, 16) if (threads > 1 && B > 64)
+#endif
+  for (int64_t r = 0; r < B; ++r) {
+    const uint64_t* row = hashes + r * kmax;
+    int32_t c = 0;
+    for (int64_t i = 0; i < kmax; ++i) {
+      const uint64_t h = row[i];
+      if (h == 0) continue;
+      const uint64_t b = h % U;
+      c += (int32_t)((words[b >> 6] >> (b & 63)) & 1ull);
+    }
+    out[r] = c;
+  }
+}
+
 // Parallel sort + unique of a uint64 hash array, in place: radix
 // partition by the top byte (hashes are uniform, so buckets balance),
 // sort each bucket concurrently, then compact out duplicates.  Returns

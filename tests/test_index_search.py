@@ -722,3 +722,68 @@ def test_stream_syncmer_parity(tmp_path):
     buf2 = io.StringIO()
     st.run(iter(reads), buf2)
     assert buf1.getvalue() == buf2.getvalue()
+
+
+def test_block_screen_union(tmp_path):
+    """--block-screen builds per-block union Blooms; screened search
+    output is identical on clean+junk reads (true matches always clear
+    the screen; FP-only junk never passes cmin at this scale)."""
+    import glob
+    import io
+
+    from kmcp_tpu.commands.compute import ComputeOptions, run_compute
+    from kmcp_tpu.index.build import run_index
+    from kmcp_tpu.kmer import native
+    from kmcp_tpu.search.engine import SearchEngine, SearchOptions
+    from kmcp_tpu.search.stream import StreamSearcher
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genomes = []
+    files = []
+    for g in range(24):
+        seq = rng.choice(bases, size=60000).tobytes()
+        p = tmp_path / f"g{g:02d}.fa"
+        p.write_text(f">g{g}\n{seq.decode()}\n")
+        genomes.append(seq)
+        files.append(str(p))
+    run_compute(out_dir=str(tmp_path / "ks"), files=files,
+                opt=ComputeOptions(ks=[21], split_number=2,
+                                   split_overlap=100), force=True)
+    for name, scr in (("scr", True), ("plain", False)):
+        run_index(in_dir=str(tmp_path / "ks"),
+                  out_dir=str(tmp_path / f"db_{name}"), num_hashes=1,
+                  fpr=0.3, force=True, tpu_native=True,
+                  native_block_targets=16, block_screen=scr)
+    assert len(glob.glob(str(tmp_path / "db_scr" / "*.union.npz"))) == 3
+
+    reads = []
+    for i in range(800):
+        g = genomes[i % 24]
+        p = int(rng.integers(0, len(g) - 150))
+        reads.append((f"c{i}", g[p : p + 150], None))
+    for i in range(200):
+        reads.append((f"j{i}", rng.choice(bases, size=150).tobytes(), None))
+
+    outs = {}
+    for name in ("plain", "scr"):
+        opt = SearchOptions(backend="host", batch_size=512)
+        st = StreamSearcher(SearchEngine([str(tmp_path / f"db_{name}")],
+                                         opt))
+        buf = io.StringIO()
+        st.run(iter(reads), buf)
+        outs[name] = buf.getvalue()
+    assert outs["plain"] == outs["scr"]
+
+    # union kernels agree with a direct membership oracle
+    from kmcp_tpu.index.format import read_block_union
+    from kmcp_tpu.kmer.kset import read_kset
+
+    words, num_bits, fpr_u = read_block_union(str(tmp_path / "db_scr"), 0)
+    hs = np.asarray(read_kset(
+        sorted(glob.glob(str(tmp_path / "ks" / "*.kset")))[0])[0])
+    got = native.union_count(words, num_bits, hs[:256].reshape(1, -1))
+    assert int(got[0]) == 256  # every member k-mer must be present
