@@ -5,7 +5,7 @@ from __future__ import annotations
 import os
 import sys
 
-from ..profile.core import ParsedInput, Profiler, ProfileOptions, parse_search_tsv
+from ..profile.core import Profiler, ProfileOptions, parse_search_tsv
 from ..profile.formats import (
     generate_profile_nodes,
     write_binning_header,

@@ -15,7 +15,6 @@ formatted from exact integer pairs via memoized tables.
 from __future__ import annotations
 
 import os
-import sys
 from collections import deque
 
 import numpy as np
