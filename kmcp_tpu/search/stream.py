@@ -25,6 +25,28 @@ from .engine import QueryResult, SearchEngine
 from .tsv import write_results
 
 
+_HOST_POOL = None
+
+
+def _host_pool():
+    """Single worker thread for the host backend's batch compute, so
+    the next batch's hash+count (GIL-released C++) overlaps the current
+    batch's row formatting."""
+    global _HOST_POOL
+    if _HOST_POOL is None:
+        import concurrent.futures as cf
+
+        _HOST_POOL = cf.ThreadPoolExecutor(max_workers=1)
+    return _HOST_POOL
+
+
+def _materialize(fut):
+    """np.asarray for device arrays; .result() for host futures."""
+    if hasattr(fut, "result") and not hasattr(fut, "__array__"):
+        return np.asarray(fut.result())
+    return np.asarray(fut)
+
+
 def _fmt_ratio_memo():
     memo: dict[tuple[int, int], str] = {}
 
@@ -235,7 +257,10 @@ class StreamSearcher:
                     "dedup_threshold": opt.kmer_dedup_threshold,
                     "eff_lens": eff,
                 }
-                state["fut"] = dev.search_reads_async(
+                # run on a worker thread (the C++ releases the GIL) so
+                # batch N+1's hash+count overlaps batch N's row writing
+                state["fut"] = _host_pool().submit(
+                    dev.search_reads_async,
                     state["reads_u8"], lens, budget, seqs=seqs,
                     **state["host_extra"],
                 )
@@ -277,7 +302,7 @@ class StreamSearcher:
 
         def drain(state, idx0):
             nonlocal total, matched
-            arr = np.asarray(state["fut"])
+            arr = _materialize(state["fut"])
             budget = state["budget"]
             n_cand = int(arr[0])
             while n_cand > budget:
@@ -299,7 +324,7 @@ class StreamSearcher:
                     fut = dev.search_async(
                         state["loc"], state["n_dev"], budget
                     )
-                arr = np.asarray(fut)
+                arr = _materialize(fut)
                 n_cand = int(arr[0])
             idx = arr[1 : 1 + n_cand]
             cnt = arr[1 + budget : 1 + budget + n_cand]
