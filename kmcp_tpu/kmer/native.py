@@ -287,7 +287,10 @@ def _get_write_buf(size: int) -> np.ndarray:
 def make_strtab(strings: list[bytes]) -> tuple[bytes, np.ndarray]:
     """(data, offsets[n+1]) flat string table for the native writer."""
     offsets = np.zeros(len(strings) + 1, dtype=np.int64)
-    np.cumsum([len(s) for s in strings], out=offsets[1:])
+    np.cumsum(
+        np.fromiter(map(len, strings), np.int64, len(strings)),
+        out=offsets[1:],
+    )
     return b"".join(strings), offsets
 
 
