@@ -276,6 +276,10 @@ def test_stream_path_with_mixed_read_lengths(tmp_path):
     """Streaming device path (on CPU) must stay byte-identical to the
     general engine path, including >dedup-threshold reads routed through
     the slow path and interleaved by the segmented native writer."""
+    from kmcp_tpu.kmer import native as _nat
+
+    if _nat.get_lib() is None:
+        pytest.skip("native library unavailable (streaming needs it)")
     import io
 
     from kmcp_tpu.commands.compute import ComputeOptions, run_compute
@@ -448,6 +452,10 @@ def test_pallas_hash_kernel_interpret():
 def test_stream_keep_top_scores_parity(tmp_path):
     """keep-top-scores in the stream python writer matches the engine's
     quirky truncation."""
+    from kmcp_tpu.kmer import native as _nat
+
+    if _nat.get_lib() is None:
+        pytest.skip("native library unavailable (streaming needs it)")
     import io
 
     from kmcp_tpu.search.engine import SearchEngine, SearchOptions
@@ -479,6 +487,10 @@ def test_stream_paired_parity(tmp_path):
     in-kernel dedup of the >256-k-mer sets) must stay byte-identical to
     the object engine, including a junk mate, a short mate, and an empty
     mate (util-db-search.go:800-908 semantics)."""
+    from kmcp_tpu.kmer import native as _nat
+
+    if _nat.get_lib() is None:
+        pytest.skip("native library unavailable (streaming needs it)")
     import io
 
     from kmcp_tpu.search.engine import SearchEngine, SearchOptions
@@ -615,6 +627,10 @@ def test_multihost_distributed_search():
 def test_stream_minimizer_parity(tmp_path):
     """Minimizer-query streaming (host backend, C++ window-min selection)
     must stay byte-identical to the object engine's sketch path."""
+    from kmcp_tpu.kmer import native as _nat
+
+    if _nat.get_lib() is None:
+        pytest.skip("native library unavailable (streaming needs it)")
     import io
 
     from kmcp_tpu.commands.compute import ComputeOptions, run_compute
@@ -673,6 +689,10 @@ def test_stream_minimizer_parity(tmp_path):
 def test_stream_syncmer_parity(tmp_path):
     """Closed-syncmer query streaming must stay byte-identical to the
     object engine's sketch path."""
+    from kmcp_tpu.kmer import native as _nat
+
+    if _nat.get_lib() is None:
+        pytest.skip("native library unavailable (streaming needs it)")
     import io
 
     from kmcp_tpu.commands.compute import ComputeOptions, run_compute
