@@ -113,6 +113,13 @@ def get_lib():
         ]
         lib.kt_count_block.restype = None
         u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.kt_count_blocks.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+            u64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, i64p, u64p, i64p, i64p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ]
+        lib.kt_count_blocks.restype = None
         lib.kt_union_fill.argtypes = [
             u64p, ctypes.c_int64, ctypes.c_uint64, u64p, ctypes.c_int,
         ]
@@ -619,3 +626,40 @@ def sort_unique(hashes: np.ndarray, threads: int = 0) -> np.ndarray | None:
         a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(a), threads
     )
     return a[:m]
+
+
+def count_blocks(
+    bits_ext: np.ndarray, hashes: np.ndarray, num_hashes: int,
+    row_off: np.ndarray, num_sigs: np.ndarray, threads: int = 0,
+) -> np.ndarray | None:
+    """Fused multi-block counting: derive per-block Bloom locations from
+    the raw padded [B, K] hash matrix and count matched k-mers for every
+    block of a row-stacked common-width matrix, in one call (the
+    reference-layout many-narrow-blocks host path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows, w = bits_ext.shape
+    B, K = hashes.shape
+    nb = len(row_off)
+    bits_c = np.ascontiguousarray(bits_ext, dtype=np.uint32)
+    h_c = np.ascontiguousarray(hashes, dtype=np.uint64)
+    ro = np.ascontiguousarray(row_off, dtype=np.int64)
+    ns = np.ascontiguousarray(num_sigs, dtype=np.uint64)
+    wo = (np.arange(nb, dtype=np.int64) * w)
+    bw = np.full(nb, w, dtype=np.int64)
+    out = np.empty((B, nb * w * 32), dtype=np.int32)
+    if threads <= 0:
+        threads = min(os.cpu_count() or 1, 16)
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    lib.kt_count_blocks(
+        bits_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), w,
+        h_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), B, K,
+        num_hashes, nb,
+        ro.ctypes.data_as(i64),
+        ns.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        wo.ctypes.data_as(i64), bw.ctypes.data_as(i64),
+        np.int64(nb * w),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), threads,
+    )
+    return out

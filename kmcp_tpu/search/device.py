@@ -481,41 +481,50 @@ class HostDB:
                 seqs, k, kmax, dedup_threshold=dedup_threshold,
                 minimizer_w=mw, syncmer_s=ss,
             )
-            screen_theta = None
-            if self.has_screen:
-                # a block's union screen passes a read only when its
-                # union-bloom hit count clears the junk-FP band:
-                # mean fpr_u*n plus 3 sigma (declared native-mode
-                # semantics; see index/build.py _write_union_screen)
-                nk = counts_per_read.astype(np.float64)
-            parts = []
-            for b in range(self.n_blocks):
-                s_b = self.block_num_sigs[b]
-                loc_b = native.locations(hashes, h, s_b)
-                loc_b = loc_b + np.int32(self.block_row_offset[b])
-                # padded k-mer lanes (hash 0) must hit the sentinel row
-                loc_b[hashes == 0] = np.int32(self.sentinel)
-                active = None
-                u = self.block_unions[b]
-                if u is not None:
-                    words, num_bits, fpr_u = u
-                    uc = native.union_count(words, num_bits, hashes)
-                    if uc is not None:
-                        theta = np.maximum(
-                            opt.min_kmers,
-                            np.ceil(
-                                fpr_u * nk
-                                + 3.0
-                                * np.sqrt(nk * fpr_u * (1 - fpr_u))
-                            ),
-                        )
-                        active = (uc >= theta).astype(np.uint8)
-                parts.append(
-                    native.count_block(
-                        self.bits_ext_np, loc_b, h, active=active
-                    )
+            if not self.has_screen:
+                # fused single-call path: per-block locations derived
+                # and counted in C++ (no per-block Python loop or
+                # [B,K,h] intermediates) — the reference-layout
+                # many-narrow-blocks case
+                counts = native.count_blocks(
+                    self.bits_ext_np, hashes, h,
+                    np.asarray(self.block_row_offset, dtype=np.int64),
+                    np.asarray(self.block_num_sigs, dtype=np.uint64),
                 )
-            counts = np.concatenate(parts, axis=1)
+            else:
+                # screened path: a block's union screen passes a read
+                # only when its union-bloom hit count clears the junk-FP
+                # band (mean fpr_u*n + 3 sigma; see index/build.py
+                # _write_union_screen)
+                nk = counts_per_read.astype(np.float64)
+                parts = []
+                for b in range(self.n_blocks):
+                    s_b = self.block_num_sigs[b]
+                    loc_b = native.locations(hashes, h, s_b)
+                    loc_b = loc_b + np.int32(self.block_row_offset[b])
+                    # padded k-mer lanes (hash 0) hit the sentinel row
+                    loc_b[hashes == 0] = np.int32(self.sentinel)
+                    active = None
+                    u = self.block_unions[b]
+                    if u is not None:
+                        words, num_bits, fpr_u = u
+                        uc = native.union_count(words, num_bits, hashes)
+                        if uc is not None:
+                            theta = np.maximum(
+                                opt.min_kmers,
+                                np.ceil(
+                                    fpr_u * nk
+                                    + 3.0
+                                    * np.sqrt(nk * fpr_u * (1 - fpr_u))
+                                ),
+                            )
+                            active = (uc >= theta).astype(np.uint8)
+                    parts.append(
+                        native.count_block(
+                            self.bits_ext_np, loc_b, h, active=active
+                        )
+                    )
+                counts = np.concatenate(parts, axis=1)
         nkmers = counts_per_read.astype(np.int32)
         cmin = self._cmin(int(nkmers.max(initial=1)))
         c_thresh = cmin[np.minimum(nkmers, len(cmin) - 1)][:, None]

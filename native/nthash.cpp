@@ -534,6 +534,74 @@ void kt_build_word_column(const uint64_t* hashes, const int64_t* h_offsets,
 // Multi-hash derivation splits the 64-bit value into a=hi32, b=lo32 and uses
 // uint32(a + b*j) — deliberate uint32 wraparound, matching
 // kmcp/cmd/util-hash.go:61-142.
+// Fused multi-block counting for the reference-layout (many narrow
+// blocks) host path: per read and block, derive Bloom locations from
+// the raw hashes (a + b*j uint32 wrap, % block num_sigs, + block row
+// offset into the stacked matrix) and count matched k-mers per target,
+// in ONE call — replacing a per-block Python loop of
+// kt_locations + kt_count_block with its intermediate [B,K,h] arrays.
+// counts_out is [B, total_words*32] int32, zeroed here; word_off[b] is
+// the word column where block b starts.
+void kt_count_blocks(const uint32_t* bits /* rows x total_words */,
+                     int64_t total_words, const uint64_t* hashes /* B x K */,
+                     int64_t B, int64_t K, int num_hashes, int n_blocks,
+                     const int64_t* row_off, const uint64_t* num_sigs,
+                     const int64_t* word_off, const int64_t* block_words,
+                     int64_t out_words, int32_t* counts_out, int threads) {
+  const int64_t T = out_words * 32;  // output stride: n_blocks * width
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(threads > 0 ? threads : 1) \
+    schedule(dynamic, 16) if (threads > 1 && B > 64)
+#endif
+  for (int64_t r = 0; r < B; ++r) {
+    int32_t* counts = counts_out + r * T;
+    std::memset(counts, 0, T * sizeof(int32_t));
+    const uint64_t* hrow = hashes + r * K;
+    for (int64_t i = 0; i < K; ++i) {
+      const uint64_t hv = hrow[i];
+      if (hv == 0) break;  // zero-padded tail
+      const uint32_t a = (uint32_t)(hv >> 32);
+      const uint32_t bb = (uint32_t)hv;
+      for (int b = 0; b < n_blocks; ++b) {
+        const uint64_t S = num_sigs[b];
+        const int64_t wo = word_off[b];
+        const int64_t bw = block_words[b];
+        // blocks are stacked row-wise in a common-width matrix: block
+        // b's rows start at row_off[b] and its words at COLUMN 0; the
+        // output columns start at word_off[b] (the horizontal concat)
+        if (bw == 1 && num_hashes == 1) {
+          const int64_t row = row_off[b] + (int64_t)(hv % S);
+          uint32_t w = bits[row * total_words];
+          int32_t* c = counts + wo * 32;
+          while (w) {
+            const int t = __builtin_ctz(w);
+            ++c[t];
+            w &= w - 1;
+          }
+        } else {
+          for (int64_t ww = 0; ww < bw; ++ww) {
+            uint32_t accw = 0xFFFFFFFFu;
+            for (int j = 0; j < num_hashes && accw; ++j) {
+              const uint64_t v = num_hashes == 1
+                                     ? hv
+                                     : (uint64_t)(uint32_t)(a + bb * (uint32_t)j);
+              const int64_t row = row_off[b] + (int64_t)(v % S);
+              accw &= bits[row * total_words + ww];
+            }
+            uint32_t w = accw;
+            int32_t* c = counts + (wo + ww) * 32;
+            while (w) {
+              const int t = __builtin_ctz(w);
+              ++c[t];
+              w &= w - 1;
+            }
+          }
+        }
+      }
+    }
+  }
+}
+
 // Fill a Bloom bitset (1 hash) with hashes % U: the per-block union
 // screen for large-T search (each block's k-mer union in one bitset, so
 // reads cheaply skip blocks they share no k-mers with).
