@@ -481,11 +481,13 @@ class HostDB:
                 seqs, k, kmax, dedup_threshold=dedup_threshold,
                 minimizer_w=mw, syncmer_s=ss,
             )
-            if not self.has_screen:
+            if not self.has_screen and self.w <= 2:
                 # fused single-call path: per-block locations derived
                 # and counted in C++ (no per-block Python loop or
-                # [B,K,h] intermediates) — the reference-layout
-                # many-narrow-blocks case
+                # [B,K,h] intermediates).  Only for NARROW blocks (the
+                # reference's 8/32-target layout, w <= 2 words): its
+                # scalar per-word walk recomputes the location per word,
+                # which loses to the AVX2 path on wide blocks
                 counts = native.count_blocks(
                     self.bits_ext_np, hashes, h,
                     np.asarray(self.block_row_offset, dtype=np.int64),
