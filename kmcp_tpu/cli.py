@@ -156,6 +156,9 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("-M", "--metaphlan-report", default=None)
     pr.add_argument("--metaphlan-report-version", default="3", choices=["2", "3"])
     pr.add_argument("-B", "--binning-result", default=None)
+    pr.add_argument("--debug", default=None, metavar="FILE",
+                    help="debug output file: per-target rejection trace "
+                    "(forces the reference-faithful engine)")
 
     # --------------------------------------------------------------- utils
     u = sub.add_parser("utils", help="auxiliary/introspection subcommands")
@@ -432,6 +435,7 @@ def _dispatch(args) -> int:
             rank_prefixes=(
                 args.rank_prefix.split(",") if args.rank_prefix else None
             ),
+            debug_file=args.debug,
             verbose=not args.quiet,
         )
         return 0

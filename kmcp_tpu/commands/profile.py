@@ -44,6 +44,7 @@ def run_profile(
     separator: str = ";",
     show_ranks: list[str] | None = None,
     rank_prefixes: list[str] | None = None,
+    debug_file: str | None = None,
     verbose: bool = True,
 ):
     opt = opt or ProfileOptions()
@@ -63,9 +64,13 @@ def run_profile(
 
     from ..profile.fast import FastProfiler, flat_from_files
 
-    use_fast = FastProfiler.usable(opt) and os.environ.get(
-        "KMCP_TPU_PROFILE_ENGINE", "fast"
-    ) != "reference"
+    # --debug needs the reference-faithful per-target loop (the trace is
+    # emitted inline from its filter stages, profile.go:206-223)
+    use_fast = (
+        FastProfiler.usable(opt)
+        and not debug_file
+        and os.environ.get("KMCP_TPU_PROFILE_ENGINE", "fast") != "reference"
+    )
 
     if verbose:
         # the reference's "[main parameters]" block (profile.go:393-423);
@@ -113,11 +118,20 @@ def run_profile(
             file=sys.stderr,
         )
 
+    debug_out = None
     if use_fast:
         prof = FastProfiler(opt, taxdb=taxdb, taxid_map=taxid_map)
     else:
-        prof = Profiler(opt, taxdb=taxdb, taxid_map=taxid_map)
-    targets = prof.run(flat if flat is not None else parsed)
+        if debug_file:
+            debug_out = xopen(debug_file, "wt")
+        prof = Profiler(
+            opt, taxdb=taxdb, taxid_map=taxid_map, debug_out=debug_out
+        )
+    try:
+        targets = prof.run(flat if flat is not None else parsed)
+    finally:
+        if debug_out is not None:
+            debug_out.close()
     if verbose:
         print(f"[profile] {len(targets)} references in the profile",
               file=sys.stderr)

@@ -298,12 +298,27 @@ def percentile90(values: list[float]) -> float:
     return float(np.percentile(a, 90))
 
 
+def gofmt(x: float) -> str:
+    """Go fmt's %v for float64 (strconv.FormatFloat 'g' -1): shortest
+    round-trip representation, integers without trailing '.0'."""
+    s = repr(float(x))
+    if s.endswith(".0"):
+        s = s[:-2]
+    return s
+
+
+def gofmt_vec(values) -> str:
+    """Go fmt's %v for []float64: '[a b c]'."""
+    return "[" + " ".join(gofmt(v) for v in values) + "]"
+
+
 class Profiler:
     def __init__(
         self,
         opt: ProfileOptions,
         taxdb: Taxonomy | None = None,
         taxid_map: dict[str, int] | None = None,
+        debug_out=None,
     ):
         self.opt = opt
         self.p = resolve_params(opt)
@@ -315,8 +330,24 @@ class Profiler:
         self.n_reads = 0.0
         self.n_assigned = 0.0
         self.total_queries = 0
+        self.debug_out = debug_out
 
     # ------------------------------------------------------------- helpers
+
+    def _dbg_name(self, t: Target) -> str:
+        """'name (taxname)' when a taxdump is loaded, else 'name'
+        (profile.go:1024-1035 etc.)."""
+        if self.taxdb is not None:
+            return f"{t.name} ({self.taxdb.name(self.taxid_map.get(t.name, 0))})"
+        return t.name
+
+    def _dbg_failed(self, tag: str, t: Target, reason: str, value: str):
+        """One rejection-trace line, format of profile.go:1024-1095 /
+        1750-1857 / 2377-2477."""
+        self.debug_out.write(
+            f"{tag}: {self._dbg_name(t)}, 90th percentile: "
+            f"{percentile90(t.qcov_all):.2f}, {reason}: {value}\n"
+        )
 
     def _taxid_of(self, name: str) -> int:
         t = self.taxid_map.get(name)
@@ -379,21 +410,40 @@ class Profiler:
                     t.match[m.frag_idx] += inv
 
         # sum up + filter (profile.go:1013-1099)
+        dbg = self.debug_out
+        if dbg is not None:
+            dbg.write("#------------------ round 1 ------------------\n")
         drop = []
         for tid, t in profile.items():
             t.sum_uniq = sum(t.uniq)
             if t.sum_uniq < 1:
                 drop.append(tid)
+                if dbg is not None:
+                    self._dbg_failed(
+                        "failed1", t, "no enough unique match",
+                        f"{t.sum_uniq:.0f}",
+                    )
                 continue
             t.sum_uniq_hic = sum(t.uniq_hic)
             if t.sum_uniq_hic < 1:
                 drop.append(tid)
+                if dbg is not None:
+                    self._dbg_failed(
+                        "failed1", t,
+                        "no enough high-confidence unique match",
+                        f"{t.sum_uniq_hic:.0f}",
+                    )
                 continue
             frags = sum(1 for c in t.match if c > 0)
             t.sum_match = sum(t.match)
             t.frags_prop = frags / len(t.match)
             if t.frags_prop < p["min_frags_prop"]:
                 drop.append(tid)
+                if dbg is not None:
+                    self._dbg_failed(
+                        "failed1", t, "low chunks fraction",
+                        f"{t.frags_prop:.1f} {gofmt_vec(t.match)}",
+                    )
         for tid in drop:
             del profile[tid]
         return profile
@@ -500,9 +550,13 @@ class Profiler:
                         t.match[m.frag_idx] += inv
 
         # sum up + full filters + coverage init (profile.go:1743-1892)
+        if self.debug_out is not None:
+            self.debug_out.write(
+                "\n\n#------------------ round 2 ------------------\n"
+            )
         drop = []
         for tid, t in profile2.items():
-            if not self._sum_and_filter(t, check=True):
+            if not self._sum_and_filter(t, check=True, tag="failed2"):
                 drop.append(tid)
                 continue
             self._coverage(t)
@@ -510,20 +564,45 @@ class Profiler:
             del profile2[tid]
         return profile2
 
-    def _sum_and_filter(self, t: Target, check: bool) -> bool:
+    def _sum_and_filter(self, t: Target, check: bool, tag: str = "") -> bool:
+        """Shared round-2/3 sum-up with full filters; with ``tag`` and an
+        open debug stream, rejections emit the reference's trace lines
+        (profile.go:1743-1857 round 2, :2372-2477 round 3)."""
         p = self.p
+        dbg = self.debug_out if (tag and self.debug_out is not None) else None
         t.sum_uniq = sum(t.uniq)
         if check and t.sum_uniq < p["min_ureads"]:
+            if dbg is not None:
+                self._dbg_failed(
+                    tag, t, "no enough unique match", f"{t.sum_uniq:.0f}"
+                )
             return False
         t.sum_uniq_hic = sum(t.uniq_hic)
         if check and t.sum_uniq_hic < p["min_hic_ureads"]:
+            if dbg is not None:
+                self._dbg_failed(
+                    tag, t, "no enough high-confidence unique match",
+                    f"{t.sum_uniq_hic:.0f}",
+                )
             return False
         if check and t.sum_uniq_hic < p["hic_prop"] * t.sum_uniq:
+            if dbg is not None:
+                self._dbg_failed(
+                    tag, t,
+                    "no enough high-confidence unique match proportion",
+                    f"{t.sum_uniq_hic / t.sum_uniq:.4f} "
+                    f"({t.sum_uniq_hic:.0f}/{t.sum_uniq:.0f})",
+                )
             return False
         frags = sum(1 for c in t.match if c >= p["min_reads"])
         t.sum_match = sum(t.match)
         t.frags_prop = frags / len(t.match)
         if check and t.frags_prop < p["min_frags_prop"]:
+            if dbg is not None:
+                self._dbg_failed(
+                    tag, t, "low chunks fraction",
+                    f"{t.frags_prop:.1f} {gofmt_vec(t.match)}",
+                )
             return False
         t.qlens = sum(t.qlen)
         n = len(t.qlen)
@@ -531,6 +610,11 @@ class Profiler:
             t.rel_depth = [c / t.qlens * n for c in t.qlen]
         _, t.rel_depth_std = mean_stdev(t.rel_depth)
         if check and t.rel_depth_std > p["max_depth_stdev"]:
+            if dbg is not None:
+                self._dbg_failed(
+                    tag, t, "high FragsDepthStdev",
+                    f"{t.rel_depth_std:f}",
+                )
             return False
         return True
 
@@ -609,11 +693,18 @@ class Profiler:
                             t.match[m.frag_idx] += inv
 
             # sum up: filters only at initialization (iter 0)
+            if self.debug_out is not None:
+                self.debug_out.write(
+                    "\n\n#------------------ round 3: "
+                    + ("initialization step" if it == 0
+                       else f"iteration #{it}")
+                    + " ------------------\n"
+                )
             targets = []
             whitelist = set()
             check = it == 0
             for tid, t in profile3.items():
-                if not self._sum_and_filter(t, check=check):
+                if not self._sum_and_filter(t, check=check, tag="failed3"):
                     continue
                 self._coverage(t)
                 t.score = percentile90(t.qcov_uniq) * 100
@@ -628,8 +719,27 @@ class Profiler:
                 )
             targets.sort(key=lambda t: -t.coverage)
 
+            if self.debug_out is not None:
+                # per-iteration abundance dump (profile.go:2531-2543)
+                self.debug_out.write("Abundance:\n")
+                for t in targets:
+                    if self.taxdb is not None:
+                        nm = self.taxdb.name(self.taxid_map.get(t.name, 0))
+                        self.debug_out.write(
+                            f"{nm:>50}\t{gofmt(t.percentage)}\n"
+                        )
+                    else:
+                        self.debug_out.write(
+                            f"{t.name}\t{gofmt(t.percentage)}\n"
+                        )
+
             if it > 0 and targets:
                 if abs(targets[0].percentage - dom_pct_pre) < opt.abund_pct_threshold:
+                    if self.debug_out is not None:
+                        self.debug_out.write(
+                            "stop iterating after abundances being "
+                            "converged\n"
+                        )
                     break
             if not targets:
                 break

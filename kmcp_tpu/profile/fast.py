@@ -3,9 +3,13 @@ operations over a flattened match table.
 
 Semantics match kmcp_tpu/profile/core.py (which replicates
 /root/reference/kmcp/cmd/profile.go stage by stage); this engine drops the
-per-read Python loops so profiling scales to CAMI-sized inputs.  It covers
-the default match pre-filter configuration (no keep-perfect/keep-main/
-top-N); the caller falls back to the reference-faithful engine otherwise.
+per-read Python loops so profiling scales to CAMI-sized inputs.  All match
+pre-filter configurations are covered: the streaming keep-perfect /
+keep-main / keep-top-qcovs pScore machine (profile.go:878-919) only ever
+STOPS a group's match stream, so per group the survivors are a prefix of
+the allowed rows — computed here as a vectorized segmented cut
+(``_prefix_cut``).  Preset mode 0 (pathogen detection, keep_main=True)
+therefore runs vectorized too.
 
 Key representation: rows are flattened arrays sorted in stream order;
 (read-group, target) pairs ("GT" records) are factorized once.  The first
@@ -94,7 +98,7 @@ class FlatInput:
         self.gt_of_row = inverse
         self.gt_group = (uniq // self.n_targets).astype(np.int64)
         self.gt_target = (uniq % self.n_targets).astype(np.int32)
-        self.gt_msize = counts.astype(np.int64)
+        self.gt_msize = counts.astype(np.int64)  # full (unfiltered) msize
         self.gt_first_row = first
         self.gt_first_qcov = self.qcov[first]
         self.gt_first_frag = self.frag[first]
@@ -109,7 +113,6 @@ class FlatInput:
         )
         self.row_tf = self.frag_off[self.target] + self.frag
         self.gt_first_tf = self.frag_off[self.gt_target] + self.gt_first_frag
-        self.row_inv_msize = 1.0 / self.gt_msize[self.gt_of_row]
 
 
 def flat_from_files(
@@ -249,8 +252,19 @@ def species_ids(
     return out
 
 
+class _StageState:
+    """Per-stage view of the match table after the allowed-target mask and
+    the streaming pre-filters: surviving rows plus recomputed GT/group
+    aggregates (a GT's match count can shrink when a prefix cut drops its
+    lower-qcov chunk rows)."""
+
+    __slots__ = (
+        "row_sel", "row_gt", "row_inv", "msize", "gt_idx", "n_t", "same_sp",
+    )
+
+
 class FastProfiler:
-    """Vectorized equivalent of core.Profiler (default pre-filters only)."""
+    """Vectorized equivalent of core.Profiler (all pre-filter configs)."""
 
     def __init__(self, opt: ProfileOptions, taxdb=None, taxid_map=None):
         self.opt = opt
@@ -263,40 +277,107 @@ class FastProfiler:
         self.n_reads = 0.0
         self.n_assigned = 0.0
         self.total_queries = 0
+        self._pref = (
+            bool(opt.keep_perfect_matches),
+            bool(self.p["keep_main"]),
+            float(self.p["max_gap"]),
+            int(opt.keep_top_qcovs or 0),
+        )
+        self._has_pref = (
+            self._pref[0] or self._pref[1] or self._pref[3] > 0
+        )
 
     @staticmethod
     def usable(opt: ProfileOptions) -> bool:
-        p = resolve_params(opt)
-        return not (
-            opt.keep_perfect_matches or p["keep_main"] or opt.keep_top_qcovs
-        )
+        return True
 
     # ---------------------------------------------------------------- core
 
-    def _gt_survivors(self, flat: FlatInput, allowed: np.ndarray):
-        """GT subset whose target is allowed, plus per-group stats."""
-        m = allowed[flat.gt_target]
-        idx = np.flatnonzero(m)
-        groups = flat.gt_group[idx]
-        # surviving-targets-per-group and same-species flags
-        n_t = np.bincount(groups, minlength=flat.n_groups)
+    def _prefix_cut(self, flat: FlatInput, rmask: np.ndarray) -> np.ndarray:
+        """Refine a row mask with the reference's streaming pScore
+        pre-filters (profile.go:878-919).  Within a group every filter
+        permanently stops the stream (``process = false``), so survivors
+        are a prefix of the allowed rows; the cut position is the earliest
+        row triggering any stop condition, and the triggering row itself
+        is dropped."""
+        keep_full, keep_main, max_gap, top_n = self._pref
+        sel = np.flatnonzero(rmask)
+        if len(sel) == 0:
+            return rmask
+        g = flat.group[sel]
+        first = np.empty(len(sel), dtype=bool)
+        first[0] = True
+        np.not_equal(g[1:], g[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        seg_id = np.cumsum(first) - 1
+        seg_len = np.diff(np.append(starts, len(sel)))
+        pos = np.arange(len(sel)) - np.repeat(starts, seg_len)
+        qc = flat.qcov[sel]
+        prev = np.empty_like(qc)
+        prev[1:] = qc[:-1]
+        prev[first] = 1024.0  # pScore start value (never matches == 1)
+        cut = np.zeros(len(sel), dtype=bool)
+        if keep_full:
+            # stop at the first non-perfect match after a perfect one
+            cut |= (~first) & (prev == 1.0) & (qc < 1.0)
+        elif keep_main:
+            # pScore <= 1 always holds after the first append
+            cut |= (~first) & (prev - qc > max_gap)
+        if top_n > 0:
+            # n_score counts strict qcov decreases (incl. the first row,
+            # where pScore==1024); stop when it would exceed top_n
+            newv = first | (qc < prev)
+            cum = np.cumsum(newv)
+            rank = cum - np.repeat(cum[starts] - 1, seg_len)
+            cut |= rank > top_n
+        if not cut.any():
+            return rmask
+        first_cut = np.full(len(starts), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(first_cut, seg_id[cut], pos[cut])
+        keep = pos < first_cut[seg_id]
+        out = np.zeros_like(rmask)
+        out[sel[keep]] = True
+        return out
+
+    def _stage_state(
+        self,
+        flat: FlatInput,
+        allowed: np.ndarray,
+        gt_deleted: np.ndarray | None = None,
+    ) -> _StageState:
+        """Allowed-mask + pre-filters -> surviving rows and aggregates.
+        ``gt_deleted`` removes whole GTs AFTER the prefix cut (the
+        MegaPath deletions happen on the already-filtered matches,
+        profile.go:1341-1387)."""
+        rmask = allowed[flat.target]
+        if self._has_pref:
+            rmask = self._prefix_cut(flat, rmask)
+        if gt_deleted is not None and gt_deleted.any():
+            rmask = rmask & ~gt_deleted[flat.gt_of_row]
+        st = _StageState()
+        st.row_sel = np.flatnonzero(rmask)
+        st.row_gt = flat.gt_of_row[st.row_sel]
+        st.msize = np.bincount(st.row_gt, minlength=flat.n_gt)
+        st.gt_idx = np.flatnonzero(st.msize > 0)
+        groups = flat.gt_group[st.gt_idx]
+        st.n_t = np.bincount(groups, minlength=flat.n_groups)
         if self.level_species:
-            sp = self._species[flat.gt_target[idx]]
+            sp = self._species[flat.gt_target[st.gt_idx]]
             smin = np.full(flat.n_groups, np.iinfo(np.int64).max, np.int64)
             smax = np.full(flat.n_groups, -1, np.int64)
             np.minimum.at(smin, groups, sp)
             np.maximum.at(smax, groups, sp)
-            same_species = (smin == smax) & (smax != -1)
+            st.same_sp = (smin == smax) & (smax != -1)
         else:
-            same_species = np.zeros(flat.n_groups, dtype=bool)
-        return idx, n_t, same_species
+            st.same_sp = np.zeros(flat.n_groups, dtype=bool)
+        with np.errstate(divide="ignore"):
+            st.row_inv = 1.0 / st.msize[st.row_gt]
+        return st
 
     def _accumulate(
         self,
         flat: FlatInput,
-        gt_idx: np.ndarray,
-        n_t: np.ndarray,
-        same_species: np.ndarray,
+        st: _StageState,
         gt_prop: np.ndarray,
         mode: str,
     ):
@@ -308,7 +389,8 @@ class FastProfiler:
           em:     match += prop/msize; qlen += qlen*prop/msize;
                   same-species uniq += prop/msize
         Unique reads always: match += 1/msize, qlen += qlen/msize,
-        uniq += 1 (prop == 1 for them).
+        uniq += 1 (prop == 1 for them).  ``msize`` is the stage's
+        per-GT surviving-row count (pre-filters can shrink it).
         """
         p = self.p
         hic_qcov = p["hic_qcov"]
@@ -318,12 +400,14 @@ class FastProfiler:
         uniq = np.zeros(nfs)
         uniq_hic = np.zeros(nfs)
 
+        gt_idx = st.gt_idx
         groups_of_gt = flat.gt_group[gt_idx]
-        ambiguous = n_t[groups_of_gt] > 1
+        ambiguous = st.n_t[groups_of_gt] > 1
         unique_gt = gt_idx[~ambiguous]
         amb_gt = gt_idx[ambiguous]
 
-        # ---- unique reads: full weight
+        # ---- unique reads: full weight (the GT's first/best row always
+        # survives a prefix cut, so gt_first_* stay valid)
         tf_u = flat.gt_first_tf[unique_gt]
         np.add.at(uniq, tf_u, 1.0)
         hic_mask = flat.gt_first_qcov[unique_gt] >= hic_qcov
@@ -331,12 +415,12 @@ class FastProfiler:
 
         # ---- ambiguous reads counted as unique (same species)
         if self.level_species:
-            ss = same_species[flat.gt_group[amb_gt]]
+            ss = st.same_sp[flat.gt_group[amb_gt]]
             amb_ss = amb_gt[ss]
             if mode == "stage3":
-                w = 1.0 / flat.gt_msize[amb_ss]
+                w = 1.0 / st.msize[amb_ss]
             else:
-                w = gt_prop[amb_ss] / flat.gt_msize[amb_ss]
+                w = gt_prop[amb_ss] / st.msize[amb_ss]
             np.add.at(uniq, flat.gt_first_tf[amb_ss], w)
             hm = flat.gt_first_qcov[amb_ss] >= hic_qcov
             np.add.at(uniq_hic, flat.gt_first_tf[amb_ss][hm], w[hm])
@@ -344,14 +428,10 @@ class FastProfiler:
             amb_ss = amb_gt[:0]
 
         # ---- per-row match/qlen accumulation over surviving rows
-        gt_keep = np.zeros(flat.n_gt, dtype=bool)
-        gt_keep[gt_idx] = True
-        row_sel = np.flatnonzero(gt_keep[flat.gt_of_row])
-        row_gt = flat.gt_of_row[row_sel]
-        inv = flat.row_inv_msize[row_sel]
-        w_prop = gt_prop[row_gt] * inv
+        row_sel = st.row_sel
+        w_prop = gt_prop[st.row_gt] * st.row_inv
         if mode == "stage3":
-            np.add.at(match, flat.row_tf[row_sel], inv)
+            np.add.at(match, flat.row_tf[row_sel], st.row_inv)
         else:
             np.add.at(match, flat.row_tf[row_sel], w_prop)
         np.add.at(
@@ -431,12 +511,11 @@ class FastProfiler:
 
         # ---------------- stage 1
         all_t = np.ones(flat.n_targets, dtype=bool)
-        gt_idx, n_t, same_sp = self._gt_survivors(flat, all_t)
+        st1 = self._stage_state(flat, all_t)
+        self.n_reads = float((st1.n_t > 0).sum())
         # stage-1 uniq condition: n_targets==1 or same-species (strain
         # level: only n==1); weight always 1
-        match, _, uniq, uniq_hic, _, _ = self._accumulate_stage1(
-            flat, gt_idx, n_t, same_sp
-        )
+        match, _, uniq, uniq_hic, _, _ = self._accumulate_stage1(flat, st1)
         prof1 = {}
         off = flat.frag_off
         for t in range(flat.n_targets):
@@ -462,10 +541,10 @@ class FastProfiler:
         allowed = np.zeros(flat.n_targets, dtype=bool)
         allowed[list(prof1.keys())] = True
         amb: dict[tuple[int, int], float] = {}
+        st_allowed = self._stage_state(flat, allowed)
         if not opt.no_amb_corr:
-            gt_idx2, n_t2, _ = self._gt_survivors(flat, allowed)
-            groups2 = flat.gt_group[gt_idx2]
-            ambig = n_t2[groups2] > 1
+            gt_idx2 = st_allowed.gt_idx
+            ambig = st_allowed.n_t[flat.gt_group[gt_idx2]] > 1
             gsel = gt_idx2[ambig]
             order = np.lexsort((flat.gt_target[gsel], flat.gt_group[gsel]))
             gsel = gsel[order]
@@ -482,17 +561,15 @@ class FastProfiler:
         sum_match1 = {t: v[0] for t, v in prof1.items()}
         sum_uniq1 = {t: v[1] for t, v in prof1.items()}
         gt_deleted = self._megapath_deletions(
-            flat, allowed, amb, sum_match1, sum_uniq1
+            flat, st_allowed, amb, sum_match1, sum_uniq1
         )
-        gt_idx3, n_t3, same_sp3 = self._gt_survivors_masked(
-            flat, allowed, gt_deleted
-        )
+        st3 = self._stage_state(flat, allowed, gt_deleted)
         prop3 = np.zeros(flat.n_gt)
-        prop3[gt_idx3] = 1.0 / np.maximum(
-            n_t3[flat.gt_group[gt_idx3]], 1
+        prop3[st3.gt_idx] = 1.0 / np.maximum(
+            st3.n_t[flat.gt_group[st3.gt_idx]], 1
         )
         match, qlen_arr, uniq, uniq_hic, _, _ = self._accumulate(
-            flat, gt_idx3, n_t3, same_sp3, prop3, mode="stage3"
+            flat, st3, prop3, mode="stage3"
         )
         prof2 = self._sum_targets(
             flat, match, qlen_arr, uniq, uniq_hic, check=True
@@ -507,25 +584,24 @@ class FastProfiler:
         targets: list[Target] = []
         dom_prev = 0.0
         for it in range(opt.max_iters + 1):
-            gt_idx4, n_t4, same_sp4 = self._gt_survivors(flat, whitelist)
+            st4 = self._stage_state(flat, whitelist)
+            gt_idx4 = st4.gt_idx
             # E-step proportions: coverage shares within each read
             cov_gt = coverages[flat.gt_target[gt_idx4]]
             covsum = np.zeros(flat.n_groups)
             np.add.at(covsum, flat.gt_group[gt_idx4], cov_gt)
             prop = np.zeros(flat.n_gt)
             grp4 = flat.gt_group[gt_idx4]
-            is_amb = n_t4[grp4] > 1
+            is_amb = st4.n_t[grp4] > 1
             denom = covsum[grp4]
             pr = np.where(
                 is_amb & (denom > 0), cov_gt / np.where(denom > 0, denom, 1),
                 1.0,
             )
             prop[gt_idx4] = pr
-            self.n_assigned = float((n_t4 > 0).sum())
+            self.n_assigned = float((st4.n_t > 0).sum())
             match, qlen_arr, uniq, uniq_hic, unique_gt, amb_ss = (
-                self._accumulate(
-                    flat, gt_idx4, n_t4, same_sp4, prop, mode="em"
-                )
+                self._accumulate(flat, st4, prop, mode="em")
             )
             prof3 = self._sum_targets(
                 flat, match, qlen_arr, uniq, uniq_hic, check=(it == 0)
@@ -590,10 +666,15 @@ class FastProfiler:
         return t
 
     def _prefilter(self, rows, allowed=None):
-        # fast engine only runs with default pre-filters
-        if allowed is None:
-            return rows
-        return [m for m in rows if m.target in allowed]
+        # object-row path (core.Profiler.binning fallback): the exact
+        # streaming pScore machine
+        from .core import apply_prefilters
+
+        o = self.opt
+        return apply_prefilters(
+            rows, o.keep_perfect_matches, self.p["keep_main"],
+            self.p["max_gap"], o.keep_top_qcovs, allowed,
+        )
 
     def binning(self, parsed, targets):
         if isinstance(parsed, FlatInput) and hasattr(parsed, "query_src"):
@@ -615,7 +696,8 @@ class FastProfiler:
         t_tax = np.array(
             [self._taxid_of(n) for n in flat.target_names], dtype=np.int64
         )
-        keep = np.flatnonzero(whitelist[flat.gt_target])
+        st = self._stage_state(flat, whitelist)
+        keep = st.gt_idx
         if len(keep) == 0:
             return
         groups = flat.gt_group[keep]  # sorted (gt order is group-major)
@@ -635,7 +717,7 @@ class FastProfiler:
 
     # ------------------------------------------------------------ helpers
 
-    def _accumulate_stage1(self, flat, gt_idx, n_t, same_sp):
+    def _accumulate_stage1(self, flat, st: _StageState):
         """Stage-1 variant: unique weight 1 (even for same-species
         ambiguous reads, profile.go:851-861); match += 1/msize per row."""
         p = self.p
@@ -644,46 +726,29 @@ class FastProfiler:
         match = np.zeros(nfs)
         uniq = np.zeros(nfs)
         uniq_hic = np.zeros(nfs)
-        grp = flat.gt_group[gt_idx]
-        count_uniq = (n_t[grp] == 1) | same_sp[grp]
-        sel = gt_idx[count_uniq]
+        grp = flat.gt_group[st.gt_idx]
+        count_uniq = (st.n_t[grp] == 1) | st.same_sp[grp]
+        sel = st.gt_idx[count_uniq]
         tf = flat.gt_first_tf[sel]
         np.add.at(uniq, tf, 1.0)
         hm = flat.gt_first_qcov[sel] >= hic_qcov
         np.add.at(uniq_hic, tf[hm], 1.0)
-        np.add.at(match, flat.row_tf, flat.row_inv_msize)
+        np.add.at(match, flat.row_tf[st.row_sel], st.row_inv)
         return match, None, uniq, uniq_hic, sel, None
 
-    def _gt_survivors_masked(self, flat, allowed, gt_deleted):
-        m = allowed[flat.gt_target] & ~gt_deleted
-        idx = np.flatnonzero(m)
-        groups = flat.gt_group[idx]
-        n_t = np.bincount(groups, minlength=flat.n_groups)
-        if self.level_species:
-            sp = self._species[flat.gt_target[idx]]
-            smin = np.full(flat.n_groups, np.iinfo(np.int64).max, np.int64)
-            smax = np.full(flat.n_groups, -1, np.int64)
-            np.minimum.at(smin, groups, sp)
-            np.maximum.at(smax, groups, sp)
-            same = (smin == smax) & (smax != -1)
-        else:
-            same = np.zeros(flat.n_groups, dtype=bool)
-        return idx, n_t, same
-
-    def _megapath_deletions(self, flat, allowed, amb, sum_match, sum_uniq):
+    def _megapath_deletions(self, flat, st: _StageState, amb, sum_match,
+                            sum_uniq):
         """Per-group pairwise deletions (profile.go:1341-1387); loops only
-        over ambiguous groups."""
+        over ambiguous groups of the stage's surviving GTs."""
         opt = self.opt
         one_minus = 1 - opt.min_dreads_prop
         mm = opt.max_mismatch_err
         deleted = np.zeros(flat.n_gt, dtype=bool)
         if opt.no_amb_corr:
             return deleted
-        m = allowed[flat.gt_target]
-        idx = np.flatnonzero(m)
+        idx = st.gt_idx
         groups = flat.gt_group[idx]
-        n_t = np.bincount(groups, minlength=flat.n_groups)
-        sel = idx[n_t[groups] > 1]
+        sel = idx[st.n_t[groups] > 1]
         # order GTs within group by first qcov desc (reference sorts by
         # the best match's qcov, profile.go:1351-1353)
         order = np.lexsort(
