@@ -110,7 +110,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("-w", "--load-whole-db", action="store_true",
                    help="read index fully into RAM instead of mmap")
     s.add_argument("--low-mem", action="store_true",
-                   help="alias of the default mmap mode (kept for CLI parity)")
+                   help="do not map/load the index; read only the Bloom "
+                   "rows each batch needs from disk (slow, bounded RSS)")
     s.add_argument("--backend", default="numpy", choices=["numpy", "jax", "host"])
     s.add_argument("--batch-size", type=int, default=8192)
 
@@ -372,6 +373,7 @@ def _dispatch(args) -> int:
             load_default_name_map=args.default_name_map,
             backend=args.backend,
             load_whole_db=args.load_whole_db,
+            low_mem=args.low_mem,
         )
         run_search(
             db_dir=args.db_dir,

@@ -71,6 +71,7 @@ class SearchOptions:
     batch_size: int = 8192
     paired_fpr_buf: bool = False
     load_whole_db: bool = False  # read index into RAM instead of mmap
+    low_mem: bool = False  # row-seek mode: gather rows from disk per batch
 
 
 @dataclass
@@ -99,10 +100,19 @@ class QueryResult:
 class Block:
     def __init__(
         self, db_dir: str, block_id: int, backend: str,
-        load_whole: bool = False,
+        load_whole: bool = False, low_mem: bool = False,
     ):
         self.meta = read_block_meta(db_dir, block_id)
-        self.bits = read_block_bits(db_dir, block_id, mmap=not load_whole)
+        self.low_mem = low_mem and backend != "jax"
+        if self.low_mem:
+            # row-seek mode: never map/load the matrix; gather only the
+            # rows each batch needs (util-db-search.go:6975-7176)
+            from ..index.format import BlockRowReader
+
+            self.bits = None
+            self.rows = BlockRowReader(db_dir, block_id)
+        else:
+            self.bits = read_block_bits(db_dir, block_id, mmap=not load_whole)
         self.sizes = np.asarray(self.meta.sizes, dtype=np.float64)
         self.backend = backend
         self._jax_counter = None
@@ -115,6 +125,8 @@ class Block:
                     np.ascontiguousarray(self.bits), num_hashes
                 )
             c = self._jax_counter(hashes, mask)
+        elif self.low_mem:
+            c = self._counts_low_mem(hashes, mask, num_hashes)
         else:
             c = self._counts_host(hashes, mask, num_hashes)
         return c[:, : self.meta.num_targets]
@@ -137,6 +149,40 @@ class Block:
         loc[~mask] = S  # sentinel (zero) row
         return native.count_block(self._bits_ext, loc, num_hashes)
 
+    def _counts_low_mem(self, hashes, mask, num_hashes) -> np.ndarray:
+        """Gather only the batch's unique Bloom rows from disk, then count
+        against the small [n_unique(+1), W] matrix with remapped
+        locations — byte-identical counts to the resident path."""
+        from ..kmer import native
+        from .kernel import derive_locations
+
+        S = self.meta.num_sigs
+        loc = native.locations(hashes, num_hashes, S)
+        if loc is None:
+            loc = derive_locations(hashes, num_hashes, S)
+        loc = np.where(mask[..., None], loc, np.int64(S))
+        uniq, inv = np.unique(loc, return_inverse=True)
+        n_real = len(uniq) - 1 if len(uniq) and uniq[-1] == S else len(uniq)
+        small = self.rows.gather(uniq[:n_real])
+        small_ext = np.concatenate(
+            [small, np.zeros((1, small.shape[1]), np.uint32)], axis=0
+        )  # sentinel row at index n_real (where S sorted, if present)
+        loc_small = inv.reshape(loc.shape).astype(np.int32)
+        out = native.count_block(small_ext, loc_small, num_hashes)
+        if out is None:
+            mask3 = np.broadcast_to(mask[..., None], loc.shape)
+            rows = np.where(mask3[..., None], small_ext[loc_small], np.uint32(0))
+            acc = rows[..., 0, :]
+            for j in range(1, num_hashes):
+                acc = acc & rows[..., j, :]
+            by = np.ascontiguousarray(acc).view(np.uint8)
+            b_, k_, w4 = by.shape
+            unpacked = np.unpackbits(
+                by.reshape(b_ * k_, w4), axis=1, bitorder="little"
+            )
+            out = unpacked.reshape(b_, k_, w4 * 8).sum(axis=1, dtype=np.int32)
+        return out
+
 
 class SearchDB:
     """One database directory (= the reference's UnikIndexDB)."""
@@ -146,7 +192,7 @@ class SearchDB:
         self.info: DBInfo = read_db_info(db_dir)
         self.opt = opt
         self.blocks = [
-            Block(db_dir, i, opt.backend, opt.load_whole_db)
+            Block(db_dir, i, opt.backend, opt.load_whole_db, opt.low_mem)
             for i in range(len(self.info.blocks))
         ]
         buf = 499 if opt.paired_fpr_buf else 249

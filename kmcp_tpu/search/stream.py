@@ -138,6 +138,10 @@ class StreamSearcher:
                 return False
         if engine.opt.backend not in ("jax", "host"):
             return False
+        if engine.opt.low_mem:
+            # row-seek mode keeps the index on disk; the streaming
+            # backends materialize the stacked matrix
+            return False
         if engine.opt.sort_by != "qcov" or engine.opt.do_not_sort:
             return False
         if len(db.blocks) != 1 and engine.opt.backend != "host":

@@ -807,3 +807,70 @@ def test_block_screen_union(tmp_path):
         sorted(glob.glob(str(tmp_path / "ks" / "*.kset")))[0])[0])
     got = native.union_count(words, num_bits, hs[:256].reshape(1, -1))
     assert int(got[0]) == 256  # every member k-mer must be present
+
+
+@pytest.mark.parametrize("num_hashes", [1, 3])
+def test_low_mem_row_seek_matches_resident(tmp_path, num_hashes):
+    """--low-mem (row-seek mode, util-db-search.go:6975-7176): the index
+    stays on disk and only the rows a batch gathers are pread; output is
+    byte-identical to the resident path and bytes read stay well under
+    the index size."""
+    import io
+
+    from kmcp_tpu.commands.compute import ComputeOptions, run_compute
+    from kmcp_tpu.index.build import run_index
+    from kmcp_tpu.search.engine import SearchEngine, SearchOptions
+    from kmcp_tpu.search.tsv import write_results
+
+    rng = np.random.default_rng(23)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genomes = []
+    for g in range(3):
+        seq = rng.choice(bases, size=60000).tobytes()
+        (tmp_path / f"g{g}.fa").write_text(f">g{g}\n{seq.decode()}\n")
+        genomes.append(seq)
+    run_compute(
+        out_dir=str(tmp_path / "ks"),
+        files=[str(tmp_path / f"g{g}.fa") for g in range(3)],
+        opt=ComputeOptions(ks=[21], split_number=2, split_overlap=50),
+        force=True,
+    )
+    db = str(tmp_path / "db")
+    run_index(in_dir=str(tmp_path / "ks"), out_dir=db,
+              num_hashes=num_hashes, fpr=0.1, force=True)
+
+    reads = []
+    for i in range(120):
+        g = genomes[int(rng.integers(0, 3))]
+        p = int(rng.integers(0, len(g) - 150))
+        reads.append((f"r{i}", g[p : p + 150], None))
+
+    ref_eng = SearchEngine([db], SearchOptions(backend="numpy"))
+    buf_ref = io.StringIO()
+    write_results(buf_ref, ref_eng.search_batch(reads, 0), False)
+
+    lm_eng = SearchEngine([db], SearchOptions(backend="numpy", low_mem=True))
+    for blk in lm_eng.dbs[0].blocks:
+        assert blk.bits is None, "low-mem must not map the matrix"
+    buf_lm = io.StringIO()
+    write_results(buf_lm, lm_eng.search_batch(reads, 0), False)
+    assert buf_ref.getvalue() == buf_lm.getvalue()
+
+    import os as _os
+
+    from kmcp_tpu.index.format import block_paths
+
+    total_read = sum(b.rows.bytes_read for b in lm_eng.dbs[0].blocks)
+    total_size = sum(
+        _os.path.getsize(block_paths(db, i)[0])
+        for i in range(len(lm_eng.dbs[0].blocks))
+    )
+    assert 0 < total_read < total_size // 2, (total_read, total_size)
+
+    # CLI surface: --low-mem flag routes through (no streaming fast path)
+    from kmcp_tpu.search.stream import StreamSearcher
+
+    lm_host = SearchEngine(
+        [db], SearchOptions(backend="host", low_mem=True)
+    )
+    assert not StreamSearcher.usable(lm_host)
