@@ -191,6 +191,15 @@ def build_parser() -> argparse.ArgumentParser:
     ur.add_argument("db_dir")
     ur.add_argument("-o", "--out-file", default="-")
 
+    ux = usub.add_parser(
+        "export-ref-db",
+        help="write a database in the reference kmcp layout "
+        "(R001/__db.yml + _blockNNN.uniki)",
+    )
+    ux.add_argument("db_dir")
+    ux.add_argument("-O", "--out-dir", required=True)
+    ux.add_argument("-a", "--alias", default="")
+
     ud = usub.add_parser("index-density", help="Bloom bit-density heatmap")
     ud.add_argument("db_dir")
     ud.add_argument("-o", "--out-file", required=True)
@@ -463,6 +472,11 @@ def _dispatch(args) -> int:
             U.run_index_info(args.db_dir, args.out_file, args.basename)
         elif uc == "ref-info":
             U.run_ref_info(args.db_dir, args.out_file)
+        elif uc == "export-ref-db":
+            from .index.uniki import export_ref_layout
+
+            rdir = export_ref_layout(args.db_dir, args.out_dir, args.alias)
+            print(f"[export-ref-db] wrote {rdir}", file=sys.stderr)
         elif uc == "index-density":
             U.run_index_density(args.db_dir, args.out_file, args.bins)
         elif uc == "filter":

@@ -105,6 +105,21 @@ def run_kset_info(in_dir: str, out_file: str = "-"):
 # -------------------------------------------------------------- index-info
 
 
+def _db_block_metas(d: str):
+    """(info, [(block_file, meta), ...]) for either DB layout — ours
+    (db.json + block_NNN.*) or the reference's (__db.yml +
+    _blockNNN.uniki, read via index/uniki.py)."""
+    from ..index.uniki import DB_YML, load_ref_db
+
+    if os.path.isfile(os.path.join(d, DB_YML)):
+        info, blocks = load_ref_db(d, meta_only=True)
+        return info, list(zip(info.blocks, (m for m, _ in blocks)))
+    info = read_db_info(d)
+    return info, [
+        (f, read_block_meta(d, i)) for i, f in enumerate(info.blocks)
+    ]
+
+
 def run_index_info(db_dir: str, out_file: str = "-", basename: bool = False):
     out = _out(out_file)
     try:
@@ -112,11 +127,22 @@ def run_index_info(db_dir: str, out_file: str = "-", basename: bool = False):
             "file\tversion\tk\tcanonical\tnum-hashes\tnum-sigs\t"
             "num-names\tnames\n"
         )
+        if os.path.isfile(db_dir) and db_dir.endswith(".uniki"):
+            # a single reference .uniki block file (index-info.go:72-114)
+            from ..index.uniki import read_uniki
+
+            h, _ = read_uniki(db_dir)
+            names = ",".join(n[0] if n else "" for n in h.names)
+            out.write(
+                f"{db_dir}\t{h.version}\t{h.k}\t"
+                f"{str(h.canonical).lower()}\t{h.num_hashes}\t"
+                f"{h.num_sigs}\t{len(h.names)}\t{names}\n"
+            )
+            return
         for d in find_db_dirs(db_dir):
-            info = read_db_info(d)
+            info, blocks = _db_block_metas(d)
             ks = ",".join(str(k) for k in info.ks)
-            for bid, bfile in enumerate(info.blocks):
-                meta = read_block_meta(d, bid)
+            for bfile, meta in blocks:
                 name = bfile if basename else os.path.join(d, bfile)
                 out.write(
                     f"{name}\t{info.version}\t{ks}\t"
@@ -138,9 +164,8 @@ def run_ref_info(db_dir: str, out_file: str = "-"):
     try:
         out.write("file\ti\ttarget\tchunkIdx\tchunks\tkmers\tfpr\n")
         for d in find_db_dirs(db_dir):
-            info = read_db_info(d)
-            for bid, bfile in enumerate(info.blocks):
-                meta = read_block_meta(d, bid)
+            info, blocks = _db_block_metas(d)
+            for bfile, meta in blocks:
                 for i in range(meta.num_targets):
                     n = meta.sizes[i]
                     fpr = calc_fpr(n, info.num_hashes, meta.num_sigs)
@@ -166,10 +191,22 @@ def run_index_density(db_dir: str, out_file: str, bins: int = 512):
     rows = []
     labels = []
     for d in find_db_dirs(db_dir):
-        info = read_db_info(d)
-        for bid in range(len(info.blocks)):
-            bits = read_block_bits(d, bid)
-            meta = read_block_meta(d, bid)
+        from ..index.uniki import DB_YML, load_ref_db
+
+        if os.path.isfile(os.path.join(d, DB_YML)):
+            info, ref_blocks = load_ref_db(d)
+            block_data = list(enumerate(b for _, b in ref_blocks))
+            metas = [m for m, _ in ref_blocks]
+        else:
+            info = read_db_info(d)
+            block_data = [
+                (i, read_block_bits(d, i)) for i in range(len(info.blocks))
+            ]
+            metas = [
+                read_block_meta(d, i) for i in range(len(info.blocks))
+            ]
+        for bid, bits in block_data:
+            meta = metas[bid]
             S = bits.shape[0]
             edges = np.linspace(0, S, bins + 1).astype(np.int64)
             for t in range(meta.num_targets):

@@ -209,12 +209,16 @@ def write_name_mapping(db_dir: str, names: list[str]) -> None:
 
 
 def is_db_dir(path: str) -> bool:
-    return os.path.isfile(os.path.join(path, DB_INFO_FILE))
+    return os.path.isfile(
+        os.path.join(path, DB_INFO_FILE)
+    ) or os.path.isfile(os.path.join(path, "__db.yml"))
 
 
 def find_db_dirs(path: str) -> list[str]:
     """A search target may be a DB dir itself or a parent holding several
-    (the reference scans one level of subdirectories, search.go:299-324)."""
+    (the reference scans one level of subdirectories, search.go:299-324).
+    Reference-layout databases (``__db.yml``, typically under an R001
+    subdir) are recognized alongside our own ``db.json`` dirs."""
     if is_db_dir(path):
         return [path]
     if not os.path.isdir(path):

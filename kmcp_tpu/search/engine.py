@@ -118,6 +118,20 @@ class Block:
         self._jax_counter = None
         self._bits_ext = None
 
+    @classmethod
+    def from_arrays(cls, meta, bits: np.ndarray, backend: str) -> "Block":
+        """Block over an in-memory matrix (reference-layout DBs load
+        through the .uniki converter, index/uniki.py)."""
+        self = cls.__new__(cls)
+        self.meta = meta
+        self.low_mem = False
+        self.bits = bits
+        self.sizes = np.asarray(meta.sizes, dtype=np.float64)
+        self.backend = backend
+        self._jax_counter = None
+        self._bits_ext = None
+        return self
+
     def counts(self, hashes, mask, num_hashes) -> np.ndarray:
         if self.backend == "jax":
             if self._jax_counter is None:
@@ -188,13 +202,24 @@ class SearchDB:
     """One database directory (= the reference's UnikIndexDB)."""
 
     def __init__(self, db_dir: str, opt: SearchOptions):
+        import os
+
+        from ..index.uniki import DB_YML, load_ref_db
+
         self.path = db_dir
-        self.info: DBInfo = read_db_info(db_dir)
         self.opt = opt
-        self.blocks = [
-            Block(db_dir, i, opt.backend, opt.load_whole_db, opt.low_mem)
-            for i in range(len(self.info.blocks))
-        ]
+        if os.path.isfile(os.path.join(db_dir, DB_YML)):
+            # reference-layout database (__db.yml + _blockNNN.uniki)
+            self.info, ref_blocks = load_ref_db(db_dir)
+            self.blocks = [
+                Block.from_arrays(m, b, opt.backend) for m, b in ref_blocks
+            ]
+        else:
+            self.info = read_db_info(db_dir)
+            self.blocks = [
+                Block(db_dir, i, opt.backend, opt.load_whole_db, opt.low_mem)
+                for i in range(len(self.info.blocks))
+            ]
         buf = 499 if opt.paired_fpr_buf else 249
         self.query_fpr = QueryFPRCache(self.info.fpr, buf)
         self.ks_desc = sorted(self.info.ks, reverse=True)
