@@ -89,12 +89,32 @@ def list_input_files(
     return list(files)
 
 
+def _tree_dir(out_dir: str, base_file: str) -> str:
+    """Hashed 3-level output subtree for big runs (compute.go:554-561,
+    844-849): >1000 outputs in one directory hurt at GTDB scale (~479k
+    chunk files), so outputs nest under NNN/MMM/NNN derived from a
+    stable hash of the input's base name."""
+    import hashlib
+
+    h = int.from_bytes(
+        hashlib.md5(base_file.encode()).digest()[:8], "little"
+    )
+    d = os.path.join(
+        out_dir, f"{h & 1023:03d}", f"{(h >> 10) & 1023:03d}",
+        f"{h & 1023:03d}",
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def compute_file(
     file: str,
     out_dir: str,
     opt: ComputeOptions,
+    tree: bool = False,
 ) -> list[KsetFileInfo]:
-    """Process one genome file into chunk .kset files (compute.go:504-888)."""
+    """Process one genome file into chunk .kset files (compute.go:504-888).
+    With ``tree``, outputs nest in the hashed 3-level directory tree."""
     ks = sorted(opt.ks)
     k_max, k_min = ks[-1], ks[0]
     overlap = opt.split_overlap if opt.split_overlap >= 0 else k_max - 1
@@ -115,6 +135,8 @@ def compute_file(
 
     base_file = os.path.basename(file)
     ref_name = extract_ref_name(base_file, ref_name_re)
+    if tree:
+        out_dir = _tree_dir(out_dir, base_file)
 
     records = []
     for rec in read_fastx(file):
@@ -274,17 +296,20 @@ def run_compute(
     os.makedirs(out_dir, exist_ok=True)
 
     workers = opt.threads or os.cpu_count() or 1
+    # hashed 3-level output tree for big runs (compute.go:498: by-seq or
+    # >1000 input files)
+    tree = opt.by_seq or len(all_files) > 1000
     infos: list[KsetFileInfo] = []
     if workers == 1 or len(all_files) == 1:
         for f in all_files:
-            infos.extend(compute_file(f, out_dir, opt))
+            infos.extend(compute_file(f, out_dir, opt, tree))
     else:
         # threads beat processes here: the hot work (native OpenMP scan,
         # numpy sort/unique) releases the GIL, and forked workers pay
         # page-fault + imbalance costs (measured 2-2.6x slower)
         with cf.ThreadPoolExecutor(max_workers=workers) as ex:
             for res in ex.map(
-                lambda f: compute_file(f, out_dir, opt), all_files
+                lambda f: compute_file(f, out_dir, opt, tree), all_files
             ):
                 infos.extend(res)
     ksetmod.write_info(out_dir, infos)

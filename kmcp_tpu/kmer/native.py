@@ -112,6 +112,27 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.kt_count_block.restype = None
+        lib.kt_count_block_sparse.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int,
+        ]
+        lib.kt_count_block_sparse.restype = ctypes.c_int64
+        lib.kt_count_hashes_sparse.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_uint64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int,
+        ]
+        lib.kt_count_hashes_sparse.restype = ctypes.c_int64
         u64p = ctypes.POINTER(ctypes.c_uint64)
         lib.kt_count_blocks.argtypes = [
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
@@ -412,6 +433,91 @@ def count_block(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), threads, act_p,
     )
     return out
+
+
+def count_block_sparse(
+    bits_ext: np.ndarray, loc: np.ndarray, num_hashes: int,
+    cmin_per_read: np.ndarray, tmin_eff: np.ndarray,
+    t_offset: int, t_total: int, budget: int,
+    idx_out: np.ndarray, cnt_out: np.ndarray, cursor: int,
+    threads: int = 0, active: np.ndarray | None = None,
+) -> int | None:
+    """Fused count+threshold+compaction (large-T path): appends passing
+    (flat_idx, cnt) candidates into idx_out/cnt_out starting at
+    ``cursor``; returns the new total (may exceed ``budget`` — caller
+    retries).  None when the native library lacks the kernel."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "kt_count_block_sparse"):
+        return None
+    Sp1, W = bits_ext.shape
+    B, K = loc.shape[0], loc.shape[1]
+    bits_c = np.ascontiguousarray(bits_ext, dtype=np.uint32)
+    loc_c = np.ascontiguousarray(loc, dtype=np.int32)
+    cmin_c = np.ascontiguousarray(cmin_per_read, dtype=np.int32)
+    tmin_c = np.ascontiguousarray(tmin_eff, dtype=np.int32)
+    assert tmin_c.shape[0] == W * 32 and cmin_c.shape[0] == B
+    assert idx_out.dtype == np.int64 and cnt_out.dtype == np.int32
+    if threads <= 0:
+        threads = min(os.cpu_count() or 1, 16)
+    act_p = None
+    if active is not None:
+        active = np.ascontiguousarray(active, dtype=np.uint8)
+        act_p = active.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    return int(
+        lib.kt_count_block_sparse(
+            bits_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), W,
+            loc_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), B, K,
+            num_hashes,
+            cmin_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            tmin_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            act_p, t_offset, t_total, budget,
+            idx_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cnt_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            cursor, threads,
+        )
+    )
+
+
+def count_hashes_sparse(
+    bits_ext: np.ndarray, hashes: np.ndarray, num_hashes: int,
+    num_sigs: int, row_offset: int,
+    cmin_per_read: np.ndarray, tmin_eff: np.ndarray,
+    t_offset: int, t_total: int, budget: int,
+    idx_out: np.ndarray, cnt_out: np.ndarray, cursor: int,
+    threads: int = 0, active: np.ndarray | None = None,
+) -> int | None:
+    """count_block_sparse on raw uint64 hashes: Bloom locations derive
+    in-kernel (one native call per block, no loc intermediates)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "kt_count_hashes_sparse"):
+        return None
+    Sp1, W = bits_ext.shape
+    B, K = hashes.shape
+    bits_c = np.ascontiguousarray(bits_ext, dtype=np.uint32)
+    h_c = np.ascontiguousarray(hashes, dtype=np.uint64)
+    cmin_c = np.ascontiguousarray(cmin_per_read, dtype=np.int32)
+    tmin_c = np.ascontiguousarray(tmin_eff, dtype=np.int32)
+    assert tmin_c.shape[0] == W * 32 and cmin_c.shape[0] == B
+    assert idx_out.dtype == np.int64 and cnt_out.dtype == np.int32
+    if threads <= 0:
+        threads = min(os.cpu_count() or 1, 16)
+    act_p = None
+    if active is not None:
+        active = np.ascontiguousarray(active, dtype=np.uint8)
+        act_p = active.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    return int(
+        lib.kt_count_hashes_sparse(
+            bits_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), W,
+            h_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), B, K,
+            num_hashes, num_sigs, row_offset,
+            cmin_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            tmin_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            act_p, t_offset, t_total, budget,
+            idx_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cnt_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            cursor, threads,
+        )
+    )
 
 
 def union_fill(hashes: np.ndarray, num_bits: int, threads: int = 0):

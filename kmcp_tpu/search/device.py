@@ -413,12 +413,16 @@ class HostDB:
             self.sizes.astype(np.float64), opt.min_target_cov
         )
         self._cmin_np: dict[int, np.ndarray] = {}
-        # per-block union screens (large-T block skip; native extension)
+        # per-block union screens (large-T block skip; native extension);
+        # KMCP_TPU_NO_SCREEN=1 ignores them (A/B benchmarking)
         from ..index.format import read_block_union
 
-        self.block_unions = [
-            read_block_union(db.path, b) for b in range(self.n_blocks)
-        ]
+        if os.environ.get("KMCP_TPU_NO_SCREEN"):
+            self.block_unions = [None] * self.n_blocks
+        else:
+            self.block_unions = [
+                read_block_union(db.path, b) for b in range(self.n_blocks)
+            ]
         self.has_screen = any(u is not None for u in self.block_unions)
 
     def _cmin(self, n_max: int) -> np.ndarray:
@@ -466,6 +470,61 @@ class HostDB:
         h = db.info.num_hashes
         mw = db.info.minimizer_w if db.info.minimizer else 0
         ss = db.info.syncmer_s if db.info.syncmer else 0
+
+        lib = native.get_lib()
+        sparse = lib is not None and hasattr(lib, "kt_count_hashes_sparse")
+        T_total = self.n_blocks * self.t_per_block
+
+        # per-read / per-target integer thresholds (exact float64
+        # pre-computation; see module docstring).  INT32_MAX marks
+        # excluded reads / padding target lanes for the sparse kernel.
+        def read_thresholds(nkmers):
+            cmin = self._cmin(int(nkmers.max(initial=1)))
+            cmin_r = cmin[np.minimum(nkmers, len(cmin) - 1)].astype(
+                np.int32
+            )
+            len_ok = np.asarray(
+                eff_lens if eff_lens is not None else lens
+            ) >= opt.min_query_len
+            excl = ~len_ok
+            if dedup_threshold <= 0:
+                # without in-kernel dedup, over-threshold reads fall
+                # back to the object engine upstream
+                excl |= nkmers > opt.kmer_dedup_threshold
+            cmin_r[excl] = np.iinfo(np.int32).max
+            return cmin_r, len_ok
+
+        def tmin_eff():
+            t = getattr(self, "_tmin_eff_np", None)
+            if t is None:
+                t = np.where(
+                    self.sizes_pos_np,
+                    np.maximum(self._tmin_np, 1),
+                    np.iinfo(np.int32).max,
+                ).astype(np.int32)
+                self._tmin_eff_np = t
+            return t
+
+        def screen_active(b, hashes, nk):
+            """Union-screen activity mask for block b, or None: a read
+            passes only when its union-bloom hit count clears the
+            junk-FP band (mean fpr_u*n + 3 sigma; index/build.py
+            _write_union_screen)."""
+            u = self.block_unions[b]
+            if u is None:
+                return None
+            words, num_bits, fpr_u = u
+            uc = native.union_count(words, num_bits, hashes)
+            if uc is None:
+                return None
+            theta = np.maximum(
+                opt.min_kmers,
+                np.ceil(
+                    fpr_u * nk + 3.0 * np.sqrt(nk * fpr_u * (1 - fpr_u))
+                ),
+            )
+            return (uc >= theta).astype(np.uint8)
+
         if self.n_blocks == 1:
             loc, counts_per_read = native.hash_reads_loc(
                 seqs, k, kmax, self.total_rows, h,
@@ -473,6 +532,18 @@ class HostDB:
                 dedup_threshold=dedup_threshold, minimizer_w=mw,
                 syncmer_s=ss,
             )
+            nkmers = counts_per_read.astype(np.int32)
+            if sparse:
+                cmin_r, _ = read_thresholds(nkmers)
+                idx_out = np.empty(cand_budget, dtype=np.int64)
+                cnt_out = np.empty(cand_budget, dtype=np.int32)
+                n_cand = native.count_block_sparse(
+                    self.bits_ext_np, loc, h, cmin_r, tmin_eff(),
+                    0, T_total, cand_budget, idx_out, cnt_out, 0,
+                )
+                return self._pack_sparse(
+                    n_cand, idx_out, cnt_out, nkmers, cand_budget, B
+                )
             counts = native.count_block(self.bits_ext_np, loc, h)
         else:
             # multi-block: hash once, derive per-block row offsets, count
@@ -481,6 +552,31 @@ class HostDB:
                 seqs, k, kmax, dedup_threshold=dedup_threshold,
                 minimizer_w=mw, syncmer_s=ss,
             )
+            nkmers = counts_per_read.astype(np.int32)
+            nk = counts_per_read.astype(np.float64)
+            if sparse:
+                # fused per-block count+threshold+compaction: the dense
+                # [B, T] count/threshold arrays never materialize (the
+                # NumPy pass over them dominated beyond ~10k targets)
+                cmin_r, _ = read_thresholds(nkmers)
+                idx_out = np.empty(cand_budget, dtype=np.int64)
+                cnt_out = np.empty(cand_budget, dtype=np.int32)
+                te = tmin_eff()
+                hashes_c = np.ascontiguousarray(hashes, dtype=np.uint64)
+                n_cand = 0
+                for b in range(self.n_blocks):
+                    # locations derive in-kernel (hash 0 = padding lane)
+                    t_off = b * self.t_per_block
+                    n_cand = native.count_hashes_sparse(
+                        self.bits_ext_np, hashes_c, h,
+                        self.block_num_sigs[b], self.block_row_offset[b],
+                        cmin_r, te[t_off : t_off + self.t_per_block],
+                        t_off, T_total, cand_budget, idx_out, cnt_out,
+                        n_cand, active=screen_active(b, hashes_c, nk),
+                    )
+                return self._pack_sparse(
+                    n_cand, idx_out, cnt_out, nkmers, cand_budget, B
+                )
             if not self.has_screen and self.w <= 2:
                 # fused single-call path: per-block locations derived
                 # and counted in C++ (no per-block Python loop or
@@ -494,40 +590,20 @@ class HostDB:
                     np.asarray(self.block_num_sigs, dtype=np.uint64),
                 )
             else:
-                # screened path: a block's union screen passes a read
-                # only when its union-bloom hit count clears the junk-FP
-                # band (mean fpr_u*n + 3 sigma; see index/build.py
-                # _write_union_screen)
-                nk = counts_per_read.astype(np.float64)
                 parts = []
                 for b in range(self.n_blocks):
                     s_b = self.block_num_sigs[b]
                     loc_b = native.locations(hashes, h, s_b)
                     loc_b = loc_b + np.int32(self.block_row_offset[b])
-                    # padded k-mer lanes (hash 0) hit the sentinel row
                     loc_b[hashes == 0] = np.int32(self.sentinel)
-                    active = None
-                    u = self.block_unions[b]
-                    if u is not None:
-                        words, num_bits, fpr_u = u
-                        uc = native.union_count(words, num_bits, hashes)
-                        if uc is not None:
-                            theta = np.maximum(
-                                opt.min_kmers,
-                                np.ceil(
-                                    fpr_u * nk
-                                    + 3.0
-                                    * np.sqrt(nk * fpr_u * (1 - fpr_u))
-                                ),
-                            )
-                            active = (uc >= theta).astype(np.uint8)
                     parts.append(
                         native.count_block(
-                            self.bits_ext_np, loc_b, h, active=active
+                            self.bits_ext_np, loc_b, h,
+                            active=screen_active(b, hashes, nk),
                         )
                     )
                 counts = np.concatenate(parts, axis=1)
-        nkmers = counts_per_read.astype(np.int32)
+        # dense fallback (old native builds without the sparse kernel)
         cmin = self._cmin(int(nkmers.max(initial=1)))
         c_thresh = cmin[np.minimum(nkmers, len(cmin) - 1)][:, None]
         len_ok = np.asarray(
@@ -540,18 +616,26 @@ class HostDB:
             & len_ok[:, None]
         )
         if dedup_threshold <= 0:
-            # without in-kernel dedup, over-threshold reads fall back to
-            # the object engine upstream
             ok &= (nkmers <= opt.kmer_dedup_threshold)[:, None]
-        flat = np.nonzero(ok.reshape(-1))[0].astype(np.int32)
+        flat = np.nonzero(ok.reshape(-1))[0]
         n_cand = len(flat)
-        out = np.empty(1 + 2 * cand_budget + B, dtype=np.int32)
+        out = np.empty(1 + 2 * cand_budget + B, dtype=np.int64)
         out[0] = n_cand
         ncap = min(n_cand, cand_budget)
         out[1 : 1 + ncap] = flat[:ncap]
         out[1 + cand_budget : 1 + cand_budget + ncap] = counts.reshape(-1)[
             flat[:ncap]
         ]
+        out[1 + 2 * cand_budget :] = nkmers
+        return out
+
+    @staticmethod
+    def _pack_sparse(n_cand, idx_out, cnt_out, nkmers, cand_budget, B):
+        out = np.empty(1 + 2 * cand_budget + B, dtype=np.int64)
+        out[0] = n_cand
+        ncap = min(n_cand, cand_budget)
+        out[1 : 1 + ncap] = idx_out[:ncap]
+        out[1 + cand_budget : 1 + cand_budget + ncap] = cnt_out[:ncap]
         out[1 + 2 * cand_budget :] = nkmers
         return out
 

@@ -717,4 +717,281 @@ void kt_locations(const uint64_t* hashes, int64_t n, int num_hashes,
   }
 }
 
+// Fused count + threshold + compaction for the large-target regime:
+// counts per-target matched k-mers like kt_count_block, but instead of
+// materializing the dense [B, T] count matrix (262 MB at B=16k, T=131k —
+// the NumPy threshold pass over it dominated host search beyond ~10k
+// targets), each read's counts live in a thread-local buffer and only
+// candidates passing
+//     cnt >= cmin_per_read[r]  &&  cnt >= tmin_eff[t]
+// are emitted as (r * T_total + t_offset + t, cnt) pairs.  Threshold
+// exactness matches kmcp_tpu/search/device.py: cmin/tmin are the
+// integerized float64 thresholds (util-db-search.go:7466-7493), with
+// INT32_MAX marking excluded reads / padding lanes.
+//
+// Append semantics for multi-block search: `cursor` is the candidate
+// count from previous calls; entries beyond `budget` are counted but not
+// stored (the caller retries with a larger budget, stream.py::drain).
+// Returns the new total candidate count.
+int64_t kt_count_block_sparse(
+    const uint32_t* bits /* (S+1) x W */, int64_t W,
+    const int32_t* loc /* B x K x h */, int64_t B, int64_t K,
+    int num_hashes, const int32_t* cmin_per_read /* B */,
+    const int32_t* tmin_eff /* W*32 */, const uint8_t* active /* B|NULL */,
+    int64_t t_offset, int64_t T_total, int64_t budget,
+    int64_t* idx_out, int32_t* cnt_out, int64_t cursor, int threads) {
+  const int64_t T = W * 32;
+  const int nthr = threads > 0 ? threads : 1;
+  std::vector<std::vector<int64_t>> tidx(nthr);
+  std::vector<std::vector<int32_t>> tcnt(nthr);
+#ifdef _OPENMP
+#pragma omp parallel num_threads(nthr) if (nthr > 1 && B > 64)
+#endif
+  {
+#ifdef _OPENMP
+    const int tid = omp_get_thread_num();
+#else
+    const int tid = 0;
+#endif
+    std::vector<int32_t> cntbuf(T);
+    int32_t* counts = cntbuf.data();
+#if defined(__AVX2__)
+    const __m256i shuf = _mm256_setr_epi8(
+        0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1,
+        2, 2, 2, 2, 2, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 3);
+    const __m256i bitsel = _mm256_set1_epi64x(0x8040201008040201ULL);
+    std::vector<uint8_t> accbuf(W * 32);
+    uint8_t* acc = accbuf.data();
+#endif
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 16)
+#endif
+    for (int64_t r = 0; r < B; ++r) {
+      const int32_t cmin_r = cmin_per_read[r];
+      if (cmin_r == INT32_MAX) continue;       // excluded read
+      if (active && !active[r]) continue;      // block-screened read
+      std::memset(counts, 0, T * sizeof(int32_t));
+      const int32_t* lrow = loc + r * K * num_hashes;
+      const int64_t PF = 8;
+#if defined(__AVX2__)
+      for (int64_t k0 = 0; k0 < K; k0 += 255) {
+        const int64_t k1 = (k0 + 255 < K) ? k0 + 255 : K;
+        std::memset(acc, 0, W * 32);
+        for (int64_t kk = k0; kk < k1; ++kk) {
+          if (kk + PF < K) {
+            const int32_t* lp = lrow + (kk + PF) * num_hashes;
+            for (int j = 0; j < num_hashes; ++j) {
+              __builtin_prefetch(bits + (int64_t)lp[j] * W, 0, 1);
+            }
+          }
+          const int32_t* lk = lrow + kk * num_hashes;
+          const uint32_t* row0 = bits + (int64_t)lk[0] * W;
+          for (int64_t w = 0; w < W; ++w) {
+            uint32_t word = row0[w];
+            for (int j = 1; j < num_hashes; ++j) {
+              word &= bits[(int64_t)lk[j] * W + w];
+            }
+            if (!word) continue;
+            __m256i v = _mm256_set1_epi32((int)word);
+            v = _mm256_shuffle_epi8(v, shuf);
+            v = _mm256_and_si256(v, bitsel);
+            v = _mm256_cmpeq_epi8(v, bitsel);
+            __m256i* ap = (__m256i*)(acc + w * 32);
+            _mm256_storeu_si256(
+                ap, _mm256_sub_epi8(_mm256_loadu_si256(ap), v));
+          }
+        }
+        for (int64_t t = 0; t < T; ++t) counts[t] += acc[t];
+      }
+#else
+      for (int64_t kk = 0; kk < K; ++kk) {
+        const int32_t* lk = lrow + kk * num_hashes;
+        for (int64_t w = 0; w < W; ++w) {
+          uint32_t word = bits[(int64_t)lk[0] * W + w];
+          for (int j = 1; j < num_hashes; ++j) {
+            word &= bits[(int64_t)lk[j] * W + w];
+          }
+          const int64_t base = w * 32;
+          while (word) {
+            const int b = __builtin_ctz(word);
+            ++counts[base + b];
+            word &= word - 1;
+          }
+        }
+      }
+#endif
+      // threshold scan: most lanes fail cnt >= cmin_r immediately
+      const int64_t gbase = r * T_total + t_offset;
+      for (int64_t t = 0; t < T; ++t) {
+        const int32_t c = counts[t];
+        if (c >= cmin_r && c >= tmin_eff[t]) {
+          tidx[tid].push_back(gbase + t);
+          tcnt[tid].push_back(c);
+        }
+      }
+    }
+  }
+  int64_t total = cursor;
+  for (int i = 0; i < nthr; ++i) {
+    const int64_t n = (int64_t)tidx[i].size();
+    for (int64_t j = 0; j < n; ++j) {
+      if (total < budget) {
+        idx_out[total] = tidx[i][j];
+        cnt_out[total] = tcnt[i][j];
+      }
+      ++total;
+    }
+  }
+  return total;
+}
+
+// kt_count_block_sparse variant taking raw uint64 hashes: Bloom
+// locations derive inline (hash % num_sigs + row_offset, multi-hash via
+// the uint32 a+b*j split, kt_locations above) so the multi-block search
+// loop makes ONE native call per block with no [B,K,h] loc arrays or
+// NumPy offset/sentinel passes in between (those dominated the screened
+// large-T profile).  hash==0 marks padding lanes (skipped).
+int64_t kt_count_hashes_sparse(
+    const uint32_t* bits /* (S+1) x W */, int64_t W,
+    const uint64_t* hashes /* B x K */, int64_t B, int64_t K,
+    int num_hashes, uint64_t num_sigs, int64_t row_offset,
+    const int32_t* cmin_per_read /* B */,
+    const int32_t* tmin_eff /* W*32 */, const uint8_t* active /* B|NULL */,
+    int64_t t_offset, int64_t T_total, int64_t budget,
+    int64_t* idx_out, int32_t* cnt_out, int64_t cursor, int threads) {
+  const int64_t T = W * 32;
+  const int nthr = threads > 0 ? threads : 1;
+  std::vector<std::vector<int64_t>> tidx(nthr);
+  std::vector<std::vector<int32_t>> tcnt(nthr);
+#ifdef _OPENMP
+#pragma omp parallel num_threads(nthr) if (nthr > 1 && B > 64)
+#endif
+  {
+#ifdef _OPENMP
+    const int tid = omp_get_thread_num();
+#else
+    const int tid = 0;
+#endif
+    std::vector<int32_t> cntbuf(T);
+    int32_t* counts = cntbuf.data();
+    std::vector<int64_t> locbuf(8);  // per-kmer rows (num_hashes <= 8)
+#if defined(__AVX2__)
+    const __m256i shuf = _mm256_setr_epi8(
+        0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1,
+        2, 2, 2, 2, 2, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 3);
+    const __m256i bitsel = _mm256_set1_epi64x(0x8040201008040201ULL);
+    std::vector<uint8_t> accbuf(W * 32);
+    uint8_t* acc = accbuf.data();
+#endif
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 16)
+#endif
+    for (int64_t r = 0; r < B; ++r) {
+      const int32_t cmin_r = cmin_per_read[r];
+      if (cmin_r == INT32_MAX) continue;
+      if (active && !active[r]) continue;
+      std::memset(counts, 0, T * sizeof(int32_t));
+      const uint64_t* hrow = hashes + r * K;
+      const int nh = num_hashes > 8 ? 8 : num_hashes;
+      const int64_t PF = 8;
+#if defined(__AVX2__)
+      for (int64_t k0 = 0; k0 < K; k0 += 255) {
+        const int64_t k1 = (k0 + 255 < K) ? k0 + 255 : K;
+        std::memset(acc, 0, W * 32);
+        for (int64_t kk = k0; kk < k1; ++kk) {
+          const uint64_t h = hrow[kk];
+          if (!h) continue;
+          if (kk + PF < K && hrow[kk + PF]) {
+            // prefetch the next k-mer's first row
+            const uint64_t hp = hrow[kk + PF];
+            uint64_t lp;
+            if (num_hashes == 1) {
+              lp = hp % num_sigs;
+            } else {
+              lp = (uint64_t)(uint32_t)(hp >> 32) % num_sigs;
+            }
+            __builtin_prefetch(bits + (row_offset + (int64_t)lp) * W, 0, 1);
+          }
+          int64_t* lk = locbuf.data();
+          if (num_hashes == 1) {
+            lk[0] = row_offset + (int64_t)(h % num_sigs);
+          } else {
+            const uint32_t a = (uint32_t)(h >> 32);
+            const uint32_t b = (uint32_t)h;
+            for (int j = 0; j < nh; ++j) {
+              const uint32_t v = a + b * (uint32_t)j;
+              lk[j] = row_offset + (int64_t)((uint64_t)v % num_sigs);
+            }
+          }
+          const uint32_t* row0 = bits + lk[0] * W;
+          for (int64_t w = 0; w < W; ++w) {
+            uint32_t word = row0[w];
+            for (int j = 1; j < nh; ++j) {
+              word &= bits[lk[j] * W + w];
+            }
+            if (!word) continue;
+            __m256i v = _mm256_set1_epi32((int)word);
+            v = _mm256_shuffle_epi8(v, shuf);
+            v = _mm256_and_si256(v, bitsel);
+            v = _mm256_cmpeq_epi8(v, bitsel);
+            __m256i* ap = (__m256i*)(acc + w * 32);
+            _mm256_storeu_si256(
+                ap, _mm256_sub_epi8(_mm256_loadu_si256(ap), v));
+          }
+        }
+        for (int64_t t = 0; t < T; ++t) counts[t] += acc[t];
+      }
+#else
+      for (int64_t kk = 0; kk < K; ++kk) {
+        const uint64_t h = hrow[kk];
+        if (!h) continue;
+        int64_t* lk = locbuf.data();
+        if (num_hashes == 1) {
+          lk[0] = row_offset + (int64_t)(h % num_sigs);
+        } else {
+          const uint32_t a = (uint32_t)(h >> 32);
+          const uint32_t b = (uint32_t)h;
+          for (int j = 0; j < nh; ++j) {
+            const uint32_t v = a + b * (uint32_t)j;
+            lk[j] = row_offset + (int64_t)((uint64_t)v % num_sigs);
+          }
+        }
+        for (int64_t w = 0; w < W; ++w) {
+          uint32_t word = bits[lk[0] * W + w];
+          for (int j = 1; j < nh; ++j) {
+            word &= bits[lk[j] * W + w];
+          }
+          const int64_t base = w * 32;
+          while (word) {
+            const int b = __builtin_ctz(word);
+            ++counts[base + b];
+            word &= word - 1;
+          }
+        }
+      }
+#endif
+      const int64_t gbase = r * T_total + t_offset;
+      for (int64_t t = 0; t < T; ++t) {
+        const int32_t c = counts[t];
+        if (c >= cmin_r && c >= tmin_eff[t]) {
+          tidx[tid].push_back(gbase + t);
+          tcnt[tid].push_back(c);
+        }
+      }
+    }
+  }
+  int64_t total = cursor;
+  for (int i = 0; i < nthr; ++i) {
+    const int64_t n = (int64_t)tidx[i].size();
+    for (int64_t j = 0; j < n; ++j) {
+      if (total < budget) {
+        idx_out[total] = tidx[i][j];
+        cnt_out[total] = tcnt[i][j];
+      }
+      ++total;
+    }
+  }
+  return total;
+}
+
 }  // extern "C"

@@ -205,3 +205,39 @@ def test_cli_paired_search_and_dry_run(demo_db, tmp_path):  # noqa: F811
     assert res.returncode == 0, res.stderr
     assert "block" in res.stderr.lower()  # plan is logged to stderr
     assert not os.path.isdir(out_dir)
+
+
+def test_compute_hashed_tree_output(tmp_path):
+    """--by-seq (and >1000 inputs) nests outputs in the hashed 3-level
+    directory tree (compute.go:498,554-561,844-849); _info.tsv carries
+    relative paths so index/kset-info work unchanged."""
+    import numpy as np
+
+    from kmcp_tpu.commands.compute import ComputeOptions, run_compute
+    from kmcp_tpu.index.build import run_index
+    from kmcp_tpu.kmer import kset as ksetmod
+
+    rng = np.random.default_rng(9)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    fa = tmp_path / "multi.fa"
+    with open(fa, "w") as f:
+        for i in range(3):
+            f.write(f">s{i}\n{rng.choice(bases, size=5000).tobytes().decode()}\n")
+    out = tmp_path / "ks"
+    infos = run_compute(
+        out_dir=str(out), files=[str(fa)],
+        opt=ComputeOptions(ks=[21], by_seq=True), force=True,
+    )
+    assert len(infos) == 3
+    import os as _os
+
+    for i in infos:
+        rel = _os.path.relpath(i.path, str(out))
+        parts = rel.split(_os.sep)
+        assert len(parts) == 4, rel  # NNN/MMM/NNN/file.kset
+        assert all(len(p) == 3 and p.isdigit() for p in parts[:3]), rel
+        assert _os.path.isfile(i.path)
+    # round-trips through _info.tsv and the index builder
+    infos2 = ksetmod.read_info(str(out))
+    assert sorted(i.path for i in infos2) == sorted(i.path for i in infos)
+    run_index(in_dir=str(out), out_dir=str(tmp_path / "db"), force=True)

@@ -1,0 +1,173 @@
+"""Large-target-count search benchmark (VERDICT r1 item 2).
+
+The reference's production regime is GTDB scale: ~48k genome targets for
+the search benchmark, ~479k chunk targets for profiling DBs
+(/root/reference/benchmarks/searching/README.md:186-229 — 1.2-1.4M reads
+in 53-73 s on 40 threads against 47,894 genomes ~= 20k reads/s).
+
+This tool builds a synthetic wide DB (tpu-native 4096-target blocks) at
+100k+ chunk targets and measures host search throughput with and without
+the per-block union screen, plus the jax device path when the TPU is
+reachable.  Results go to docs/PERF.md.
+
+Usage:
+  python tools/bench_large_t.py [--targets 131072] [--reads 20000]
+      [--junk-pct 10] [--backends host,host-noscreen[,jax]]
+
+The DB is cached under .bench/large_t-<targets>/ across runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+CACHE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench"
+)
+CHUNKS_PER_GENOME = 64
+CHUNK_BP = 1000  # ~1000 k-mers per chunk target
+READ_LEN = 150
+
+
+def build_db(n_targets: int, force: bool = False) -> tuple[str, str]:
+    """Synthetic genomes -> kset -> two wide DBs (with/without screen).
+    Returns (db_screen, genome_dir)."""
+    from kmcp_tpu.commands.compute import ComputeOptions, run_compute
+    from kmcp_tpu.index.build import run_index
+
+    root = os.path.join(CACHE, f"large_t-{n_targets}")
+    gdir = os.path.join(root, "genomes")
+    kdir = os.path.join(root, "ks")
+    db = os.path.join(root, "db")
+    if os.path.isfile(os.path.join(db, "db.json")) and not force:
+        return db, gdir
+    os.makedirs(gdir, exist_ok=True)
+    n_genomes = n_targets // CHUNKS_PER_GENOME
+    glen = CHUNK_BP * CHUNKS_PER_GENOME + 150 * (CHUNKS_PER_GENOME - 1)
+    rng = np.random.default_rng(42)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    t0 = time.time()
+    files = []
+    for g in range(n_genomes):
+        path = os.path.join(gdir, f"g{g:05d}.fa")
+        files.append(path)
+        if not os.path.isfile(path):
+            seq = rng.choice(bases, size=glen).tobytes()
+            with open(path, "w") as f:
+                f.write(f">g{g:05d}\n{seq.decode()}\n")
+        else:
+            rng.choice(bases, size=glen)  # keep the stream aligned
+    t1 = time.time()
+    print(f"[large-t] {n_genomes} genomes x {glen} bp: {t1-t0:.1f}s",
+          file=sys.stderr)
+    run_compute(
+        out_dir=kdir, files=files,
+        opt=ComputeOptions(ks=[21], split_number=CHUNKS_PER_GENOME,
+                           split_overlap=150),
+        force=True,
+    )
+    t2 = time.time()
+    print(f"[large-t] compute: {t2-t1:.1f}s", file=sys.stderr)
+    run_index(
+        in_dir=kdir, out_dir=db, num_hashes=1, fpr=0.3, force=True,
+        tpu_native=True, block_screen=True,
+    )
+    print(f"[large-t] index(+screen): {time.time()-t2:.1f}s",
+          file=sys.stderr)
+    return db, gdir
+
+
+def make_reads(gdir: str, n: int, junk_pct: float) -> list:
+    from kmcp_tpu.seqio.fastx import read_fastx
+
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    files = sorted(os.listdir(gdir))
+    # sample source genomes sparsely (a metagenome hits few references)
+    pool = [files[i] for i in rng.choice(len(files), size=min(40, len(files)), replace=False)]
+    genomes = []
+    for f in pool:
+        genomes.append(
+            b"".join(r.seq for r in read_fastx(os.path.join(gdir, f)))
+        )
+    reads = []
+    n_junk = int(n * junk_pct / 100)
+    for i in range(n - n_junk):
+        g = genomes[int(rng.integers(0, len(genomes)))]
+        p = int(rng.integers(0, len(g) - READ_LEN))
+        reads.append((f"r{i}", g[p : p + READ_LEN], None))
+    for i in range(n_junk):
+        reads.append(
+            (f"j{i}", rng.choice(bases, size=READ_LEN).tobytes(), None)
+        )
+    rng.shuffle(reads)
+    return reads
+
+
+def bench_backend(db: str, reads, backend: str, batch: int = 16384):
+    from kmcp_tpu.search.engine import SearchEngine, SearchOptions
+    from kmcp_tpu.search.stream import StreamSearcher
+
+    opt = SearchOptions(
+        backend="host" if backend.startswith("host") else backend,
+        batch_size=batch,
+    )
+    engine = SearchEngine([db], opt)
+    st = StreamSearcher(engine)
+    out = open(os.devnull, "w")
+    st.run(iter(reads[:batch]), out)  # warm
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        total, matched = st.run(iter(reads), out)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return {
+        "backend": backend,
+        "reads_per_s": round(len(reads) / best, 1),
+        "matched_pct": round(matched / total * 100, 2),
+        "seconds": round(best, 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--targets", type=int, default=131072)
+    ap.add_argument("--reads", type=int, default=20000)
+    ap.add_argument("--junk-pct", type=float, default=10.0)
+    ap.add_argument("--backends", default="host,host-noscreen")
+    ap.add_argument("--force-db", action="store_true")
+    args = ap.parse_args()
+
+    db, gdir = build_db(args.targets, force=args.force_db)
+    reads = make_reads(gdir, args.reads, args.junk_pct)
+    results = []
+    for backend in args.backends.split(","):
+        if backend == "host-noscreen":
+            os.environ["KMCP_TPU_NO_SCREEN"] = "1"
+        else:
+            os.environ.pop("KMCP_TPU_NO_SCREEN", None)
+        r = bench_backend(db, reads, backend)
+        r["targets"] = args.targets
+        r["reads"] = len(reads)
+        print(json.dumps(r))
+        results.append(r)
+    if len(results) >= 2:
+        a, b = results[0], results[1]
+        print(
+            f"[large-t] screen speedup: "
+            f"{a['reads_per_s'] / max(b['reads_per_s'], 1e-9):.2f}x",
+            file=sys.stderr,
+        )
+
+
+if __name__ == "__main__":
+    main()
