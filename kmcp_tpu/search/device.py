@@ -133,8 +133,11 @@ def _make_read_search_step(
             r = r & jnp.uint64(63)
             return (x >> r) | (x << ((jnp.uint64(64) - r) & jnp.uint64(63)))
 
-        def step(bits_ext, reads, lens, cmin, tmin, sizes_pos):
-            """reads [B, L] uint8 ASCII (pad 0); lens [B] int32."""
+        def hash_reads(reads, S):
+            """reads [B, L] uint8 ASCII (pad 0) -> Bloom locations
+            [B, n_win, h] int32 (invalid windows -> sentinel row S) and
+            per-read valid-k-mer counts; shared by the single-device and
+            shard_map paths."""
             B, L = reads.shape
             n_win = L - k + 1
             seeds = jnp.asarray(seeds_ascii)
@@ -168,7 +171,6 @@ def _make_read_search_step(
 
             nkmers = valid.sum(axis=1, dtype=jnp.int32)
 
-            S = bits_ext.shape[0] - 1
             if num_hashes == 1:
                 loc = (h % jnp.uint64(S)).astype(jnp.int32)[..., None]
             else:
@@ -178,7 +180,10 @@ def _make_read_search_step(
                 v = a[..., None] + b32[..., None] * j
                 loc = (v.astype(jnp.uint64) % jnp.uint64(S)).astype(jnp.int32)
             loc = jnp.where(valid[..., None], loc, jnp.int32(S))
+            return loc, nkmers
 
+        def count_reads(bits_ext, loc):
+            """gather -> AND -> positional popcount: [B, T_local]."""
             rows = jnp.take(bits_ext, loc, axis=0)  # [B,K,h,W]
             acc = rows[..., 0, :]
             for jj in range(1, num_hashes):
@@ -186,18 +191,26 @@ def _make_read_search_step(
             shifts = jnp.arange(32, dtype=jnp.uint32)
             bit = (acc[..., None] >> shifts) & jnp.uint32(1)
             counts = bit.astype(jnp.int32).sum(axis=1)  # [B,W,32]
-            counts = counts.reshape(B, -1)
+            return counts.reshape(counts.shape[0], -1)
 
+        def read_ok(counts, nkmers, lens, cmin, tmin_c, spos_c):
             c_thresh = jnp.take(
                 cmin, jnp.minimum(nkmers, cmin.shape[0] - 1), axis=0
             )[:, None]
-            ok = (
+            return (
                 (counts >= c_thresh)
-                & (counts >= tmin[None, :])
-                & sizes_pos[None, :]
+                & (counts >= tmin_c[None, :])
+                & spos_c[None, :]
                 & (lens >= min_len)[:, None]
                 & (nkmers <= dedup_threshold)[:, None]
             )
+
+        def step(bits_ext, reads, lens, cmin, tmin, sizes_pos):
+            """reads [B, L] uint8 ASCII (pad 0); lens [B] int32."""
+            B = reads.shape[0]
+            loc, nkmers = hash_reads(reads, bits_ext.shape[0] - 1)
+            counts = count_reads(bits_ext, loc)
+            ok = read_ok(counts, nkmers, lens, cmin, tmin, sizes_pos)
             flat_ok = ok.reshape(-1)
             n_cand = flat_ok.astype(jnp.int32).sum()
             T = counts.shape[1]
@@ -212,26 +225,142 @@ def _make_read_search_step(
         if mesh is None:
             jitted = jax.jit(step)
         else:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            # shard_map: per-shard compaction, tiny all-gathered segments
+            # (see _sharded_compact) instead of GSPMD's dense all-gather
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
 
-            jitted = jax.jit(
-                step,
-                in_shardings=(
-                    NamedSharding(mesh, P(None, "t")),
-                    NamedSharding(mesh, P("d", None)),
-                    NamedSharding(mesh, P("d")),
-                    NamedSharding(mesh, P()),
-                    NamedSharding(mesh, P()),
-                    NamedSharding(mesh, P()),
+            d_size = mesh.shape["d"]
+            t_size = mesh.shape["t"]
+
+            def local(bits_l, reads_l, lens_l, bval_l, cmin, tmin, spos):
+                loc, nkmers = hash_reads(reads_l, bits_l.shape[0] - 1)
+                counts = count_reads(bits_l, loc)  # [B_d, T_l]
+                B_d, W_t = counts.shape[0], counts.shape[1] // 32
+                ti = jax.lax.axis_index("t")
+                tg = _global_target_ids(1, W_t, t_size, ti)
+                ok = read_ok(
+                    counts, nkmers, lens_l, cmin,
+                    jnp.take(tmin, tg), jnp.take(spos, tg),
+                ) & bval_l[:, None]
+                T = W_t * t_size * 32
+                out = _sharded_compact(
+                    counts, ok, tg, T, B_d * d_size, B_d,
+                    jax.lax.axis_index("d"), cand_budget,
+                )
+                nk_full = jax.lax.all_gather(nkmers, "d").reshape(-1)
+                return jnp.concatenate([out, nk_full])
+
+            sharded = shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(
+                    P(None, "t"), P("d", None), P("d"), P("d"),
+                    P(), P(), P(),
                 ),
-                out_shardings=NamedSharding(mesh, P()),
+                out_specs=P(),
+                check_vma=False,
             )
+
+            def wrapper(bits_ext, reads, lens, cmin, tmin, sizes_pos):
+                B = reads.shape[0]
+                B_pad = -(-B // d_size) * d_size
+                bval = jnp.arange(B_pad) < B
+                if B_pad != B:
+                    reads = jnp.pad(reads, ((0, B_pad - B), (0, 0)))
+                    lens = jnp.pad(lens, (0, B_pad - B))
+                out = sharded(
+                    bits_ext, reads, lens, bval, cmin, tmin, sizes_pos
+                )
+                head = 1 + 2 * cand_budget
+                return jnp.concatenate([out[:head], out[head : head + B]])
+
+            jitted = jax.jit(wrapper)
 
     def call(*args):
         with jax.enable_x64(True):
             return jitted(*args)
 
     return call
+
+
+def _sharded_compact(counts, ok, tg, T, B, B_d, di, cand_budget):
+    """Per-shard candidate compaction + cross-shard merge (runs INSIDE a
+    shard_map body; every array is shard-local).
+
+    The naive GSPMD lowering of ``jnp.nonzero`` over a (d, t)-sharded
+    [B, T] count matrix all-gathers the whole dense matrix (measured:
+    671 MB/step at T=131k, B=1024 — tools/comm_share.py), an ICI-time
+    share of ~79%.  Instead each shard compacts its own candidates
+    (budget-bounded) and only the packed segments cross the ICI — the
+    SPMD analog of the reference's per-node search + offline merge
+    (/root/reference/kmcp/cmd/merge.go:333-367).  The merged list is
+    re-sorted by global flat index, so the output is byte-identical to
+    the dense single-device path whenever total <= cand_budget.
+
+    counts [B_d, T_l] int32; ok [B_d, T_l] bool; tg [T_l] int32 global
+    target ids; di = this shard's 'd' index.  Returns
+    concat([total, idx_sorted, cnt_sorted]) — replicated after the
+    all-gathers."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    T_l = counts.shape[1]
+    flat_ok = ok.reshape(-1)
+    n_cand_l = flat_ok.sum(dtype=jnp.int32)  # keep int32 under x64
+    (pos,) = jnp.nonzero(flat_ok, size=cand_budget, fill_value=B_d * T_l)
+    b_l = (pos // T_l).astype(jnp.int32)
+    t_l = (pos % T_l).astype(jnp.int32)
+    idx = (di.astype(jnp.int32) * B_d + b_l) * T + jnp.take(
+        tg, jnp.minimum(t_l, T_l - 1)
+    )
+    idx = jnp.where(pos < B_d * T_l, idx, B * T).astype(jnp.int32)
+    cnt = jnp.take(counts.reshape(-1), jnp.minimum(pos, B_d * T_l - 1))
+    cnt = jnp.where(pos < B_d * T_l, cnt, -1).astype(jnp.int32)
+    seg = jnp.concatenate([n_cand_l[None], idx, cnt])
+
+    segs = lax.all_gather(seg, "t")
+    segs = lax.all_gather(segs, "d").reshape(-1, seg.shape[0])
+    total = segs[:, 0].sum()
+    n_i = jnp.minimum(segs[:, 0], cand_budget)
+    offs = jnp.cumsum(n_i) - n_i
+    lane = jnp.arange(cand_budget, dtype=jnp.int32)
+    po = jnp.where(
+        lane[None, :] < n_i[:, None],
+        offs[:, None] + lane[None, :],
+        cand_budget,
+    ).reshape(-1)
+    idx_all = segs[:, 1 : 1 + cand_budget].reshape(-1)
+    cnt_all = segs[:, 1 + cand_budget :].reshape(-1)
+    out_idx = (
+        jnp.full((cand_budget,), B * T, jnp.int32).at[po]
+        .set(idx_all, mode="drop")
+    )
+    out_cnt = (
+        jnp.full((cand_budget,), -1, jnp.int32).at[po]
+        .set(cnt_all, mode="drop")
+    )
+    order = jnp.argsort(out_idx)  # sentinel B*T sorts last
+    return jnp.concatenate(
+        [total[None], jnp.take(out_idx, order), jnp.take(out_cnt, order)]
+    )
+
+
+def _global_target_ids(nb, W_t, t_size, ti):
+    """Global target ids of this 't' shard's [nb, W_t, 32] local targets
+    (blocks stacked on the word axis before sharding)."""
+    import jax.numpy as jnp
+
+    W = W_t * t_size
+    return (
+        (
+            jnp.arange(nb, dtype=jnp.int32)[:, None, None] * W
+            + ti.astype(jnp.int32) * W_t
+            + jnp.arange(W_t, dtype=jnp.int32)[None, :, None]
+        )
+        * 32
+        + jnp.arange(32, dtype=jnp.int32)[None, None, :]
+    ).reshape(-1)
 
 
 @functools.lru_cache(maxsize=None)
@@ -280,10 +409,11 @@ def _make_count_tail(cand_budget: int, min_len: int, dedup_threshold: int):
 @functools.lru_cache(maxsize=None)
 def _make_search_step(num_hashes: int, cand_budget: int, mesh=None):
     """Jitted search step; with ``mesh`` (axes 'd', 't') the bit matrix is
-    sharded over target words on 't' and the read batch over 'd' — the
-    gather stays shard-local (axis-0 gather of an axis-1-sharded operand)
-    and only the tiny compacted candidate list is all-gathered, the SPMD
-    analog of the reference's per-node search + offline merge
+    sharded over target words on 't', the read batch over 'd', and the
+    whole body runs under shard_map: the gather stays shard-local and
+    each shard compacts its own candidates before the tiny packed
+    segments are all-gathered and merged on device (_sharded_compact) —
+    the SPMD analog of the reference's per-node search + offline merge
     (SURVEY §2.9 P3/P7)."""
     import jax
     import jax.numpy as jnp
@@ -326,20 +456,63 @@ def _make_search_step(num_hashes: int, cand_budget: int, mesh=None):
     if mesh is None:
         return jax.jit(step)
 
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import lax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
 
-    return jax.jit(
-        step,
-        in_shardings=(
-            NamedSharding(mesh, P(None, "t")),      # bits [S+1, W]
-            NamedSharding(mesh, P("d", None, None, None)),  # loc
-            NamedSharding(mesh, P("d")),            # nkmers
-            NamedSharding(mesh, P()),               # cmin
-            NamedSharding(mesh, P()),               # tmin
-            NamedSharding(mesh, P()),               # sizes_pos
+    d_size = mesh.shape["d"]
+    t_size = mesh.shape["t"]
+
+    def local(bits_l, loc_l, nk_l, bval_l, cmin, tmin, sizes_pos):
+        rows = jnp.take(bits_l, loc_l, axis=0)  # [B_d,K,nb,h,W_t]
+        acc = rows[..., 0, :]
+        for j in range(1, num_hashes):
+            acc = acc & rows[..., j, :]
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        bit = (acc[..., None] >> shifts) & jnp.uint32(1)
+        counts = bit.astype(jnp.int32).sum(axis=1)  # [B_d,nb,W_t,32]
+        B_d, nb, W_t = counts.shape[0], counts.shape[1], counts.shape[2]
+        counts = counts.reshape(B_d, -1)  # [B_d,T_l]
+        di = lax.axis_index("d")
+        tg = _global_target_ids(nb, W_t, t_size, lax.axis_index("t"))
+        c_thresh = jnp.take(cmin, nk_l, axis=0)[:, None]
+        ok = (
+            (counts >= c_thresh)
+            & (counts >= jnp.take(tmin, tg)[None, :])
+            & jnp.take(sizes_pos, tg)[None, :]
+            & bval_l[:, None]
+        )
+        T = nb * W_t * t_size * 32
+        return _sharded_compact(
+            counts, ok, tg, T, B_d * d_size, B_d, di, cand_budget
+        )
+
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, "t"), P("d", None, None, None), P("d"), P("d"),
+            P(), P(), P(),
         ),
-        out_shardings=NamedSharding(mesh, P()),
+        out_specs=P(),
+        check_vma=False,
     )
+
+    def wrapper(bits_ext, loc, nkmers, cmin, tmin, sizes_pos):
+        B = loc.shape[0]
+        B_pad = -(-B // d_size) * d_size
+        bval = jnp.arange(B_pad) < B
+        if B_pad != B:
+            # pad lanes point at the sentinel row; bval masks them out
+            sent = bits_ext.shape[0] - 1
+            loc = jnp.pad(
+                loc, ((0, B_pad - B), (0, 0), (0, 0), (0, 0)),
+                constant_values=sent,
+            )
+            nkmers = jnp.pad(nkmers, (0, B_pad - B))
+        return sharded(bits_ext, loc, nkmers, bval, cmin, tmin, sizes_pos)
+
+    return jax.jit(wrapper)
 
 
 def _stack_blocks(db):
