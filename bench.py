@@ -159,7 +159,14 @@ def main() -> None:
     from kmcp_tpu.search.stream import StreamSearcher
     from kmcp_tpu.search.tsv import write_results
 
-    opt = SearchOptions(backend=backend, batch_size=32768)
+    # Device batches want to be large: per-batch cost is dominated by
+    # tunnel round-trips (H2D + D2H latency), not compute (~1 ms/batch
+    # measured at B=131k), so fewer, bigger batches win.  Host batches
+    # stay cache-sized.
+    bs = int(os.environ.get("KMCP_TPU_BATCH", "0")) or (
+        131072 if backend == "jax" else 32768
+    )
+    opt = SearchOptions(backend=backend, batch_size=bs)
     engine = SearchEngine([db_dir], opt)
 
     queries = [(f"r{i}", s, None) for i, s in enumerate(reads)]

@@ -185,6 +185,11 @@ def get_lib():
             ctypes.c_void_p,
         ]
         lib.kt_merge_emit.restype = ctypes.c_int64
+        lib.kt_pack_rows.argtypes = [
+            ctypes.c_char_p, i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.kt_pack_rows.restype = None
         _lib = lib
         return _lib
 
@@ -256,6 +261,27 @@ def hash_reads_padded(
         threads, dedup_threshold, minimizer_w, syncmer_s,
     )
     return out, counts
+
+
+def pack_rows(reads: list[bytes], lens: np.ndarray, stride: int):
+    """Pack reads into a zero-padded row-major [B, stride] uint8 matrix
+    (the device batch layout); None when the native library is
+    unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B = len(reads)
+    concat = b"".join(reads)
+    offs = np.zeros(B + 1, dtype=np.int64)
+    np.cumsum(np.asarray(lens, dtype=np.int64), out=offs[1:])
+    out = np.empty((B, stride), dtype=np.uint8)
+    lib.kt_pack_rows(
+        concat,
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        B, stride,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out
 
 
 def hash_reads_loc(

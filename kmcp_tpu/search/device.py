@@ -367,7 +367,14 @@ def _global_target_ids(nb, W_t, t_size, ti):
 def _make_count_tail(cand_budget: int, min_len: int, dedup_threshold: int):
     """Jitted tail after device hashing: gather -> count -> threshold ->
     compaction (single-hash).  loc_t arrives transposed [K, B] from the
-    Pallas hashing kernel."""
+    Pallas hashing kernel.
+
+    Returns (meta int32 [1 + budget] = [n_cand, idx...],
+    aux uint16 [budget + B] = [cnt..., nkmers...]): device->host bytes
+    are the scarce resource on the TPU tunnel (~32 MB/s measured), and
+    counts/nkmers never exceed the per-read window count, so uint16
+    halves the payload of two of the three result columns
+    (11 bytes/read at budget 1.5*B vs 20 for the all-int32 layout)."""
     import jax
     import jax.numpy as jnp
 
@@ -400,8 +407,15 @@ def _make_count_tail(cand_budget: int, min_len: int, dedup_threshold: int):
         (cidx,) = jnp.nonzero(flat_ok, size=cand_budget, fill_value=B * T)
         cidx = cidx.astype(jnp.int32)
         cnt = jnp.take(counts.reshape(-1), jnp.minimum(cidx, B * T - 1))
-        cnt = jnp.where(cidx < B * T, cnt, -1)
-        return jnp.concatenate([n_cand[None], cidx, cnt, nkmers])
+        cnt = jnp.where(cidx < B * T, cnt, 0)
+        meta = jnp.concatenate([n_cand[None], cidx])
+        aux = jnp.concatenate(
+            [
+                jnp.clip(cnt, 0, 65535).astype(jnp.uint16),
+                jnp.clip(nkmers, 0, 65535).astype(jnp.uint16),
+            ]
+        )
+        return meta, aux
 
     return jax.jit(tail)
 
@@ -925,10 +939,12 @@ class DeviceDB:
             self._cmin_cache[n_max] = t
         return t
 
-    def search_reads_pallas(self, reads_t_u8, lens, cand_budget):
+    def search_reads_pallas(self, reads_u8, lens, cand_budget):
         """Pallas rolling-hash kernel + jitted count tail (num_hashes==1).
 
-        reads_t_u8: transposed [lmax, B] uint8 (B multiple of 256)."""
+        reads_u8: [B, lmax] uint8 (B multiple of 256); the kernel's
+        [L, B] layout is produced by a device-side transpose.  Returns
+        (meta int32, aux uint16) — see _make_count_tail."""
         import jax.numpy as jnp
 
         from .pallas_hash import make_pallas_hash_loc
@@ -938,13 +954,13 @@ class DeviceDB:
         assert self.mesh is None
         h = db.info.num_hashes
         k = sorted(db.info.ks)[-1]
-        lmax = reads_t_u8.shape[0]
+        lmax = reads_u8.shape[1]
         hash_fn = make_pallas_hash_loc(
             k, lmax, self.total_rows,
             int(db.max_hash) if db.max_hash is not None else (1 << 64) - 1,
             num_hashes=h,
         )
-        outs = hash_fn(reads_t_u8)
+        outs = hash_fn(reads_u8)
         loc_ts, nk = outs[:h], outs[h]
         tail = _make_count_tail(
             cand_budget, opt.min_query_len, opt.kmer_dedup_threshold

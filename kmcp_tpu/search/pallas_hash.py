@@ -41,8 +41,11 @@ def make_pallas_hash_loc(
     interpret: bool = False,
     num_hashes: int = 1,
 ):
-    """Build fn(reads_t_u8[lmax, B]) -> (loc_t int32 [kmax, B] per hash
+    """Build fn(reads_u8[B, lmax]) -> (loc_t int32 [kmax, B] per hash
     function, ..., nk int32 [1, B]).  B must be a multiple of 256.
+    The [B, L] -> [L, B] transpose the kernel wants runs on device
+    (fused with the uint8 -> int32 widen) — shipping the natural row
+    layout saves a 21 MB host-side transpose copy per 131k-read batch.
 
     For num_hashes > 1 the Bloom locations follow the reference's
     ``uint32(hi + lo*j) mod S`` derivation (util-hash.go:61-142) — pure
@@ -225,9 +228,9 @@ def make_pallas_hash_loc(
         nk_ref[0, :] = final[5]
 
     @jax.jit
-    def run(reads_t):
-        widened = reads_t.astype(jnp.int32)
-        B = reads_t.shape[1]
+    def run(reads_bl):
+        widened = reads_bl.T.astype(jnp.int32)
+        B = reads_bl.shape[0]
         loc_spec = pl.BlockSpec((lmax, TILE_B), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)
         fn = pl.pallas_call(
@@ -247,11 +250,11 @@ def make_pallas_hash_loc(
         locs = [o[k - 1 :, :] for o in outs[:num_hashes]]
         return (*locs, outs[num_hashes])
 
-    def call(reads_t: np.ndarray):
+    def call(reads_bl: np.ndarray):
         import jax.numpy as jnp
 
-        L, B = reads_t.shape
+        B, L = reads_bl.shape
         assert L == lmax and B % TILE_B == 0
-        return run(jnp.asarray(reads_t))
+        return run(jnp.asarray(reads_bl))
 
     return call

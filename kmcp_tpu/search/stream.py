@@ -47,6 +47,68 @@ def _materialize(fut):
     return np.asarray(fut)
 
 
+def _copy_async(fut):
+    """Start the device->host copy of a dispatched result immediately:
+    the TPU tunnel's D2H is the scarce resource (high latency, ~32 MB/s
+    measured), so the transfer of batch N overlaps batches N+1..'s
+    compute and host prep instead of serializing at drain time."""
+    for a in fut if isinstance(fut, tuple) else (fut,):
+        start = getattr(a, "copy_to_host_async", None)
+        if start is not None:
+            try:
+                start()
+            except Exception:
+                pass
+    return fut
+
+
+def _unpack_result(fut, budget, nb):
+    """Normalize a search-step result to (n_cand, idx, cnt, nk).
+
+    Tuple results use the compact pallas-tail layout (meta int32
+    [1 + budget], aux uint16 [budget + nb] = counts + nkmers,
+    device.py::_make_count_tail); plain arrays are the legacy
+    concatenated int32 layout [n_cand, idx[budget], cnt[budget]
+    (, nkmers[nb])].  On budget overflow returns (n_cand, None, ...) —
+    the caller retries with a larger budget."""
+    if isinstance(fut, tuple):
+        meta = np.asarray(fut[0])
+        n = int(meta[0])
+        if n > budget:
+            return n, None, None, None
+        aux = np.asarray(fut[1])
+        return (
+            n,
+            meta[1 : 1 + n],
+            aux[:n].astype(np.int64),
+            aux[budget : budget + nb].astype(np.int64),
+        )
+    arr = _materialize(fut)
+    n = int(arr[0])
+    if n > budget:
+        return n, None, None, None
+    nk = (
+        arr[1 + 2 * budget : 1 + 2 * budget + nb].astype(np.int64)
+        if arr.shape[0] > 1 + 2 * budget
+        else None
+    )
+    return n, arr[1 : 1 + n], arr[1 + budget : 1 + budget + n], nk
+
+
+def _pack_reads_matrix(seqs, lens, lmax):
+    """Zero-padded row-major [B, lmax] uint8 read matrix (C++ fast path;
+    NumPy scatter fallback)."""
+    mat = native.pack_rows(seqs, lens, lmax)
+    if mat is not None:
+        return mat
+    B = len(seqs)
+    mat = np.zeros((B, lmax), dtype=np.uint8)
+    concat = np.frombuffer(b"".join(seqs), dtype=np.uint8)
+    cols = np.arange(lmax)[None, :]
+    mat[cols < lens[:, None]] = concat
+    return mat
+
+
 def _fmt_ratio_memo():
     memo: dict[tuple[int, int], str] = {}
 
@@ -205,6 +267,7 @@ class StreamSearcher:
             and dh_mode == "1"
             and getattr(dev, "mesh", None) is None
             and batch_size % 256 == 0
+            and opt.kmer_dedup_threshold < 65535  # uint16 nk clamp
         )
         device_hash = dh_mode in ("1", "scan") or host_backend
 
@@ -236,9 +299,16 @@ class StreamSearcher:
                 eff[:real_b] = eff_r
             else:
                 qlen = eff = lens
-            # budget sized for ~3 matches/read average; overflow retries
-            # with 4x (recompile cached per budget size)
-            budget = 3 * batch_size
+            # budget: overflow retries with 4x (recompile cached per
+            # budget size).  Host results never cross a transfer link,
+            # so a generous 3 matches/read is free; device results ride
+            # the tunnel where D2H bytes are the scarce resource, so
+            # size those for ~1.1 matches/read plus headroom.
+            budget = (
+                3 * batch_size
+                if host_backend
+                else batch_size + batch_size // 2
+            )
             state = {
                 "real_b": real_b,
                 "ids": ids,
@@ -269,26 +339,20 @@ class StreamSearcher:
                     **state["host_extra"],
                 )
             elif use_pallas:
-                B = len(seqs)
-                mat = np.zeros((B, lmax), dtype=np.uint8)
-                concat = np.frombuffer(b"".join(seqs), dtype=np.uint8)
-                cols = np.arange(lmax)[None, :]
-                mat[cols < lens[:, None]] = concat
-                reads_t = np.ascontiguousarray(mat.T)
-                state["reads_t"] = reads_t
+                mat = _pack_reads_matrix(seqs, lens, lmax)
+                state["reads_bl"] = mat
                 state["counts"] = None
-                state["fut"] = dev.search_reads_pallas(reads_t, lens, budget)
+                state["fut"] = _copy_async(
+                    dev.search_reads_pallas(mat, lens, budget)
+                )
             elif device_hash:
                 # ship raw ASCII reads; hashing happens on device
-                B = len(seqs)
-                mat = np.zeros((B, lmax), dtype=np.uint8)
-                concat = np.frombuffer(b"".join(seqs), dtype=np.uint8)
-                cols = np.arange(lmax)[None, :]
-                mask = cols < lens[:, None]
-                mat[mask] = concat
+                mat = _pack_reads_matrix(seqs, lens, lmax)
                 state["reads_u8"] = mat
                 state["counts"] = None  # nkmers arrives with the results
-                state["fut"] = dev.search_reads_async(mat, lens, budget)
+                state["fut"] = _copy_async(
+                    dev.search_reads_async(mat, lens, budget)
+                )
             else:
                 res = native.hash_reads_loc(
                     seqs, self.k, kmax, dev.total_rows, num_hashes,
@@ -306,15 +370,19 @@ class StreamSearcher:
 
         def drain(state, idx0):
             nonlocal total, matched
-            arr = _materialize(state["fut"])
             budget = state["budget"]
-            n_cand = int(arr[0])
-            while n_cand > budget:
+            nb = len(state["lens"])
+            n_cand, idx, cnt, nk = _unpack_result(
+                state["fut"], budget, nb
+            )
+            while idx is None:  # budget overflow: retry with 4x
                 budget *= 4
                 if state["counts"] is None:
-                    if "reads_t" in state:
-                        fut = dev.search_reads_pallas(
-                            state["reads_t"], state["lens"], budget
+                    if "reads_bl" in state:
+                        fut = _copy_async(
+                            dev.search_reads_pallas(
+                                state["reads_bl"], state["lens"], budget
+                            )
                         )
                     else:
                         extra = dict(state.get("host_extra", {}))
@@ -328,10 +396,7 @@ class StreamSearcher:
                     fut = dev.search_async(
                         state["loc"], state["n_dev"], budget
                     )
-                arr = _materialize(fut)
-                n_cand = int(arr[0])
-            idx = arr[1 : 1 + n_cand]
-            cnt = arr[1 + budget : 1 + budget + n_cand]
+                n_cand, idx, cnt, nk = _unpack_result(fut, budget, nb)
             T = dev.t_per_block * dev.n_blocks
             qi = idx // T
             t = idx % T
@@ -339,7 +404,7 @@ class StreamSearcher:
             B = state["real_b"]
             if state["counts"] is None:
                 # device-hash mode: per-read k-mer counts ride along
-                state["counts"] = arr[1 + 2 * budget : 1 + 2 * budget + len(state["lens"])].astype(np.int64)
+                state["counts"] = nk
             state["too_short"] = state["eff"] < opt.min_query_len
             if "host_extra" in state:
                 # host path deduplicated in-kernel; counts are unique
@@ -409,13 +474,17 @@ class StreamSearcher:
         batch: list = []
         idx0 = start_idx
         pending_meta: deque = deque()
+        # in-flight depth: host work is CPU-bound (1 worker thread, so 2
+        # suffices); device batches stack up behind the tunnel's D2H
+        # latency, so keep more in flight to hide it
+        depth = 2 if host_backend else 4
         for q in queries:
             batch.append(q)
             if len(batch) >= batch_size:
                 pending.append((flush_batch(batch), idx0))
                 idx0 += len(batch)
                 batch = []
-                if len(pending) >= 2:
+                if len(pending) >= depth:
                     st, i0 = pending.popleft()
                     drain(st, i0)
         if batch:

@@ -267,4 +267,19 @@ int64_t kt_merge_emit(const char* buf, int64_t n_out, const int64_t* order,
   return p - out;
 }
 
+// Pack variable-length reads into a zero-padded row-major [n, stride]
+// uint8 matrix (the device batch layout).  Replaces a NumPy boolean
+// fancy-index scatter that cost ~50 ms per 131k-read batch on this
+// box's 4 CPUs.
+void kt_pack_rows(const uint8_t* concat, const int64_t* offs, int64_t n,
+                  int64_t stride, uint8_t* out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; i++) {
+    int64_t len = offs[i + 1] - offs[i];
+    if (len > stride) len = stride;
+    std::memcpy(out + i * stride, concat + offs[i], len);
+    std::memset(out + i * stride + len, 0, stride - len);
+  }
+}
+
 }  // extern "C"

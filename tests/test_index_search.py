@@ -440,7 +440,7 @@ def test_pallas_hash_kernel_interpret():
     for i, r in enumerate(reads):
         mat[i, : len(r)] = np.frombuffer(r, np.uint8)
     fn = make_pallas_hash_loc(k, L, S, (1 << 64) - 1, interpret=True)
-    loc_t, nk = fn(np.ascontiguousarray(mat.T))
+    loc_t, nk = fn(mat)
     loc_p = np.asarray(loc_t).T
     nk = np.asarray(nk)[0]
     for i in range(B):
