@@ -329,6 +329,7 @@ def _dispatch(args) -> int:
             files=args.files,
             opt=opt,
             force=args.force,
+            verbose=not args.quiet,
         )
         return 0
 
@@ -352,6 +353,7 @@ def _dispatch(args) -> int:
             block_screen=args.block_screen,
             tpu_native=args.tpu_native,
             native_block_targets=args.native_block_targets,
+            verbose=not args.quiet,
         )
         return 0
 

@@ -283,6 +283,7 @@ def run_compute(
     files: list[str] | None = None,
     opt: ComputeOptions | None = None,
     force: bool = False,
+    verbose: bool = True,
 ) -> list[KsetFileInfo]:
     opt = opt or ComputeOptions()
     all_files = list_input_files(in_dir, files or [], opt.file_regexp)
@@ -300,21 +301,32 @@ def run_compute(
     # >1000 input files)
     tree = opt.by_seq or len(all_files) > 1000
     infos: list[KsetFileInfo] = []
-    if workers == 1 or len(all_files) == 1:
-        for f in all_files:
-            infos.extend(compute_file(f, out_dir, opt, tree))
-    else:
-        # threads beat processes here: the hot work (native OpenMP scan,
-        # numpy sort/unique) releases the GIL, and forked workers pay
-        # page-fault + imbalance costs (measured 2-2.6x slower)
-        with cf.ThreadPoolExecutor(max_workers=workers) as ex:
-            for res in ex.map(
-                lambda f: compute_file(f, out_dir, opt, tree), all_files
-            ):
-                infos.extend(res)
+    from ..utils.progress import ProgressBar
+
+    with ProgressBar(
+        len(all_files), "compute", unit="files",
+        enabled=verbose and len(all_files) > 1,
+    ) as bar:
+        if workers == 1 or len(all_files) == 1:
+            for f in all_files:
+                infos.extend(compute_file(f, out_dir, opt, tree))
+                bar.advance()
+        else:
+            # threads beat processes here: the hot work (native OpenMP
+            # scan, numpy sort/unique) releases the GIL, and forked
+            # workers pay page-fault + imbalance costs (2-2.6x slower)
+            def one(f):
+                res = compute_file(f, out_dir, opt, tree)
+                bar.advance()
+                return res
+
+            with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+                for res in ex.map(one, all_files):
+                    infos.extend(res)
     ksetmod.write_info(out_dir, infos)
-    print(
-        f"[compute] {len(all_files)} genome file(s) -> {len(infos)} chunk .kset file(s) in {out_dir}",
-        file=sys.stderr,
-    )
+    if verbose:
+        print(
+            f"[compute] {len(all_files)} genome file(s) -> {len(infos)} chunk .kset file(s) in {out_dir}",
+            file=sys.stderr,
+        )
     return infos

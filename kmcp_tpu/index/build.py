@@ -244,6 +244,7 @@ def run_index(
     round_pow2: bool = False,
     tpu_native: bool = False,
     native_block_targets: int = 4096,
+    verbose: bool = True,
 ) -> DBInfo:
     infos = ksetmod.read_info(in_dir)
     if not infos:
@@ -284,9 +285,15 @@ def run_index(
             shutil.rmtree(out_dir)
         os.makedirs(out_dir)
 
+    from ..utils.progress import ProgressBar
+
     block_files: list[str] = []
     total_kmers = 0
     all_names: list[str] = []
+    bar = ProgressBar(
+        len(blocks), "index", unit="blocks",
+        enabled=verbose and not dry_run and len(blocks) > 1,
+    )
     for bid, block in enumerate(blocks):
         targets = order_block_targets(block)
         max_elements = max(t.kmers for t in targets)
@@ -314,6 +321,8 @@ def run_index(
         block_files.append(write_block(out_dir, bid, bits, meta))
         total_kmers += sum(t.kmers for t in targets)
         all_names.extend(meta.names)
+        bar.advance()
+    bar.close()
 
     info = DBInfo(
         alias=alias or os.path.basename(os.path.normpath(out_dir)),
@@ -339,9 +348,10 @@ def run_index(
     if not dry_run:
         write_db_info(out_dir, info)
         write_name_mapping(out_dir, sorted(set(all_names)))
-        print(
-            f"[index] built {len(block_files)} block(s), "
-            f"{info.num_names} targets, {total_kmers} k-mers -> {out_dir}",
-            file=sys.stderr,
-        )
+        if verbose:
+            print(
+                f"[index] built {len(block_files)} block(s), "
+                f"{info.num_names} targets, {total_kmers} k-mers -> {out_dir}",
+                file=sys.stderr,
+            )
     return info

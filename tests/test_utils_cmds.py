@@ -241,3 +241,29 @@ def test_compute_hashed_tree_output(tmp_path):
     infos2 = ksetmod.read_info(str(out))
     assert sorted(i.path for i in infos2) == sorted(i.path for i in infos)
     run_index(in_dir=str(out), out_dir=str(tmp_path / "db"), force=True)
+
+
+def test_progress_bar_plain_stream():
+    """Non-TTY streams get rate-limited plain lines with counter,
+    percentage, throughput and ETA (the reference's mpb decorators,
+    compute.go:461-491); --quiet disables everything."""
+    import io
+
+    from kmcp_tpu.utils.progress import ProgressBar
+
+    buf = io.StringIO()
+    with ProgressBar(
+        4, "compute", unit="files", stream=buf, min_interval=0.0
+    ) as bar:
+        for _ in range(4):
+            bar.advance()
+    out = buf.getvalue()
+    lines = [l for l in out.splitlines() if l]
+    assert lines, out
+    assert "[compute] 4/4 files" in lines[-1]
+    assert "100%" in lines[-1] and "ETA" in lines[-1]
+
+    quiet = io.StringIO()
+    with ProgressBar(4, "x", stream=quiet, enabled=False) as bar:
+        bar.advance(4)
+    assert quiet.getvalue() == ""
