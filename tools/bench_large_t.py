@@ -138,12 +138,111 @@ def bench_backend(db: str, reads, backend: str, batch: int = 16384):
     }
 
 
+def build_wide_db(n_targets: int) -> str:
+    """Single-block wide layout (all targets in ONE [S, T/32]-word block)
+    for the device path: the fused on-device hash derives Bloom rows in
+    one modulus space, and one gather row covers every target."""
+    from kmcp_tpu.index.build import run_index
+
+    root = os.path.join(CACHE, f"large_t-{n_targets}")
+    kdir = os.path.join(root, "ks")
+    db = os.path.join(root, "db-wide")
+    if os.path.isfile(os.path.join(db, "db.json")):
+        return db
+    run_index(
+        in_dir=kdir, out_dir=db, num_hashes=1, fpr=0.3, force=True,
+        tpu_native=True, native_block_targets=n_targets,
+    )
+    return db
+
+
+def bench_device(db: str, reads, batch: int = 1024):
+    """Direct DeviceDB drive (the stream layer forces >=16k batches,
+    whose [B, K, T/32] gather would not fit HBM at T=131k; the search
+    core is what's being measured — row formatting is benched at demo
+    scale).  Reports tunnel-bound end-to-end throughput AND the pure
+    device-step rate."""
+    import jax
+
+    from kmcp_tpu.kmer import native
+    from kmcp_tpu.search.device import DeviceDB
+    from kmcp_tpu.search.engine import SearchEngine, SearchOptions
+
+    opt = SearchOptions(backend="jax", batch_size=batch)
+    engine = SearchEngine([db], opt)
+    dev = DeviceDB(engine.dbs[0], opt)
+    budget = batch + batch // 2
+    n = len(reads) - len(reads) % batch
+    seqs = [r[1] for r in reads[:n]]
+    lens_all = np.array([len(s) for s in seqs], dtype=np.int64)
+    lmax = max(-(-int(lens_all.max()) // 32) * 32, 21 + 31)
+
+    mats = []
+    for lo in range(0, n, batch):
+        mats.append(
+            (
+                native.pack_rows(seqs[lo : lo + batch],
+                                 lens_all[lo : lo + batch], lmax),
+                lens_all[lo : lo + batch],
+            )
+        )
+    # warm compile
+    r = dev.search_reads_pallas(mats[0][0], mats[0][1], budget)
+    jax.block_until_ready(r)
+
+    # pure device-step rate (resident input, no pulls)
+    xt = jax.device_put(mats[0][0])
+    xt.block_until_ready()
+    reps = 5
+    t0 = time.time()
+    for _ in range(reps):
+        r = dev.search_reads_pallas(xt, mats[0][1], budget)
+    jax.block_until_ready(r)
+    step_s = (time.time() - t0) / reps
+
+    # pipelined end-to-end through the tunnel
+    from collections import deque
+
+    matched = 0
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        pending = deque()
+        got = 0
+        for mat, lens in mats:
+            meta, aux = dev.search_reads_pallas(mat, lens, budget)
+            try:
+                meta.copy_to_host_async()
+                aux.copy_to_host_async()
+            except Exception:
+                pass
+            pending.append(meta)
+            if len(pending) >= 4:
+                m = np.asarray(pending.popleft())
+                got += min(int(m[0]), budget)
+        while pending:
+            m = np.asarray(pending.popleft())
+            got += min(int(m[0]), budget)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+        matched = got
+    return {
+        "backend": "jax",
+        "reads_per_s": round(n / best, 1),
+        "device_step_reads_per_s": round(batch / step_s, 1),
+        "candidates": matched,
+        "seconds": round(best, 2),
+        "batch": batch,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--targets", type=int, default=131072)
     ap.add_argument("--reads", type=int, default=20000)
     ap.add_argument("--junk-pct", type=float, default=10.0)
     ap.add_argument("--backends", default="host,host-noscreen")
+    ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--force-db", action="store_true")
     args = ap.parse_args()
 
@@ -151,6 +250,14 @@ def main():
     reads = make_reads(gdir, args.reads, args.junk_pct)
     results = []
     for backend in args.backends.split(","):
+        if backend == "jax":
+            r = bench_device(build_wide_db(args.targets), reads,
+                             batch=args.batch)
+            r["targets"] = args.targets
+            r["reads"] = len(reads)
+            print(json.dumps(r))
+            results.append(r)
+            continue
         if backend == "host-noscreen":
             os.environ["KMCP_TPU_NO_SCREEN"] = "1"
         else:
