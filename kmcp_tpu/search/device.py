@@ -364,7 +364,12 @@ def _global_target_ids(nb, W_t, t_size, ti):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_count_tail(cand_budget: int, min_len: int, dedup_threshold: int):
+def _make_count_tail(
+    cand_budget: int,
+    min_len: int,
+    dedup_threshold: int,
+    n_chunks: int = 1,
+):
     """Jitted tail after device hashing: gather -> count -> threshold ->
     compaction (single-hash).  loc_t arrives transposed [K, B] from the
     Pallas hashing kernel.
@@ -374,47 +379,140 @@ def _make_count_tail(cand_budget: int, min_len: int, dedup_threshold: int):
     are the scarce resource on the TPU tunnel (~32 MB/s measured), and
     counts/nkmers never exceed the per-read window count, so uint16
     halves the payload of two of the three result columns
-    (11 bytes/read at budget 1.5*B vs 20 for the all-int32 layout)."""
+    (11 bytes/read at budget 1.5*B vs 20 for the all-int32 layout).
+
+    With ``n_chunks`` > 1 the batch is processed in B/n_chunks-read
+    chunks under ``lax.map`` so the [B_c, K, W] gathered-rows
+    intermediate stays bounded — at GTDB scale (T = 131k targets,
+    W = 4096 words) a full 16k-read gather would be 37 GB; 256-read
+    chunks keep it under 600 MB while one dispatch still amortizes the
+    tunnel round-trip over the whole batch.  Per-chunk compactions are
+    spliced into the same global (meta, aux) layout (chunk-major order
+    preserves the ascending flat-index order); if any chunk overflows
+    its budget share, the reported n_cand exceeds the global budget so
+    the caller's standard 4x retry kicks in."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
-    def tail(bits_ext, loc_ts, nk, lens, cmin, tmin, sizes_pos):
-        # loc_ts: tuple of transposed [K, B] location planes, one per
-        # hash function; rows AND together across planes
-        acc = None
-        for loc_t in loc_ts:
-            rows = jnp.take(bits_ext, loc_t.T, axis=0)  # [B,K,W]
-            acc = rows if acc is None else (acc & rows)
+    def chunk_tail(bits_ext, loc_t_c, nk_c, lens_c, cmin, tmin, sizes_pos,
+                   budget_c):
+        """One chunk: loc_t_c [K, B_c] (single-hash plane)."""
+        rows = jnp.take(bits_ext, loc_t_c.T, axis=0)  # [B_c,K,W]
         shifts = jnp.arange(32, dtype=jnp.uint32)
-        bit = (acc[..., None] >> shifts) & jnp.uint32(1)
+        bit = (rows[..., None] >> shifts) & jnp.uint32(1)
         counts = bit.astype(jnp.int32).sum(axis=1)
-        B = counts.shape[0]
-        counts = counts.reshape(B, -1)
-        nkmers = nk[0]
+        B_c = counts.shape[0]
+        counts = counts.reshape(B_c, -1)
         c_thresh = jnp.take(
-            cmin, jnp.minimum(nkmers, cmin.shape[0] - 1), axis=0
+            cmin, jnp.minimum(nk_c, cmin.shape[0] - 1), axis=0
         )[:, None]
         ok = (
             (counts >= c_thresh)
             & (counts >= tmin[None, :])
             & sizes_pos[None, :]
-            & (lens >= min_len)[:, None]
-            & (nkmers <= dedup_threshold)[:, None]
+            & (lens_c >= min_len)[:, None]
+            & (nk_c <= dedup_threshold)[:, None]
         )
         flat_ok = ok.reshape(-1)
         n_cand = flat_ok.astype(jnp.int32).sum()
         T = counts.shape[1]
-        (cidx,) = jnp.nonzero(flat_ok, size=cand_budget, fill_value=B * T)
+        (cidx,) = jnp.nonzero(flat_ok, size=budget_c, fill_value=B_c * T)
         cidx = cidx.astype(jnp.int32)
-        cnt = jnp.take(counts.reshape(-1), jnp.minimum(cidx, B * T - 1))
-        cnt = jnp.where(cidx < B * T, cnt, 0)
-        meta = jnp.concatenate([n_cand[None], cidx])
-        aux = jnp.concatenate(
-            [
-                jnp.clip(cnt, 0, 65535).astype(jnp.uint16),
-                jnp.clip(nkmers, 0, 65535).astype(jnp.uint16),
-            ]
+        cnt = jnp.take(counts.reshape(-1), jnp.minimum(cidx, B_c * T - 1))
+        cnt = jnp.where(cidx < B_c * T, cnt, 0)
+        return n_cand, cidx, jnp.clip(cnt, 0, 65535).astype(jnp.uint16)
+
+    def tail(bits_ext, loc_ts, nk, lens, cmin, tmin, sizes_pos):
+        # loc_ts: tuple of transposed [K, B] location planes, one per
+        # hash function; rows AND together across planes.  (Chunked mode
+        # is only built for the single-hash pallas path.)
+        nkmers = nk[0]
+        aux_nk = jnp.clip(nkmers, 0, 65535).astype(jnp.uint16)
+
+        if n_chunks == 1 or len(loc_ts) > 1:
+            acc = None
+            for loc_t in loc_ts:
+                rows = jnp.take(bits_ext, loc_t.T, axis=0)  # [B,K,W]
+                acc = rows if acc is None else (acc & rows)
+            shifts = jnp.arange(32, dtype=jnp.uint32)
+            bit = (acc[..., None] >> shifts) & jnp.uint32(1)
+            counts = bit.astype(jnp.int32).sum(axis=1)
+            B = counts.shape[0]
+            counts = counts.reshape(B, -1)
+            c_thresh = jnp.take(
+                cmin, jnp.minimum(nkmers, cmin.shape[0] - 1), axis=0
+            )[:, None]
+            ok = (
+                (counts >= c_thresh)
+                & (counts >= tmin[None, :])
+                & sizes_pos[None, :]
+                & (lens >= min_len)[:, None]
+                & (nkmers <= dedup_threshold)[:, None]
+            )
+            flat_ok = ok.reshape(-1)
+            n_cand = flat_ok.astype(jnp.int32).sum()
+            T = counts.shape[1]
+            (cidx,) = jnp.nonzero(
+                flat_ok, size=cand_budget, fill_value=B * T
+            )
+            cidx = cidx.astype(jnp.int32)
+            cnt = jnp.take(
+                counts.reshape(-1), jnp.minimum(cidx, B * T - 1)
+            )
+            cnt = jnp.where(cidx < B * T, cnt, 0)
+            meta = jnp.concatenate([n_cand[None], cidx])
+            aux = jnp.concatenate(
+                [jnp.clip(cnt, 0, 65535).astype(jnp.uint16), aux_nk]
+            )
+            return meta, aux
+
+        (loc_t,) = loc_ts
+        K, B = loc_t.shape
+        C = n_chunks
+        B_c = B // C
+        T = bits_ext.shape[1] * 32
+        budget_c = -(-cand_budget // C)
+
+        loc_chunks = loc_t.reshape(K, C, B_c).transpose(1, 0, 2)
+        nk_chunks = nkmers.reshape(C, B_c)
+        lens_chunks = lens.reshape(C, B_c)
+        n_c, idx_c, cnt_c = lax.map(
+            lambda args: chunk_tail(
+                bits_ext, args[0], args[1], args[2],
+                cmin, tmin, sizes_pos, budget_c,
+            ),
+            (loc_chunks, nk_chunks, lens_chunks),
         )
+        total = n_c.sum()
+        overflowed = (n_c > budget_c).any()
+        # global flat index: chunk i's read b_local is read i*B_c+b_local
+        idx_g = idx_c + (
+            jnp.arange(C, dtype=jnp.int32) * (B_c * T)
+        )[:, None]
+        n_eff = jnp.minimum(n_c, budget_c)
+        offs = jnp.cumsum(n_eff) - n_eff
+        lane = jnp.arange(budget_c, dtype=jnp.int32)
+        po = jnp.where(
+            lane[None, :] < n_eff[:, None],
+            offs[:, None] + lane[None, :],
+            cand_budget,  # dropped by the scatter
+        ).reshape(-1)
+        out_idx = (
+            jnp.full((cand_budget,), B * T, jnp.int32)
+            .at[po].set(idx_g.reshape(-1), mode="drop")
+        )
+        out_cnt = (
+            jnp.zeros((cand_budget,), jnp.uint16)
+            .at[po].set(cnt_c.reshape(-1), mode="drop")
+        )
+        # any per-chunk overflow must trigger the caller's global retry
+        n_rep = jnp.where(
+            overflowed, jnp.int32(cand_budget) + jnp.int32(1),
+            total.astype(jnp.int32),
+        )
+        meta = jnp.concatenate([n_rep[None], out_idx])
+        aux = jnp.concatenate([out_cnt, aux_nk])
         return meta, aux
 
     return jax.jit(tail)
@@ -962,8 +1060,21 @@ class DeviceDB:
         )
         outs = hash_fn(reads_u8)
         loc_ts, nk = outs[:h], outs[h]
+        B = reads_u8.shape[0]
+        K = lmax - k + 1
+        # chunk wide-T batches so the [B_c, K, W] gathered-rows
+        # intermediate stays under ~600 MB (see _make_count_tail)
+        n_chunks = 1
+        if h == 1:
+            while (
+                (B // n_chunks) * K * self.w > 150_000_000
+                and n_chunks < B
+                and B % (n_chunks * 2) == 0
+            ):
+                n_chunks *= 2
         tail = _make_count_tail(
-            cand_budget, opt.min_query_len, opt.kmer_dedup_threshold
+            cand_budget, opt.min_query_len, opt.kmer_dedup_threshold,
+            n_chunks,
         )
         n_win = lmax - k + 1
         cmin = self.cmin_for(max(n_win, 1))

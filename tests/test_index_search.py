@@ -874,3 +874,49 @@ def test_low_mem_row_seek_matches_resident(tmp_path, num_hashes):
         [db], SearchOptions(backend="host", low_mem=True)
     )
     assert not StreamSearcher.usable(lm_host)
+
+
+def test_chunked_count_tail_matches_dense():
+    """The lax.map-chunked count tail (wide-T memory bounding) returns
+    byte-identical (meta, aux) to the dense tail whenever nothing
+    overflows, and reports n_cand > budget when any chunk overflows its
+    share (triggering the caller's standard 4x retry)."""
+    import jax.numpy as jnp
+
+    from kmcp_tpu.search.device import _make_count_tail
+
+    rng = np.random.default_rng(5)
+    S, W, B, K = 997, 7, 64, 30
+    T = W * 32
+    bits = rng.integers(0, 2**32, (S + 1, W), dtype=np.uint32)
+    bits[S] = 0  # sentinel row
+    loc_t = rng.integers(0, S, (K, B), dtype=np.int32)
+    loc_t[rng.random((K, B)) < 0.1] = S  # invalid windows
+    nk = (loc_t != S).sum(axis=0, dtype=np.int32)[None, :]
+    lens = np.full(B, 150, dtype=np.int32)
+    lens[::13] = 10  # below min_len
+    # random bits are ~50% dense, so counts ~ Binomial(valid_k, 0.5);
+    # a high threshold keeps candidates sparse like a real search
+    cmin = np.full(K + 1, 20, dtype=np.int32)
+    tmin = np.zeros(T, dtype=np.int32)
+    tmin[::3] = 21
+    sizes_pos = np.ones(T, dtype=bool)
+    sizes_pos[T - 5 :] = False
+    budget = 4096
+    args = (
+        jnp.asarray(bits), (jnp.asarray(loc_t),), jnp.asarray(nk),
+        jnp.asarray(lens), jnp.asarray(cmin), jnp.asarray(tmin),
+        jnp.asarray(sizes_pos),
+    )
+    m1, a1 = _make_count_tail(budget, 30, 256, 1)(*args)
+    m4, a4 = _make_count_tail(budget, 30, 256, 4)(*args)
+    n = int(m1[0])
+    assert 0 < n <= budget, n
+    assert int(m4[0]) == n
+    np.testing.assert_array_equal(m1[1 : 1 + n], m4[1 : 1 + n])
+    np.testing.assert_array_equal(a1[:n], a4[:n])
+    np.testing.assert_array_equal(a1[budget:], a4[budget:])
+
+    # per-chunk overflow: tiny budget -> retry signal
+    m_o, _ = _make_count_tail(8, 30, 256, 4)(*args)
+    assert int(m_o[0]) > 8
