@@ -159,14 +159,22 @@ def order_block_targets(block: list[KsetFileInfo]) -> list[KsetFileInfo]:
 
 def build_block_bits(
     targets: list[KsetFileInfo], num_sigs: int, num_hashes: int,
-    threads: int = 0,
-) -> np.ndarray:
+    threads: int = 0, union_bits: int = 0,
+) -> np.ndarray | tuple[np.ndarray, np.ndarray | None]:
     """Scatter each target's hash locations into its bit column.
 
     The C++ path builds each uint32 word column (32 targets) in one pass
     (races impossible: one thread per word); word columns build in a
-    thread pool since the C++ releases the GIL through ctypes."""
+    thread pool since the C++ releases the GIL through ctypes.
+
+    With ``union_bits`` > 0 the per-block k-mer-union screen bitset
+    accumulates in the same pass over the kset files (returns
+    ``(bits, union_words)``) — reading each multi-GB block's ksets once
+    instead of twice, with the union ORed into one shared buffer under a
+    lock (the OR itself is milliseconds; a fresh buffer per target was
+    the round-2 rehearsal's 17-min/block pathology)."""
     import concurrent.futures as cf
+    import threading
 
     from ..kmer import native
 
@@ -175,6 +183,13 @@ def build_block_bits(
     bits = np.zeros((num_sigs, num_words), dtype=np.uint32)
 
     if native.get_lib() is not None:
+        union_words = (
+            np.zeros((union_bits + 63) // 64, dtype=np.uint64)
+            if union_bits
+            else None
+        )
+        union_lock = threading.Lock()
+
         def one_word(w: int):
             grp = targets[w * 32 : (w + 1) * 32]
             hs = [np.asarray(read_kset(i.path)[0]) for i in grp]
@@ -183,6 +198,9 @@ def build_block_bits(
             concat = (
                 np.concatenate(hs) if hs else np.empty(0, np.uint64)
             )
+            if union_words is not None and len(concat):
+                with union_lock:
+                    native.union_fill(concat, union_bits, out=union_words)
             return w, native.build_word_column(
                 concat, offsets, len(grp), num_hashes, num_sigs
             )
@@ -191,7 +209,7 @@ def build_block_bits(
         with cf.ThreadPoolExecutor(max_workers=workers) as ex:
             for w, col in ex.map(one_word, range(num_words)):
                 bits[:, w] = col
-        return bits
+        return (bits, union_words) if union_bits else bits
 
     col = np.empty(num_sigs, dtype=bool)
     for t, info in enumerate(targets):
@@ -200,30 +218,23 @@ def build_block_bits(
         col[:] = False
         col[locs] = True
         bits[:, t >> 5] |= col.astype(np.uint32) << np.uint32(t & 31)
-    return bits
+    return (bits, None) if union_bits else bits
 
 
-def _write_union_screen(out_dir, bid, targets, fpr_u: float = 0.25):
-    """Per-block k-mer-union Bloom bitset (1 hash, fpr_u) — the
-    large-T block screen: reads sharing no k-mers with a block's union
-    skip its dense count entirely (kmcp-tpu native extension; the
-    reference counts every block for every read)."""
-    from ..kmer import native
-    from .format import write_block_union
+SCREEN_FPR_U = 0.25
+
+
+def _union_screen_bits(targets, fpr_u: float = SCREEN_FPR_U) -> int:
+    """Bit count for a block's k-mer-union Bloom screen (1 hash,
+    fpr_u) — the large-T block screen: reads sharing no k-mers with a
+    block's union skip its dense count entirely (kmcp-tpu native
+    extension; the reference counts every block for every read).  The
+    union itself accumulates inside build_block_bits' single pass over
+    the kset files."""
     from .sizing import calc_signature_size
 
-    if native.get_lib() is None:
-        return
     total = sum(t.kmers for t in targets)
-    num_bits = -(-calc_signature_size(max(total, 1), 1, fpr_u) // 64) * 64
-    words = np.zeros((num_bits + 63) // 64, dtype=np.uint64)
-    for t in targets:
-        hs = np.asarray(read_kset(t.path)[0])
-        w = native.union_fill(hs, num_bits)
-        if w is None:
-            return
-        words |= w
-    write_block_union(out_dir, bid, words, num_bits, fpr_u)
+    return -(-calc_signature_size(max(total, 1), 1, fpr_u) // 64) * 64
 
 
 def run_index(
@@ -307,9 +318,24 @@ def run_index(
                 file=sys.stderr,
             )
             continue
-        bits = build_block_bits(targets, num_sigs, num_hashes)
+        union_bits = 0
         if block_screen:
-            _write_union_screen(out_dir, bid, targets)
+            from ..kmer import native as _native
+
+            if _native.get_lib() is not None:
+                union_bits = _union_screen_bits(targets)
+        if union_bits:
+            bits, union_words = build_block_bits(
+                targets, num_sigs, num_hashes, union_bits=union_bits
+            )
+            if union_words is not None:
+                from .format import write_block_union
+
+                write_block_union(
+                    out_dir, bid, union_words, union_bits, SCREEN_FPR_U
+                )
+        else:
+            bits = build_block_bits(targets, num_sigs, num_hashes)
         meta = BlockMeta(
             names=[t.name for t in targets],
             gsizes=[t.genome_size for t in targets],

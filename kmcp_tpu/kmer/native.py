@@ -546,14 +546,27 @@ def count_hashes_sparse(
     )
 
 
-def union_fill(hashes: np.ndarray, num_bits: int, threads: int = 0):
+def union_fill(
+    hashes: np.ndarray,
+    num_bits: int,
+    threads: int = 0,
+    out: np.ndarray | None = None,
+):
     """Bloom bitset (1 hash) over ``hashes % num_bits``: the per-block
-    union screen.  Returns uint64 words or None."""
+    union screen.  ORs into ``out`` when given (the C++ kernel
+    accumulates in place — building a block's union target-by-target
+    into one buffer instead of allocating a fresh multi-hundred-MB array
+    per target, which cost ~17 min/block at GTDB scale).  Returns the
+    uint64 words or None."""
     lib = get_lib()
     if lib is None:
         return None
     h = np.ascontiguousarray(hashes, dtype=np.uint64).ravel()
-    words = np.zeros((num_bits + 63) // 64, dtype=np.uint64)
+    words = (
+        out
+        if out is not None
+        else np.zeros((num_bits + 63) // 64, dtype=np.uint64)
+    )
     if threads <= 0:
         threads = min(os.cpu_count() or 1, 16)
     lib.kt_union_fill(
