@@ -95,9 +95,13 @@ def main():
     kdir = os.path.join(root, "ks")
     db = os.path.join(root, "db")
 
-    # disk budget: genomes ~1 B/bp + kset ~8 B/k-mer (~8 B/bp) + db
+    # disk budget: genomes ~1 B/bp + kset ~8 B/k-mer (~8 B/bp) + db;
+    # bytes already under root (a resumed/overwritten run) count as
+    # available since the rerun replaces them in place
     need = args.gbp * 1e9 * 9.5
     free = shutil.disk_usage(os.path.dirname(root)).free
+    if os.path.isdir(root):
+        free += du(root)
     if free < need * 1.15:
         raise SystemExit(
             f"need ~{need / 1e9:.0f} GB free for a {args.gbp:g} Gbp "
