@@ -27,6 +27,10 @@ import numpy as np
 REF = "/root/reference/demo-profiling/refs"
 BASELINE_READS_PER_S = 14.671e6 / 60.0  # mock.kmcp.gz.log
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+
+
+class _SkipProfile(Exception):
+    pass
 N_READS = int(os.environ.get("BENCH_READS", "200000"))
 READ_LEN = 150
 
@@ -101,13 +105,21 @@ def main() -> None:
 
         ensure_db(native=os.environ.get("BENCH_NATIVE", "1") == "1")
         results = {}
-        timeout = int(os.environ.get("BENCH_TIMEOUT", "240"))
         # run children SEQUENTIALLY, host first: a wedged TPU tunnel child
         # spins on CPU and would depress a concurrent host measurement
-        # (observed 380k -> 232k reads/s with a wedged jax child)
-        # host gets two attempts (machine-state variance between runs is
-        # larger than within-run variance; keep the best)
-        for child_backend, attempts in (("host", 2), ("jax", 1)):
+        # (observed 380k -> 232k reads/s with a wedged jax child).
+        # host gets two attempts, best-of (machine-state variance between
+        # runs exceeds within-run variance).  The jax child gets a longer
+        # watchdog — a degraded tunnel spends ~2 min on device init alone
+        # — plus one retry after a timeout (the first attempt warms the
+        # persistent XLA cache and the tunnel), stopping at first success.
+        timeout_env = os.environ.get("BENCH_TIMEOUT")
+        timeouts = {
+            "host": int(timeout_env or "240"),
+            "jax": max(int(timeout_env or "0") or 0, 360),
+        }
+        for child_backend, attempts in (("host", 2), ("jax", 2)):
+            timeout = timeouts[child_backend]
             for _ in range(attempts):
                 env = dict(
                     os.environ, BENCH_CHILD="1", BENCH_BACKEND=child_backend
@@ -129,19 +141,24 @@ def main() -> None:
                         prev = results.get(child_backend)
                         if prev is None or res["value"] > prev["value"]:
                             results[child_backend] = res
+                        if child_backend == "jax":
+                            break  # success: don't re-load the tunnel
                     else:
                         print(
                             f"[bench] {child_backend} child failed "
                             f"(rc={proc.returncode})", file=sys.stderr,
                         )
                         print(stderr[-1500:], file=sys.stderr)
+                        if child_backend == "jax":
+                            break
                 except subprocess.TimeoutExpired:
                     proc.kill()
                     print(
                         f"[bench] {child_backend} child timed out after "
                         f"{timeout}s (TPU tunnel wedged?)", file=sys.stderr,
                     )
-                    break
+                    if child_backend == "host":
+                        break
         if results:
             best = max(results.values(), key=lambda r: r["value"])
             best["all_backends"] = {
@@ -234,9 +251,14 @@ def main() -> None:
         except Exception as e:
             print(f"[bench] device-step extra failed: {e}", file=sys.stderr)
 
-    # profile wall-clock: search to a temp TSV, run the full profiler
+    # profile wall-clock: search to a temp TSV, run the full profiler.
+    # The host child reports this; the jax child skips it (the TSV
+    # regeneration would cost another tunnel pass, and the profiler
+    # itself is host code).
     prof_rps = None
     try:
+        if backend == "jax":
+            raise _SkipProfile
         import tempfile
 
         from kmcp_tpu.profile.core import ProfileOptions, parse_search_tsv
@@ -285,6 +307,8 @@ def main() -> None:
             prof_dt = time.time() - t0
             prof_rps = round(n_prof / prof_dt, 1) if prof_dt > 0 else None
             assert len(targets) >= 10
+    except _SkipProfile:
+        pass
     except Exception as e:  # profiling extras must never sink the bench
         print(f"[bench] profile extra failed: {e}", file=sys.stderr)
 
