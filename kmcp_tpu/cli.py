@@ -251,7 +251,77 @@ def build_parser() -> argparse.ArgumentParser:
     mg.add_argument("-S", "--do-not-sort", action="store_true")
     mg.add_argument("-H", "--no-header-row", action="store_true")
 
+    # shell completion script (autocomplete.go:33-88)
+    ac = sub.add_parser(
+        "autocompletion", help="generate shell autocompletion script"
+    )
+    ac.add_argument(
+        "--shell", default="bash", choices=["bash", "zsh", "fish"]
+    )
+    ac.add_argument("-o", "--out-file", default="-")
+
     return p
+
+
+def _autocompletion_script(parser, shell: str) -> str:
+    """Completion script generated from the live argparse tree, so new
+    subcommands/flags appear without touching this function
+    (autocomplete.go:33-88 generates from cobra the same way)."""
+    subs = {}
+    for act in parser._actions:
+        if hasattr(act, "choices") and isinstance(act.choices, dict):
+            for name, sp in act.choices.items():
+                flags = []
+                for a in sp._actions:
+                    flags.extend(o for o in a.option_strings)
+                    if hasattr(a, "choices") and isinstance(a.choices, dict):
+                        flags.extend(a.choices)  # utils subcommands
+                subs[name] = sorted(set(flags))
+    top_flags = sorted(
+        {o for a in parser._actions for o in a.option_strings}
+    )
+    if shell == "fish":
+        lines = [
+            f"complete -c kmcp-tpu -n '__fish_use_subcommand' -a '{name}'"
+            for name in subs
+        ]
+        for name, flags in subs.items():
+            words = " ".join(f for f in flags if not f.startswith("-"))
+            opts = " ".join(
+                f.lstrip("-") for f in flags if f.startswith("--")
+            )
+            if words:
+                lines.append(
+                    f"complete -c kmcp-tpu -n '__fish_seen_subcommand_from "
+                    f"{name}' -a '{words}'"
+                )
+            for o in opts.split():
+                lines.append(
+                    f"complete -c kmcp-tpu -n '__fish_seen_subcommand_from "
+                    f"{name}' -l {o}"
+                )
+        return "\n".join(lines) + "\n"
+    # bash and zsh (via bashcompinit) share one script
+    cases = "\n".join(
+        f'        {name}) opts="{" ".join(flags)}" ;;'
+        for name, flags in subs.items()
+    )
+    return f"""# kmcp-tpu {'' if shell == 'bash' else '(zsh: run bashcompinit first)'}
+_kmcp_tpu() {{
+    local cur cmd opts
+    cur="${{COMP_WORDS[COMP_CWORD]}}"
+    cmd=""
+    for w in "${{COMP_WORDS[@]:1:COMP_CWORD-1}}"; do
+        case "$w" in -*) ;; *) cmd="$w"; break ;; esac
+    done
+    case "$cmd" in
+{cases}
+        *) opts="{" ".join(sorted(subs) + top_flags)}" ;;
+    esac
+    COMPREPLY=( $(compgen -W "$opts" -- "$cur") )
+}}
+complete -o default -F _kmcp_tpu kmcp-tpu
+"""
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -304,6 +374,18 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _dispatch(args) -> int:
+    if args.command == "autocompletion":
+        script = _autocompletion_script(build_parser(), args.shell)
+        if args.out_file in ("-", ""):
+            sys.stdout.write(script)
+        else:
+            with open(args.out_file, "w") as f:
+                f.write(script)
+            print(
+                f"[autocompletion] wrote {args.out_file}", file=sys.stderr
+            )
+        return 0
+
     if args.command == "compute":
         from .commands.compute import FASTX_RE, ComputeOptions, run_compute
 

@@ -267,3 +267,25 @@ def test_progress_bar_plain_stream():
     with ProgressBar(4, "x", stream=quiet, enabled=False) as bar:
         bar.advance(4)
     assert quiet.getvalue() == ""
+
+
+def test_autocompletion_scripts(tmp_path):
+    """autocompletion emits a syntactically valid bash script generated
+    from the live argparse tree (autocomplete.go:33-88), plus fish."""
+    import subprocess
+    import sys as _sys
+
+    from kmcp_tpu.cli import main
+
+    out = tmp_path / "comp.bash"
+    assert main(["autocompletion", "-o", str(out)]) == 0
+    script = out.read_text()
+    for word in ("compute", "index", "search", "profile", "merge",
+                 "--tpu-native", "--backend", "split-genomes"):
+        assert word in script, word
+    r = subprocess.run(["bash", "-n", str(out)], capture_output=True)
+    assert r.returncode == 0, r.stderr
+
+    fish = tmp_path / "comp.fish"
+    assert main(["autocompletion", "--shell", "fish", "-o", str(fish)]) == 0
+    assert "__fish_use_subcommand" in fish.read_text()
