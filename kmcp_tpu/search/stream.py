@@ -471,25 +471,26 @@ class StreamSearcher:
                 progress(total)
 
 
-        batch: list = []
+        from itertools import islice
+
         idx0 = start_idx
         pending_meta: deque = deque()
         # in-flight depth: host work is CPU-bound (1 worker thread, so 2
         # suffices); device batches stack up behind the tunnel's D2H
         # latency, so keep more in flight to hide it
         depth = 2 if host_backend else 4
-        for q in queries:
-            batch.append(q)
-            if len(batch) >= batch_size:
-                pending.append((flush_batch(batch), idx0))
-                idx0 += len(batch)
-                batch = []
-                if len(pending) >= depth:
-                    st, i0 = pending.popleft()
-                    drain(st, i0)
-        if batch:
+        it = iter(queries)
+        while True:
+            # islice instead of a per-read append/len loop (~90 ms per
+            # 200k reads on this box's CPython)
+            batch = list(islice(it, batch_size))
+            if not batch:
+                break
             pending.append((flush_batch(batch), idx0))
             idx0 += len(batch)
+            if len(pending) >= depth:
+                st, i0 = pending.popleft()
+                drain(st, i0)
         while pending:
             st, i0 = pending.popleft()
             drain(st, i0)
