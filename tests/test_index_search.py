@@ -920,3 +920,60 @@ def test_chunked_count_tail_matches_dense():
     # per-chunk overflow: tiny budget -> retry signal
     m_o, _ = _make_count_tail(8, 30, 256, 4)(*args)
     assert int(m_o[0]) > 8
+
+
+def test_unpack_result_layouts():
+    """Drain-side normalization of search-step results: compact tuple
+    (meta int32 + aux uint16), legacy concat int32 with and without the
+    nkmers tail, and the overflow signal."""
+    from kmcp_tpu.search.stream import _unpack_result
+
+    budget, nb = 8, 4
+    meta = np.zeros(1 + budget, dtype=np.int32)
+    aux = np.zeros(budget + nb, dtype=np.uint16)
+    meta[0] = 3
+    meta[1:4] = [5, 9, 77]
+    aux[:3] = [2, 4, 6]
+    aux[budget:] = [10, 11, 12, 13]
+    n, idx, cnt, nk = _unpack_result((meta, aux), budget, nb)
+    assert n == 3
+    assert idx.tolist() == [5, 9, 77]
+    assert cnt.tolist() == [2, 4, 6]
+    assert nk.tolist() == [10, 11, 12, 13]
+
+    meta[0] = budget + 1  # overflow -> caller retries
+    n, idx, cnt, nk = _unpack_result((meta, aux), budget, nb)
+    assert n == budget + 1 and idx is None
+
+    legacy = np.zeros(1 + 2 * budget + nb, dtype=np.int64)
+    legacy[0] = 2
+    legacy[1:3] = [7, 8]
+    legacy[1 + budget : 3 + budget] = [5, 3]
+    legacy[1 + 2 * budget :] = [1, 2, 3, 4]
+    n, idx, cnt, nk = _unpack_result(legacy, budget, nb)
+    assert n == 2 and idx.tolist() == [7, 8] and cnt.tolist() == [5, 3]
+    assert nk.tolist() == [1, 2, 3, 4]
+
+    legacy_short = legacy[: 1 + 2 * budget]
+    n, idx, cnt, nk = _unpack_result(legacy_short, budget, nb)
+    assert n == 2 and nk is None
+
+
+def test_pack_rows_native_matches_numpy():
+    from kmcp_tpu.kmer import native
+    from kmcp_tpu.search.stream import _pack_reads_matrix
+
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(3)
+    seqs = [bytes(rng.integers(65, 90, rng.integers(0, 40), dtype=np.uint8))
+            for _ in range(57)]
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    got = native.pack_rows(seqs, lens, 48)
+    B = len(seqs)
+    want = np.zeros((B, 48), dtype=np.uint8)
+    concat = np.frombuffer(b"".join(seqs), dtype=np.uint8)
+    cols = np.arange(48)[None, :]
+    want[cols < lens[:, None]] = concat
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(_pack_reads_matrix(seqs, lens, 48), want)
