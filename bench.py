@@ -149,16 +149,17 @@ def main() -> None:
                             f"(rc={proc.returncode})", file=sys.stderr,
                         )
                         print(stderr[-1500:], file=sys.stderr)
-                        if child_backend == "jax":
-                            break
+                        # a fast crash is worth one retry; fall through
                 except subprocess.TimeoutExpired:
                     proc.kill()
                     print(
                         f"[bench] {child_backend} child timed out after "
                         f"{timeout}s (TPU tunnel wedged?)", file=sys.stderr,
                     )
-                    if child_backend == "host":
-                        break
+                    # a wedged tunnel stays wedged for hours (observed);
+                    # retrying after a full-timeout wait only doubles the
+                    # loss, so give up on this backend
+                    break
         if results:
             best = max(results.values(), key=lambda r: r["value"])
             best["all_backends"] = {
