@@ -733,7 +733,7 @@ class HostDB:
         return out, None, counts
 
     def search_reads_async(self, reads_u8, lens, cand_budget, seqs=None,
-                           dedup_threshold=0, eff_lens=None):
+                           dedup_threshold=0, eff_lens=None, mates=None):
         """Synchronous host implementation returning the device-compatible
         packed int32 array [1 + C + C + B].
 
@@ -742,7 +742,14 @@ class HostDB:
         such reads need no slow-path fallback.  ``eff_lens`` overrides
         the per-read lengths used for the min-query-length filter (for
         paired reads: max(len1, len2), while ``lens`` sizes the joined
-        hash rows)."""
+        hash rows).  ``mates`` (an interleaved [m1_0, m2_0, m1_1, ...]
+        list of 2B sequences) hashes each mate as its own row — sketch
+        selection windows must not cross the mate junction
+        (engine.py:408-414) — and merges row pairs by reshape; the
+        combined k-mer multiset then matches the reference's
+        concatenation of per-mate sketches (util-db-search.go:800-805).
+        Callers pass dedup_threshold=0 with mates (per-row in-kernel
+        dedup cannot deduplicate across a pair)."""
         from ..kmer import native
 
         opt = self.opt
@@ -750,6 +757,9 @@ class HostDB:
         k = sorted(db.info.ks)[-1]
         B, L = reads_u8 if isinstance(reads_u8, tuple) else reads_u8.shape
         kmax = L - k + 1
+        if mates is not None:
+            dedup_threshold = 0
+            kmax_m = max(max(len(s) for s in mates) - k + 1, 1)
         if seqs is None:
             seqs = [bytes(reads_u8[i, : lens[i]]) for i in range(B)]
         h = db.info.num_hashes
@@ -811,12 +821,23 @@ class HostDB:
             return (uc >= theta).astype(np.uint8)
 
         if self.n_blocks == 1:
-            loc, counts_per_read = native.hash_reads_loc(
-                seqs, k, kmax, self.total_rows, h,
-                canonical=db.info.canonical, max_hash=db.max_hash,
-                dedup_threshold=dedup_threshold, minimizer_w=mw,
-                syncmer_s=ss,
-            )
+            if mates is not None:
+                # [2B, kmax_m, h] -> [B, 2*kmax_m, h]: row pairs are
+                # adjacent in memory, so the merge is a free reshape
+                loc2, c2 = native.hash_reads_loc(
+                    mates, k, kmax_m, self.total_rows, h,
+                    canonical=db.info.canonical, max_hash=db.max_hash,
+                    minimizer_w=mw, syncmer_s=ss,
+                )
+                loc = loc2.reshape(B, 2 * kmax_m, h)
+                counts_per_read = c2.reshape(B, 2).sum(axis=1)
+            else:
+                loc, counts_per_read = native.hash_reads_loc(
+                    seqs, k, kmax, self.total_rows, h,
+                    canonical=db.info.canonical, max_hash=db.max_hash,
+                    dedup_threshold=dedup_threshold, minimizer_w=mw,
+                    syncmer_s=ss,
+                )
             nkmers = counts_per_read.astype(np.int32)
             if sparse:
                 cmin_r, _ = read_thresholds(nkmers)
@@ -833,10 +854,17 @@ class HostDB:
         else:
             # multi-block: hash once, derive per-block row offsets, count
             # each block into its slice of the global target space
-            hashes, _, counts_per_read = self._hash_batch(
-                seqs, k, kmax, dedup_threshold=dedup_threshold,
-                minimizer_w=mw, syncmer_s=ss,
-            )
+            if mates is not None:
+                h2, _, c2 = self._hash_batch(
+                    mates, k, kmax_m, minimizer_w=mw, syncmer_s=ss,
+                )
+                hashes = h2.reshape(B, 2 * kmax_m)
+                counts_per_read = c2.reshape(B, 2).sum(axis=1)
+            else:
+                hashes, _, counts_per_read = self._hash_batch(
+                    seqs, k, kmax, dedup_threshold=dedup_threshold,
+                    minimizer_w=mw, syncmer_s=ss,
+                )
             nkmers = counts_per_read.astype(np.int32)
             nk = counts_per_read.astype(np.float64)
             if sparse:
@@ -1078,9 +1106,13 @@ class DeviceDB:
         )
         n_win = lmax - k + 1
         cmin = self.cmin_for(max(n_win, 1))
+        if isinstance(lens, np.ndarray) or not hasattr(lens, "dtype"):
+            # one H2D per batch; callers re-stepping the same batch
+            # (bench reps, overflow retries) pass a device array to skip
+            # the tunnel round-trip
+            lens = jnp.asarray(np.asarray(lens).astype(np.int32))
         return tail(
-            self.bits_ext, tuple(loc_ts), nk,
-            jnp.asarray(np.asarray(lens).astype(np.int32)),
+            self.bits_ext, tuple(loc_ts), nk, lens,
             cmin, self._tmin, self.sizes_pos,
         )
 

@@ -194,9 +194,10 @@ class StreamSearcher:
         if db.is_sketch:
             # minimizer and closed-syncmer queries stream on the host
             # backend (C++ selection, bit-identical to sketches.py);
-            # paired sketch queries keep the engine (joined-mate windows
-            # would cross the mate junction)
-            if not (engine.opt.backend == "host" and not paired):
+            # paired sketch mates hash as separate rows whose location
+            # lists merge per pair (selection windows must not cross the
+            # mate junction — engine.py:408-414 sketches each mate alone)
+            if engine.opt.backend != "host":
                 return False
         if engine.opt.backend not in ("jax", "host"):
             return False
@@ -331,6 +332,23 @@ class StreamSearcher:
                     "dedup_threshold": opt.kmer_dedup_threshold,
                     "eff_lens": eff,
                 }
+                if paired and db.is_sketch:
+                    # sketch selection must not cross the mate junction
+                    # (engine.py:408-414 sketches each mate alone): mates
+                    # hash as separate interleaved rows whose location
+                    # lists merge per pair in HostDB.  In-kernel dedup is
+                    # per-row, so combined sets over the threshold fall
+                    # back to the object engine (dedup_threshold=0).
+                    mates = []
+                    for q in batch:
+                        mates.append(q[1])
+                        mates.append(q[2] or b"")
+                    mates.extend([b""] * (2 * (batch_size - real_b)))
+                    state["host_extra"] = {
+                        "dedup_threshold": 0,
+                        "eff_lens": eff,
+                        "mates": mates,
+                    }
                 # run on a worker thread (the C++ releases the GIL) so
                 # batch N+1's hash+count overlaps batch N's row writing
                 state["fut"] = _host_pool().submit(
@@ -406,7 +424,9 @@ class StreamSearcher:
                 # device-hash mode: per-read k-mer counts ride along
                 state["counts"] = nk
             state["too_short"] = state["eff"] < opt.min_query_len
-            if "host_extra" in state:
+            if "host_extra" in state and state["host_extra"].get(
+                "dedup_threshold"
+            ):
                 # host path deduplicated in-kernel; counts are unique
                 state["over_dedup"] = np.zeros(
                     len(state["counts"]), dtype=bool

@@ -678,7 +678,7 @@ def test_stream_minimizer_parity(tmp_path):
     opt_h = SearchOptions(backend="host", batch_size=128, min_kmers=3)
     eng = SearchEngine([str(tmp_path / "db")], opt_h)
     assert StreamSearcher.usable(eng)
-    assert not StreamSearcher.usable(eng, paired=True)  # paired: engine
+    assert StreamSearcher.usable(eng, paired=True)  # per-mate rows
     st = StreamSearcher(eng)
     buf2 = io.StringIO()
     total, _ = st.run(iter(reads), buf2)
@@ -741,6 +741,86 @@ def test_stream_syncmer_parity(tmp_path):
     st = StreamSearcher(eng)
     buf2 = io.StringIO()
     st.run(iter(reads), buf2)
+    assert buf1.getvalue() == buf2.getvalue()
+
+
+@pytest.mark.parametrize("sketch", ["minimizer", "syncmer"])
+def test_stream_paired_sketch_parity(tmp_path, sketch):
+    """Paired sketch-query streaming (host backend, per-mate C++ sketch
+    selection with row-pair merge) must stay byte-identical to the
+    object engine's paired sketch path (engine.py:408-414 — each mate
+    sketched alone, hash lists concatenated)."""
+    from kmcp_tpu.kmer import native as _nat
+
+    if _nat.get_lib() is None:
+        pytest.skip("native library unavailable (streaming needs it)")
+    import io
+
+    from kmcp_tpu.commands.compute import ComputeOptions, run_compute
+    from kmcp_tpu.index.build import run_index
+    from kmcp_tpu.search.engine import SearchEngine, SearchOptions
+    from kmcp_tpu.search.stream import StreamSearcher
+    from kmcp_tpu.search.tsv import write_results
+
+    rng = np.random.default_rng(47)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genomes = []
+    for g in range(3):
+        seq = rng.choice(bases, size=40000).tobytes()
+        p = tmp_path / f"g{g}.fa"
+        p.write_text(f">g{g}\n{seq.decode()}\n")
+        genomes.append(seq)
+    sk = (
+        dict(minimizer_w=5) if sketch == "minimizer" else dict(syncmer_s=11)
+    )
+    run_compute(
+        out_dir=str(tmp_path / "ks"),
+        files=[str(tmp_path / f"g{g}.fa") for g in range(3)],
+        opt=ComputeOptions(ks=[21], split_number=2, split_overlap=100, **sk),
+        force=True,
+    )
+    run_index(in_dir=str(tmp_path / "ks"), out_dir=str(tmp_path / "db"),
+              num_hashes=1, fpr=0.1, force=True)
+
+    rc = bytes.maketrans(b"ACGT", b"TGCA")
+    reads = []
+    for i in range(250):
+        g = genomes[int(rng.integers(0, 3))]
+        p = int(rng.integers(0, len(g) - 500))
+        r1 = g[p : p + 150]
+        r2 = g[p + 200 : p + 350].translate(rc)[::-1]
+        if i % 23 == 0:  # junk mate
+            r2 = rng.choice(bases, size=150).tobytes()
+        elif i % 31 == 0:  # short mate (< min_query_len but >= k)
+            r2 = r2[:25]
+        elif i % 41 == 0:  # empty mate
+            r2 = b""
+        elif i % 13 == 0:  # long pair: combined sketch may exceed dedup
+            r1 = g[p : p + 450]
+            r2 = g[p + 500 : p + 950].translate(rc)[::-1]
+        reads.append((f"p{i}", r1, r2))
+
+    opt_np = SearchOptions(
+        backend="numpy", min_kmers=3, kmer_dedup_threshold=40,
+        paired_fpr_buf=True,
+    )
+    buf1 = io.StringIO()
+    write_results(
+        buf1, SearchEngine([str(tmp_path / "db")], opt_np).search_batch(
+            reads, 0
+        ), False,
+    )
+
+    opt_h = SearchOptions(
+        backend="host", batch_size=64, min_kmers=3,
+        kmer_dedup_threshold=40, paired_fpr_buf=True,
+    )
+    eng = SearchEngine([str(tmp_path / "db")], opt_h)
+    assert StreamSearcher.usable(eng, paired=True)
+    st = StreamSearcher(eng)
+    buf2 = io.StringIO()
+    total, _ = st.run(iter(reads), buf2, paired=True)
+    assert total == 250
     assert buf1.getvalue() == buf2.getvalue()
 
 

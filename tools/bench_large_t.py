@@ -192,11 +192,12 @@ def bench_device(db: str, reads, batch: int = 1024):
 
     # pure device-step rate (resident input, no pulls)
     xt = jax.device_put(mats[0][0])
-    xt.block_until_ready()
+    lt = jax.device_put(mats[0][1].astype(np.int32))
+    jax.block_until_ready((xt, lt))
     reps = 5
     t0 = time.time()
     for _ in range(reps):
-        r = dev.search_reads_pallas(xt, mats[0][1], budget)
+        r = dev.search_reads_pallas(xt, lt, budget)
     jax.block_until_ready(r)
     step_s = (time.time() - t0) / reps
 
