@@ -90,6 +90,26 @@ def build_tmin_table(sizes: np.ndarray, min_tcov: float) -> np.ndarray:
     return out
 
 
+def _nonzero_asc(flat_ok, budget: int, fill):
+    """Ascending indices of the set lanes of a flat bool vector, padded
+    with ``fill``: equivalent to ``jnp.nonzero(flat_ok, size=budget,
+    fill_value=fill)`` but lowered as cumsum + vectorized binary search.
+    XLA's TPU lowering of sized nonzero measured ~20x slower than this
+    (305 ms vs 13 ms on a [256, 131072] candidate mask — the dominant
+    cost of the whole search step before this rewrite).
+
+    Returns (idx int32 [budget], n_set int32) where n_set is the true
+    set-lane count (callers retry with a larger budget when it exceeds
+    the budget)."""
+    import jax.numpy as jnp
+
+    c = jnp.cumsum(flat_ok.astype(jnp.int32))
+    j = jnp.arange(1, budget + 1, dtype=jnp.int32)
+    idx = jnp.searchsorted(c, j, side="left").astype(jnp.int32)
+    n = c[-1]
+    return jnp.where(j <= n, idx, jnp.int32(fill)), n
+
+
 @functools.lru_cache(maxsize=None)
 def _make_read_search_step(
     k: int,
@@ -212,10 +232,8 @@ def _make_read_search_step(
             counts = count_reads(bits_ext, loc)
             ok = read_ok(counts, nkmers, lens, cmin, tmin, sizes_pos)
             flat_ok = ok.reshape(-1)
-            n_cand = flat_ok.astype(jnp.int32).sum()
             T = counts.shape[1]
-            (cidx,) = jnp.nonzero(flat_ok, size=cand_budget, fill_value=B * T)
-            cidx = cidx.astype(jnp.int32)
+            cidx, n_cand = _nonzero_asc(flat_ok, cand_budget, B * T)
             cnt = jnp.take(
                 counts.reshape(-1), jnp.minimum(cidx, B * T - 1), axis=0
             )
@@ -307,8 +325,7 @@ def _sharded_compact(counts, ok, tg, T, B, B_d, di, cand_budget):
 
     T_l = counts.shape[1]
     flat_ok = ok.reshape(-1)
-    n_cand_l = flat_ok.sum(dtype=jnp.int32)  # keep int32 under x64
-    (pos,) = jnp.nonzero(flat_ok, size=cand_budget, fill_value=B_d * T_l)
+    pos, n_cand_l = _nonzero_asc(flat_ok, cand_budget, B_d * T_l)
     b_l = (pos // T_l).astype(jnp.int32)
     t_l = (pos % T_l).astype(jnp.int32)
     idx = (di.astype(jnp.int32) * B_d + b_l) * T + jnp.take(
@@ -415,10 +432,8 @@ def _make_count_tail(
             & (nk_c <= dedup_threshold)[:, None]
         )
         flat_ok = ok.reshape(-1)
-        n_cand = flat_ok.astype(jnp.int32).sum()
         T = counts.shape[1]
-        (cidx,) = jnp.nonzero(flat_ok, size=budget_c, fill_value=B_c * T)
-        cidx = cidx.astype(jnp.int32)
+        cidx, n_cand = _nonzero_asc(flat_ok, budget_c, B_c * T)
         cnt = jnp.take(counts.reshape(-1), jnp.minimum(cidx, B_c * T - 1))
         cnt = jnp.where(cidx < B_c * T, cnt, 0)
         return n_cand, cidx, jnp.clip(cnt, 0, 65535).astype(jnp.uint16)
@@ -451,12 +466,8 @@ def _make_count_tail(
                 & (nkmers <= dedup_threshold)[:, None]
             )
             flat_ok = ok.reshape(-1)
-            n_cand = flat_ok.astype(jnp.int32).sum()
             T = counts.shape[1]
-            (cidx,) = jnp.nonzero(
-                flat_ok, size=cand_budget, fill_value=B * T
-            )
-            cidx = cidx.astype(jnp.int32)
+            cidx, n_cand = _nonzero_asc(flat_ok, cand_budget, B * T)
             cnt = jnp.take(
                 counts.reshape(-1), jnp.minimum(cidx, B * T - 1)
             )
@@ -554,10 +565,8 @@ def _make_search_step(num_hashes: int, cand_budget: int, mesh=None):
             & sizes_pos[None, :]
         )
         flat_ok = ok.reshape(-1)
-        n_cand = flat_ok.astype(jnp.int32).sum()
         T = counts.shape[1]
-        (idx,) = jnp.nonzero(flat_ok, size=cand_budget, fill_value=B * T)
-        idx = idx.astype(jnp.int32)
+        idx, n_cand = _nonzero_asc(flat_ok, cand_budget, B * T)
         cnt = jnp.take(
             counts.reshape(-1), jnp.minimum(idx, B * T - 1), axis=0
         )
