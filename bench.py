@@ -128,12 +128,13 @@ def _device_step_rate(st, queries, opt) -> float | None:
         jax.block_until_ready((xt, lt))
         budget = B + B // 2
         r = dev.search_reads_pallas(xt, lt, budget)
-        jax.block_until_ready(r)
+        np.asarray(r[0])[:1]  # data pull: trustworthy completion barrier
         reps = 10
         t0 = time.time()
         for _ in range(reps):
             r = dev.search_reads_pallas(xt, lt, budget)
-        jax.block_until_ready(r)
+        # programs run in order; one pull waits for all reps
+        np.asarray(r[0])[:1]
         return round(B * reps / (time.time() - t0), 1)
     except Exception as e:
         print(f"[bench] device-step extra failed: {e}", file=sys.stderr)

@@ -81,6 +81,12 @@ def build_parser() -> argparse.ArgumentParser:
         "kmcp-tpu extension, changes which false-positive-only matches "
         "appear)",
     )
+    i.add_argument(
+        "--uniform-sigs", action="store_true",
+        help="size every block's Bloom (and union screen) by the global "
+        "maximum so all blocks share one modulus geometry - required by "
+        "the device two-pass screened search on heterogeneous inputs",
+    )
 
     # ------------------------------------------------------------- search
     s = sub.add_parser("search", help="search sequences against a database")
@@ -435,6 +441,7 @@ def _dispatch(args) -> int:
             block_screen=args.block_screen,
             tpu_native=args.tpu_native,
             native_block_targets=args.native_block_targets,
+            uniform_sigs=args.uniform_sigs,
             verbose=not args.quiet,
         )
         return 0

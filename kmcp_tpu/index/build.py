@@ -255,6 +255,7 @@ def run_index(
     round_pow2: bool = False,
     tpu_native: bool = False,
     native_block_targets: int = 4096,
+    uniform_sigs: bool = False,
     verbose: bool = True,
 ) -> DBInfo:
     infos = ksetmod.read_info(in_dir)
@@ -298,6 +299,21 @@ def run_index(
 
     from ..utils.progress import ProgressBar
 
+    # --uniform-sigs: size every block's Bloom (and union screen) by the
+    # GLOBAL maximum so all blocks share one modulus geometry — required
+    # by the device two-pass screened search on heterogeneous inputs
+    # (device.py::two_pass_ready); costs memory on blocks of small
+    # targets, changes only Bloom FP noise (never misses).
+    forced_sigs = forced_union = 0
+    if uniform_sigs:
+        forced_sigs = calc_signature_size(
+            max(max(t.kmers for t in b) for b in blocks), num_hashes, fpr
+        )
+        if round_pow2:
+            forced_sigs = roundup64(forced_sigs)
+        if block_screen:
+            forced_union = max(_union_screen_bits(b) for b in blocks)
+
     block_files: list[str] = []
     total_kmers = 0
     all_names: list[str] = []
@@ -308,7 +324,9 @@ def run_index(
     for bid, block in enumerate(blocks):
         targets = order_block_targets(block)
         max_elements = max(t.kmers for t in targets)
-        num_sigs = calc_signature_size(max_elements, num_hashes, fpr)
+        num_sigs = forced_sigs or calc_signature_size(
+            max_elements, num_hashes, fpr
+        )
         if round_pow2:
             num_sigs = roundup64(num_sigs)
         if dry_run:
@@ -323,7 +341,7 @@ def run_index(
             from ..kmer import native as _native
 
             if _native.get_lib() is not None:
-                union_bits = _union_screen_bits(targets)
+                union_bits = forced_union or _union_screen_bits(targets)
         if union_bits:
             bits, union_words = build_block_bits(
                 targets, num_sigs, num_hashes, union_bits=union_bits

@@ -510,7 +510,9 @@ def _make_count_tail(
             cand_budget,  # dropped by the scatter
         ).reshape(-1)
         out_idx = (
-            jnp.full((cand_budget,), B * T, jnp.int32)
+            # sentinel clamped to int32 (B*T can reach 2^31; lanes beyond
+            # meta[0] are never read)
+            jnp.full((cand_budget,), min(B * T, 2**31 - 1), jnp.int32)
             .at[po].set(idx_g.reshape(-1), mode="drop")
         )
         out_cnt = (
@@ -524,6 +526,187 @@ def _make_count_tail(
         )
         meta = jnp.concatenate([n_rep[None], out_idx])
         aux = jnp.concatenate([out_cnt, aux_nk])
+        return meta, aux
+
+    return jax.jit(tail)
+
+
+def two_pass_ready(db) -> bool:
+    """True when a multi-block DB can run the device two-pass screened
+    search: single-hash, every block carries a union screen
+    (index --block-screen), and the blocks share one Bloom geometry
+    (equal num_sigs and word width) so one pallas location plane serves
+    every block.  Uniformly-chunked databases (the profiling layout —
+    genomes split into ~equal chunks) satisfy the geometry condition by
+    construction."""
+    if db.info.num_hashes != 1 or len(db.blocks) <= 1:
+        return False
+    from ..index.format import read_block_union
+
+    n_bits = set()
+    for b in range(len(db.blocks)):
+        u = read_block_union(db.path, b)
+        if u is None:
+            return False
+        n_bits.add(int(u[1]))
+    if len(n_bits) != 1:
+        return False
+    if len({blk.bits.shape for blk in db.blocks}) != 1:
+        return False
+    return True
+
+
+@functools.lru_cache(maxsize=None)
+def _make_screened_tail(
+    cand_budget: int,
+    pair_budget: int,
+    min_len: int,
+    dedup_threshold: int,
+    n_blocks: int,
+    t_block: int,
+    s_block: int,
+    n_pair_chunks: int,
+):
+    """Two-pass wide-T tail (single-hash): per-block union screen, then a
+    dense count of ONLY the active (read, block) pairs.
+
+    The reference's production regime counts every target for every read
+    (util-db-search.go:939-964 broadcasts each query to every block); at
+    GTDB scale that is ~131k target columns per read, of which a
+    metagenomic read's true matches live in ~1 block.  Pass 1 gathers one
+    word per k-mer from a packed block-union table (bit g of row r = row
+    r set in block g's union Bloom, built by ``index --block-screen``)
+    and keeps (read, block) pairs whose union-hit count clears the
+    junk-FP band theta (same float64 host math as HostDB.screen_active);
+    pass 2 gathers and counts only those pairs' rows — a ~n_blocks-fold
+    cut of gather+count work.  Candidate order (ascending global flat
+    index) and the (meta, aux) result layout match _make_count_tail, so
+    the caller cannot tell which tail produced a result.
+
+    Pairs are processed in ``n_pair_chunks`` chunks under lax.map so the
+    [P_c, K, W_b] gathered-rows intermediate stays bounded; chunk-major
+    splicing preserves pair order.  Overflow of either the pair budget or
+    any chunk's candidate share reports n_cand = cand_budget + 1 so the
+    caller's standard 4x retry (which scales both budgets) kicks in."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def pair_chunk(bits_ext, loc_t, nkmers, pb_c, pg_c, pv_c, cmin, tmin2,
+                   spos2, budget_c):
+        """One chunk of pairs: pb_c/pg_c/pv_c [P_c]."""
+        P_c = pb_c.shape[0]
+        sent = bits_ext.shape[0] - 1
+        locp = jnp.take(loc_t, pb_c, axis=1)  # [K, P_c]
+        r = jnp.where(
+            locp == jnp.int32(s_block),
+            jnp.int32(sent),
+            locp + pg_c[None, :] * jnp.int32(s_block),
+        )
+        rows = jnp.take(bits_ext, r.T, axis=0)  # [P_c, K, W_b]
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        bit = (rows[..., None] >> shifts) & jnp.uint32(1)
+        counts = bit.astype(jnp.int32).sum(axis=1).reshape(P_c, -1)
+        nk_c = jnp.take(nkmers, pb_c)
+        c_thr = jnp.take(
+            cmin, jnp.minimum(nk_c, cmin.shape[0] - 1)
+        )[:, None]
+        ok = (
+            (counts >= c_thr)
+            & (counts >= jnp.take(tmin2, pg_c, axis=0))
+            & jnp.take(spos2, pg_c, axis=0)
+            & pv_c[:, None]
+        )
+        cidx, n_c = _nonzero_asc(ok.reshape(-1), budget_c, P_c * t_block)
+        cnt = jnp.take(counts.reshape(-1), jnp.minimum(cidx, P_c * t_block - 1))
+        cnt = jnp.where(cidx < P_c * t_block, cnt, 0)
+        return n_c, cidx, jnp.clip(cnt, 0, 65535).astype(jnp.uint16)
+
+    def tail(bits_ext, u_ext, loc_t, locu_t, nk, lens, cmin, theta_tab,
+             tmin, sizes_pos):
+        nkmers = nk[0]
+        B = nkmers.shape[0]
+        T = n_blocks * t_block
+
+        # ---- pass 1: per-block union-hit counts + screen threshold
+        urows = jnp.take(u_ext, locu_t.T, axis=0)  # [B, K, Wu]
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        ubit = (urows[..., None] >> shifts) & jnp.uint32(1)
+        ucnt = ubit.astype(jnp.int32).sum(axis=1).reshape(B, -1)
+        ucnt = ucnt[:, :n_blocks]  # [B, nb]
+        theta = jnp.take(
+            theta_tab, jnp.minimum(nkmers, theta_tab.shape[1] - 1), axis=1
+        ).T  # [B, nb]
+        read_ok = (lens >= min_len) & (nkmers <= dedup_threshold)
+        active = (ucnt >= theta) & read_ok[:, None]
+        pairs, n_pairs = _nonzero_asc(
+            active.reshape(-1), pair_budget, B * n_blocks
+        )
+        pv = pairs < B * n_blocks
+        pidx = jnp.minimum(pairs, B * n_blocks - 1)
+        pb = pidx // n_blocks
+        pg = pidx % n_blocks
+
+        # ---- pass 2: dense count of active pairs only (chunked)
+        C = n_pair_chunks
+        P_c = pair_budget // C
+        # pairs are front-loaded (ascending compaction fills chunk 0
+        # first), so every chunk gets the FULL candidate budget; the
+        # splice scatter drops lanes beyond it and total>budget retries
+        budget_c = cand_budget
+        tmin2 = tmin.reshape(n_blocks, t_block)
+        spos2 = sizes_pos.reshape(n_blocks, t_block)
+        n_c, idx_c, cnt_c = lax.map(
+            lambda a: pair_chunk(
+                bits_ext, loc_t, nkmers, a[0], a[1], a[2],
+                cmin, tmin2, spos2, budget_c,
+            ),
+            (pb.reshape(C, P_c), pg.reshape(C, P_c), pv.reshape(C, P_c)),
+        )
+        total = n_c.sum()
+        overflowed = (n_c > budget_c).any() | (n_pairs > pair_budget)
+
+        # global flat index of chunk i's local cidx: pair p = i*P_c +
+        # cidx//t_block, global = pb[p]*T + pg[p]*t_block + cidx%t_block.
+        # Pairs ascend by (b, g), t ascends within a pair, so chunk-major
+        # splicing keeps the dense path's ascending flat order.
+        p_loc = idx_c // t_block + (
+            jnp.arange(C, dtype=jnp.int32) * P_c
+        )[:, None]
+        p_cap = jnp.minimum(p_loc, pair_budget - 1)
+        idx_g = (
+            jnp.take(pb, p_cap) * T
+            + jnp.take(pg, p_cap) * t_block
+            + idx_c % t_block
+        )
+        # sentinel lanes sit beyond meta[0] and are never read; clamp so
+        # B*T == 2^31 (e.g. 16384 reads x 131072 targets) stays in int32
+        sent_g = min(B * T, 2**31 - 1)
+        idx_g = jnp.where(idx_c < P_c * t_block, idx_g, sent_g)
+        n_eff = jnp.minimum(n_c, budget_c)
+        offs = jnp.cumsum(n_eff) - n_eff
+        lane = jnp.arange(budget_c, dtype=jnp.int32)
+        po = jnp.where(
+            lane[None, :] < n_eff[:, None],
+            offs[:, None] + lane[None, :],
+            cand_budget,  # dropped by the scatter
+        ).reshape(-1)
+        out_idx = (
+            jnp.full((cand_budget,), sent_g, jnp.int32)
+            .at[po].set(idx_g.reshape(-1), mode="drop")
+        )
+        out_cnt = (
+            jnp.zeros((cand_budget,), jnp.uint16)
+            .at[po].set(cnt_c.reshape(-1), mode="drop")
+        )
+        n_rep = jnp.where(
+            overflowed, jnp.int32(cand_budget) + jnp.int32(1),
+            total.astype(jnp.int32),
+        )
+        meta = jnp.concatenate([n_rep[None], out_idx])
+        aux = jnp.concatenate(
+            [out_cnt, jnp.clip(nkmers, 0, 65535).astype(jnp.uint16)]
+        )
         return meta, aux
 
     return jax.jit(tail)
@@ -1054,6 +1237,67 @@ class DeviceDB:
         )
         self._cmin_cache: dict[int, object] = {}
         self._dev = repl
+        # two-pass block screen (multi-block wide DBs; _make_screened_tail)
+        self.screen = None
+        if mesh is None and self.n_blocks > 1 and db.info.num_hashes == 1:
+            self.screen = self._load_screen(db)
+
+    def _load_screen(self, db):
+        """Packed block-union table for the device two-pass search, or
+        None: U[r, g//32] bit g%32 = row r set in block g's union Bloom
+        (index --block-screen artifacts; one shared modulus requires
+        equal union sizes — uniformly-chunked DBs satisfy this)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..index.format import read_block_union
+
+        if os.environ.get("KMCP_TPU_NO_SCREEN"):
+            return None
+        us = [read_block_union(db.path, b) for b in range(self.n_blocks)]
+        if any(u is None for u in us):
+            return None
+        if len({int(u[1]) for u in us}) != 1:
+            return None
+        if len({blk.bits.shape for blk in db.blocks}) != 1:
+            return None
+        nb_u = int(us[0][1])
+        Wu = -(-self.n_blocks // 32)
+        U = np.zeros((nb_u + 1, Wu), np.uint32)
+        fprs = []
+        for g, (words, _nb, fpr) in enumerate(us):
+            fprs.append(float(fpr))
+            bits = np.unpackbits(
+                words.view(np.uint8), bitorder="little", count=nb_u
+            ).astype(np.uint32)
+            U[:nb_u, g // 32] |= bits << np.uint32(g % 32)
+        return {
+            "u_ext": jax.device_put(jnp.asarray(U), self._dev),
+            "num_bits": nb_u,
+            "fprs": np.asarray(fprs, dtype=np.float64),
+            "theta": {},
+            "s_block": int(db.blocks[0].bits.shape[0]),
+        }
+
+    def _theta_for(self, n_max: int):
+        """[nb, n_max+1] int32 screen thresholds — the same float64
+        junk-FP band as HostDB.screen_active (mean + 3 sigma of the
+        union Bloom's per-read false-positive count)."""
+        import jax
+        import jax.numpy as jnp
+
+        n_max = max(64, -(-n_max // 64) * 64)
+        t = self.screen["theta"].get(n_max)
+        if t is None:
+            n = np.arange(n_max + 1, dtype=np.float64)
+            f = self.screen["fprs"][:, None]
+            th = np.maximum(
+                float(self.opt.min_kmers),
+                np.ceil(f * n + 3.0 * np.sqrt(n * f * (1.0 - f))),
+            ).astype(np.int32)
+            t = jax.device_put(jnp.asarray(th), self._dev)
+            self.screen["theta"][n_max] = t
+        return t
 
     def cmin_for(self, n_max: int):
         import jax
@@ -1090,10 +1334,20 @@ class DeviceDB:
         h = db.info.num_hashes
         k = sorted(db.info.ks)[-1]
         lmax = reads_u8.shape[1]
+        max_hash = (
+            int(db.max_hash) if db.max_hash is not None else (1 << 64) - 1
+        )
+        if self.n_blocks > 1:
+            if self.screen is None:
+                raise RuntimeError(
+                    "multi-block device search needs the two-pass screen "
+                    "(index --block-screen with uniform block geometry)"
+                )
+            return self._search_reads_screened(
+                reads_u8, lens, cand_budget, k, lmax, max_hash
+            )
         hash_fn = make_pallas_hash_loc(
-            k, lmax, self.total_rows,
-            int(db.max_hash) if db.max_hash is not None else (1 << 64) - 1,
-            num_hashes=h,
+            k, lmax, self.total_rows, max_hash, num_hashes=h,
         )
         outs = hash_fn(reads_u8)
         loc_ts, nk = outs[:h], outs[h]
@@ -1123,6 +1377,49 @@ class DeviceDB:
         return tail(
             self.bits_ext, tuple(loc_ts), nk, lens,
             cmin, self._tmin, self.sizes_pos,
+        )
+
+    def _search_reads_screened(
+        self, reads_u8, lens, cand_budget, k, lmax, max_hash,
+        interpret=False,
+    ):
+        """Two-pass screened search of a multi-block DB (the GTDB-scale
+        wide-T regime); see _make_screened_tail."""
+        import jax.numpy as jnp
+
+        from .pallas_hash import make_pallas_hash_loc
+
+        opt = self.opt
+        screen = self.screen
+        s_block = screen["s_block"]
+        hash_fn = make_pallas_hash_loc(
+            k, lmax, s_block, max_hash, num_hashes=1,
+            screen_sigs=screen["num_bits"], interpret=interpret,
+        )
+        loc_t, locu_t, nk = hash_fn(reads_u8)
+        B = reads_u8.shape[0]
+        K = lmax - k + 1
+        pair_budget = min(B * self.n_blocks, max(256, 2 * cand_budget))
+        n_chunks = 1
+        while (
+            (pair_budget // n_chunks) * K * self.w > 150_000_000
+            and n_chunks < pair_budget
+        ):
+            n_chunks *= 2
+        pair_budget = -(-pair_budget // n_chunks) * n_chunks
+        tail = _make_screened_tail(
+            cand_budget, pair_budget, opt.min_query_len,
+            opt.kmer_dedup_threshold, self.n_blocks, self.t_per_block,
+            s_block, n_chunks,
+        )
+        n_win = lmax - k + 1
+        cmin = self.cmin_for(max(n_win, 1))
+        theta = self._theta_for(max(n_win, 1))
+        if isinstance(lens, np.ndarray) or not hasattr(lens, "dtype"):
+            lens = jnp.asarray(np.asarray(lens).astype(np.int32))
+        return tail(
+            self.bits_ext, screen["u_ext"], loc_t, locu_t, nk, lens,
+            cmin, theta, self._tmin, self.sizes_pos,
         )
 
     def search_reads_async(

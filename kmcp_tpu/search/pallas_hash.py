@@ -40,6 +40,7 @@ def make_pallas_hash_loc(
     max_hash: int,
     interpret: bool = False,
     num_hashes: int = 1,
+    screen_sigs: int = 0,
 ):
     """Build fn(reads_u8[B, lmax]) -> (loc_t int32 [kmax, B] per hash
     function, ..., nk int32 [1, B]).  B must be a multiple of 256.
@@ -49,7 +50,12 @@ def make_pallas_hash_loc(
 
     For num_hashes > 1 the Bloom locations follow the reference's
     ``uint32(hi + lo*j) mod S`` derivation (util-hash.go:61-142) — pure
-    uint32 arithmetic, no pair modulo needed."""
+    uint32 arithmetic, no pair modulo needed.
+
+    With ``screen_sigs`` > 0 one extra plane ``h mod screen_sigs`` is
+    appended after the hash planes (sentinel = screen_sigs): the
+    block-union screen locations of the two-pass wide-T search
+    (device.py::_make_screened_tail)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -60,7 +66,7 @@ def make_pallas_hash_loc(
     kmax = lmax - k + 1
     S32 = np.uint32(num_sigs)
     mh_hi, mh_lo = (np.uint32(x) for x in _split64(max_hash))
-    pow32_mod = np.uint32((1 << 32) % num_sigs)
+    n_planes = num_hashes + (1 if screen_sigs else 0)
 
     SA = _split64(int(SEED_A))
     SC = _split64(int(SEED_C))
@@ -106,33 +112,42 @@ def make_pallas_hash_loc(
         sc_lo = pick(ST[1], SG[1], SC[1], SA[1])
         return s_hi, s_lo, sc_hi, sc_lo, ok
 
-    def mod_pair(hi, lo):
-        """(hi*2^32 + lo) mod S, exactly, in uint32 arithmetic."""
+    def make_mod_pair(sigs: int):
+        """(hi*2^32 + lo) mod sigs, exactly, in uint32 arithmetic."""
+        M32 = np.uint32(sigs)
+        pow32 = (1 << 32) % sigs
+
         def dbl16(v):
             for _ in range(16):
                 v = v << jnp.uint32(1)
-                v = jnp.where(v >= S32, v - S32, v)
+                v = jnp.where(v >= M32, v - M32, v)
             return v
 
-        r_hi = hi % S32
-        # fold: (r_hi * pow32_mod) mod S via 16-bit splits
-        a1, a0 = r_hi >> jnp.uint32(16), r_hi & jnp.uint32(0xFFFF)
-        b1 = jnp.uint32(int(pow32_mod) >> 16)
-        b0 = jnp.uint32(int(pow32_mod) & 0xFFFF)
-        p11 = (a1 * b1) % S32
-        p10 = (a1 * b0) % S32
-        p01 = (a0 * b1) % S32
-        p00 = (a0 * b0) % S32
-        t = dbl16(dbl16(p11))
-        mid = p10 + p01
-        mid = jnp.where(mid >= S32, mid - S32, mid)
-        t = t + dbl16(mid)
-        t = jnp.where(t >= S32, t - S32, t)
-        t = t + p00
-        t = jnp.where(t >= S32, t - S32, t)
-        t = t + (lo % S32)
-        t = jnp.where(t >= S32, t - S32, t)
-        return t
+        def mod_pair(hi, lo):
+            r_hi = hi % M32
+            # fold: (r_hi * pow32) mod sigs via 16-bit splits
+            a1, a0 = r_hi >> jnp.uint32(16), r_hi & jnp.uint32(0xFFFF)
+            b1 = jnp.uint32(pow32 >> 16)
+            b0 = jnp.uint32(pow32 & 0xFFFF)
+            p11 = (a1 * b1) % M32
+            p10 = (a1 * b0) % M32
+            p01 = (a0 * b1) % M32
+            p00 = (a0 * b0) % M32
+            t = dbl16(dbl16(p11))
+            mid = p10 + p01
+            mid = jnp.where(mid >= M32, mid - M32, mid)
+            t = t + dbl16(mid)
+            t = jnp.where(t >= M32, t - M32, t)
+            t = t + p00
+            t = jnp.where(t >= M32, t - M32, t)
+            t = t + (lo % M32)
+            t = jnp.where(t >= M32, t - M32, t)
+            return t
+
+        return mod_pair
+
+    mod_pair = make_mod_pair(num_sigs)
+    mod_screen = make_mod_pair(screen_sigs) if screen_sigs else None
 
     # dynamic sublane reads must be 8-aligned on TPU: process positions in
     # blocks of 8, and fetch the out-base rows from a 16-row aligned block
@@ -140,8 +155,8 @@ def make_pallas_hash_loc(
     OFF = (-k) % 8  # (base - k) mod 8, constant
 
     def kernel(reads_ref, *out_refs):
-        loc_refs = out_refs[:num_hashes]
-        nk_ref = out_refs[num_hashes]
+        loc_refs = out_refs[:n_planes]
+        nk_ref = out_refs[n_planes]
         B = TILE_B
         zero = jnp.zeros((B,), jnp.uint32)
 
@@ -156,7 +171,7 @@ def make_pallas_hash_loc(
             a = pl.multiple_of(jnp.maximum(a_raw, 0), 8)
             rows_out = reads_ref[pl.ds(a, 8 + 8), :]  # [16, B]
 
-            locs = [[] for _ in range(num_hashes)]
+            locs = [[] for _ in range(n_planes)]
             for j in range(8):
                 i = bidx * 8 + j
                 b_in = rows_in[j, :]
@@ -213,9 +228,14 @@ def make_pallas_hash_loc(
                         locs[hj].append(
                             jnp.where(valid, loc, jnp.int32(num_sigs))
                         )
+                if mod_screen is not None:
+                    loc_u = mod_screen(h_hi, h_lo).astype(jnp.int32)
+                    locs[num_hashes].append(
+                        jnp.where(valid, loc_u, jnp.int32(screen_sigs))
+                    )
                 nk = nk + valid.astype(jnp.int32)
 
-            for hj in range(num_hashes):
+            for hj in range(n_planes):
                 loc_refs[hj][pl.ds(base, 8), :] = jnp.stack(
                     locs[hj], axis=0
                 )
@@ -236,19 +256,19 @@ def make_pallas_hash_loc(
         fn = pl.pallas_call(
             kernel,
             out_shape=tuple(
-                [jax.ShapeDtypeStruct((lmax, B), jnp.int32)] * num_hashes
+                [jax.ShapeDtypeStruct((lmax, B), jnp.int32)] * n_planes
             ) + (jax.ShapeDtypeStruct((1, B), jnp.int32),),
             grid=(B // TILE_B,),
             in_specs=[loc_spec],
-            out_specs=tuple([loc_spec] * num_hashes) + (
+            out_specs=tuple([loc_spec] * n_planes) + (
                 pl.BlockSpec((1, TILE_B), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ),
             interpret=interpret,
         )
         outs = fn(widened)
-        locs = [o[k - 1 :, :] for o in outs[:num_hashes]]
-        return (*locs, outs[num_hashes])
+        locs = [o[k - 1 :, :] for o in outs[:n_planes]]
+        return (*locs, outs[n_planes])
 
     def call(reads_bl: np.ndarray):
         import jax.numpy as jnp

@@ -208,7 +208,24 @@ class StreamSearcher:
         if engine.opt.sort_by != "qcov" or engine.opt.do_not_sort:
             return False
         if len(db.blocks) != 1 and engine.opt.backend != "host":
-            return False  # device path: single block-group only for now
+            # multi-block DBs stream on the device only via the two-pass
+            # screened pallas path (device.py::_make_screened_tail):
+            # union screens present, uniform block geometry, single
+            # hash, real TPU, and the device-hash kernel enabled
+            from .device import two_pass_ready
+
+            if not two_pass_ready(db):
+                return False
+            if os.environ.get("KMCP_TPU_DEVICE_HASH", "1") != "1":
+                return False
+            if os.environ.get("KMCP_TPU_NO_SCREEN"):
+                return False
+            if engine.opt.kmer_dedup_threshold >= 65535:
+                return False
+            import jax
+
+            if jax.devices()[0].platform in ("cpu",):
+                return False  # Mosaic kernels need real TPU hardware
         if paired and (engine.opt.backend != "host" or engine.opt.try_se):
             # paired mates join into one hash row (host in-kernel dedup
             # handles the >256-k-mer sets); --try-se needs the object
@@ -270,6 +287,12 @@ class StreamSearcher:
             and batch_size % 256 == 0
             and opt.kmer_dedup_threshold < 65535  # uint16 nk clamp
         )
+        if not host_backend and dev.n_blocks > 1 and not use_pallas:
+            # usable() only admits multi-block jax DBs via the two-pass
+            # pallas path; the scan fallback assumes one modulus space
+            raise RuntimeError(
+                "multi-block device streaming requires the pallas path"
+            )
         device_hash = dh_mode in ("1", "scan") or host_backend
 
         def flush_batch(batch):

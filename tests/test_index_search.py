@@ -824,6 +824,96 @@ def test_stream_paired_sketch_parity(tmp_path, sketch):
     assert buf1.getvalue() == buf2.getvalue()
 
 
+def test_device_two_pass_screen_matches_host(tmp_path):
+    """The two-pass screened device search (pallas hash in interpret
+    mode + the jitted screened tail) must produce exactly the host
+    backend's candidate set on a multi-block screened DB — same
+    (read, target, count) triples and the same per-read k-mer counts
+    (device.py::_make_screened_tail)."""
+    from kmcp_tpu.kmer import native as _nat
+
+    if _nat.get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    from kmcp_tpu.commands.compute import ComputeOptions, run_compute
+    from kmcp_tpu.index.build import run_index
+    from kmcp_tpu.search.device import DeviceDB, HostDB, two_pass_ready
+    from kmcp_tpu.search.engine import SearchEngine, SearchOptions
+    from kmcp_tpu.search.stream import StreamSearcher, _unpack_result
+
+    rng = np.random.default_rng(53)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genomes = []
+    # unequal genome sizes: --uniform-sigs must still give one geometry
+    for g, size in enumerate([30000, 42000, 36000, 30000]):
+        seq = rng.choice(bases, size=size).tobytes()
+        (tmp_path / f"g{g}.fa").write_text(f">g{g}\n{seq.decode()}\n")
+        genomes.append(seq)
+    run_compute(
+        out_dir=str(tmp_path / "ks"),
+        files=[str(tmp_path / f"g{g}.fa") for g in range(4)],
+        opt=ComputeOptions(ks=[21], split_number=4, split_overlap=100),
+        force=True,
+    )
+    db_dir = str(tmp_path / "db")
+    run_index(
+        in_dir=str(tmp_path / "ks"), out_dir=db_dir, num_hashes=1,
+        fpr=0.3, force=True, tpu_native=True, native_block_targets=4,
+        block_screen=True, uniform_sigs=True,
+    )
+
+    B = 256
+    reads = []
+    for i in range(B):
+        if i % 5 == 4:  # junk read: tests the screen's skip path
+            reads.append(rng.choice(bases, size=150).tobytes())
+        elif i % 17 == 16:
+            reads.append(b"ACGT")  # too short
+        else:
+            g = genomes[int(rng.integers(0, 4))]
+            p = int(rng.integers(0, len(g) - 150))
+            r = bytearray(g[p : p + 150])
+            if i % 13 == 12:
+                r[70] = ord("N")
+            reads.append(bytes(r))
+    lens = np.array([len(s) for s in reads], dtype=np.int64)
+    lmax = 160
+    mat = _nat.pack_rows(reads, lens, lmax)
+
+    opt = SearchOptions(backend="jax", batch_size=B)
+    eng = SearchEngine([db_dir], opt)
+    db = eng.dbs[0]
+    assert len(db.blocks) > 1
+    assert two_pass_ready(db)
+    assert StreamSearcher.usable(eng) is False  # CPU: no Mosaic kernels
+
+    budget = 8 * B
+    hd = HostDB(db, opt)
+    host_res = hd.search_reads_async(
+        (B, lmax), lens, budget, seqs=reads,
+        dedup_threshold=opt.kmer_dedup_threshold,
+    )
+    hn, hidx, hcnt, hnk = _unpack_result(host_res, budget, B)
+
+    dev = DeviceDB(db, opt)
+    assert dev.screen is not None
+    k = sorted(db.info.ks)[-1]
+    meta_aux = dev._search_reads_screened(
+        mat, lens, budget, k, lmax, (1 << 64) - 1, interpret=True,
+    )
+    dn, didx, dcnt, dnk = _unpack_result(meta_aux, budget, B)
+
+    assert dn == hn
+    ho = np.argsort(np.asarray(hidx), kind="stable")
+    do = np.argsort(np.asarray(didx), kind="stable")
+    np.testing.assert_array_equal(np.asarray(didx)[do], np.asarray(hidx)[ho])
+    np.testing.assert_array_equal(np.asarray(dcnt)[do], np.asarray(hcnt)[ho])
+    np.testing.assert_array_equal(dnk, hnk)
+    # the device path must also emit ascending flat indices (the stream
+    # writer's order contract with the dense tail)
+    assert np.all(np.diff(np.asarray(didx)) >= 0) or dn <= 1
+
+
 def test_block_screen_union(tmp_path):
     """--block-screen builds per-block union Blooms; screened search
     output is identical on clean+junk reads (true matches always clear

@@ -190,7 +190,10 @@ def bench_device(db: str, reads, batch: int = 1024):
     r = dev.search_reads_pallas(mats[0][0], mats[0][1], budget)
     jax.block_until_ready(r)
 
-    # pure device-step rate (resident input, no pulls)
+    # pure device-step rate (resident input; one tiny pull per rep —
+    # block_until_ready through the axon relay has been observed to
+    # return before execution finishes, so a data pull is the only
+    # trustworthy completion barrier)
     xt = jax.device_put(mats[0][0])
     lt = jax.device_put(mats[0][1].astype(np.int32))
     jax.block_until_ready((xt, lt))
@@ -198,7 +201,9 @@ def bench_device(db: str, reads, batch: int = 1024):
     t0 = time.time()
     for _ in range(reps):
         r = dev.search_reads_pallas(xt, lt, budget)
-    jax.block_until_ready(r)
+    # the device runs programs in order: pulling the last result waits
+    # for all reps (one RTT total, amortized)
+    np.asarray(jax.tree_util.tree_leaves(r)[0])[:1]
     step_s = (time.time() - t0) / reps
 
     # pipelined end-to-end through the tunnel
