@@ -140,8 +140,8 @@ def bench_backend(db: str, reads, backend: str, batch: int = 16384):
 
 def build_wide_db(n_targets: int) -> str:
     """Single-block wide layout (all targets in ONE [S, T/32]-word block)
-    for the device path: the fused on-device hash derives Bloom rows in
-    one modulus space, and one gather row covers every target."""
+    for the dense device path: the fused on-device hash derives Bloom
+    rows in one modulus space, and one gather row covers every target."""
     from kmcp_tpu.index.build import run_index
 
     root = os.path.join(CACHE, f"large_t-{n_targets}")
@@ -152,6 +152,23 @@ def build_wide_db(n_targets: int) -> str:
     run_index(
         in_dir=kdir, out_dir=db, num_hashes=1, fpr=0.3, force=True,
         tpu_native=True, native_block_targets=n_targets,
+    )
+    return db
+
+
+def build_uniform_db(n_targets: int) -> str:
+    """Multi-block screened uniform-geometry layout for the device
+    two-pass path (device.py::_make_screened_tail)."""
+    from kmcp_tpu.index.build import run_index
+
+    root = os.path.join(CACHE, f"large_t-{n_targets}")
+    kdir = os.path.join(root, "ks")
+    db = os.path.join(root, "db-uniform")
+    if os.path.isfile(os.path.join(db, "db.json")):
+        return db
+    run_index(
+        in_dir=kdir, out_dir=db, num_hashes=1, fpr=0.3, force=True,
+        tpu_native=True, block_screen=True, uniform_sigs=True,
     )
     return db
 
@@ -256,9 +273,14 @@ def main():
     reads = make_reads(gdir, args.reads, args.junk_pct)
     results = []
     for backend in args.backends.split(","):
-        if backend == "jax":
-            r = bench_device(build_wide_db(args.targets), reads,
-                             batch=args.batch)
+        if backend in ("jax", "jax-dense", "jax-screened"):
+            lt_db = (
+                build_wide_db(args.targets)
+                if backend == "jax-dense"
+                else build_uniform_db(args.targets)
+            )
+            r = bench_device(lt_db, reads, batch=args.batch)
+            r["backend"] = backend
             r["targets"] = args.targets
             r["reads"] = len(reads)
             print(json.dumps(r))
