@@ -331,11 +331,24 @@ def _sharded_compact(counts, ok, tg, T, B, B_d, di, cand_budget):
     idx = (di.astype(jnp.int32) * B_d + b_l) * T + jnp.take(
         tg, jnp.minimum(t_l, T_l - 1)
     )
-    idx = jnp.where(pos < B_d * T_l, idx, B * T).astype(jnp.int32)
+    idx = jnp.where(
+        pos < B_d * T_l, idx, min(B * T, 2**31 - 1)
+    ).astype(jnp.int32)
     cnt = jnp.take(counts.reshape(-1), jnp.minimum(pos, B_d * T_l - 1))
     cnt = jnp.where(pos < B_d * T_l, cnt, -1).astype(jnp.int32)
-    seg = jnp.concatenate([n_cand_l[None], idx, cnt])
+    return _merge_segments(n_cand_l, idx, cnt, cand_budget, B * T)
 
+
+def _merge_segments(n_cand_l, idx, cnt, cand_budget, sent):
+    """All-gather each shard's packed candidate segment over ('t', 'd')
+    and splice + re-sort by global flat index (runs INSIDE a shard_map
+    body).  Returns concat([total, idx_sorted, cnt_sorted]),
+    replicated."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    sent = min(sent, 2**31 - 1)
+    seg = jnp.concatenate([n_cand_l[None], idx, cnt])
     segs = lax.all_gather(seg, "t")
     segs = lax.all_gather(segs, "d").reshape(-1, seg.shape[0])
     total = segs[:, 0].sum()
@@ -350,14 +363,14 @@ def _sharded_compact(counts, ok, tg, T, B, B_d, di, cand_budget):
     idx_all = segs[:, 1 : 1 + cand_budget].reshape(-1)
     cnt_all = segs[:, 1 + cand_budget :].reshape(-1)
     out_idx = (
-        jnp.full((cand_budget,), B * T, jnp.int32).at[po]
+        jnp.full((cand_budget,), sent, jnp.int32).at[po]
         .set(idx_all, mode="drop")
     )
     out_cnt = (
         jnp.full((cand_budget,), -1, jnp.int32).at[po]
         .set(cnt_all, mode="drop")
     )
-    order = jnp.argsort(out_idx)  # sentinel B*T sorts last
+    order = jnp.argsort(out_idx)  # sentinel sorts last
     return jnp.concatenate(
         [total[None], jnp.take(out_idx, order), jnp.take(out_cnt, order)]
     )
@@ -710,6 +723,158 @@ def _make_screened_tail(
         return meta, aux
 
     return jax.jit(tail)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_screened_step_sharded(
+    cand_budget: int,
+    pair_budget_l: int,
+    min_len: int,
+    dedup_threshold: int,
+    n_blocks: int,
+    t_block: int,
+    s_block: int,
+    mesh,
+):
+    """Sharded two-pass screened search: blocks shard over mesh axis 't'
+    (column-stacked uniform geometry, DeviceDB multi-block mesh layout),
+    reads over 'd' — the screened composition of SURVEY P3 (index
+    sharded by target) at GTDB scale.  Every shard runs pass 1 (the
+    cheap one-word-per-k-mer union count) over ALL blocks but keeps
+    only pairs of its OWN blocks, densely counts those, compacts
+    locally, and the packed segments merge on device
+    (_merge_segments) — collective volume stays O(budget), independent
+    of T, like the dense sharded step.
+
+    Inputs are host-computed location planes (loc/loc_u [B, K] int32,
+    sentinels = the respective moduli), so the step also runs on CPU
+    meshes where the Mosaic hash kernel cannot.  Output: the legacy
+    packed int32 array [1 + C + C + B] (idx ascending by global flat
+    index — byte-identical to the single-device paths whenever no
+    budget overflows)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    d_size = mesh.shape["d"]
+    t_size = mesh.shape["t"]
+    nb_l = n_blocks // t_size
+    T = n_blocks * t_block
+
+    def local(bits_l, u_ext, loc_l, locu_l, nk_l, lens_l, bval_l,
+              cmin, theta_tab, tmin2, spos2):
+        ti = lax.axis_index("t")
+        di = lax.axis_index("d")
+        B_d = loc_l.shape[0]
+        B = B_d * d_size
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+
+        # ---- pass 1: union screen (replicated table, all blocks)
+        urows = jnp.take(u_ext, locu_l, axis=0)  # [B_d, K, Wu]
+        ubit = (urows[..., None] >> shifts) & jnp.uint32(1)
+        ucnt = ubit.astype(jnp.int32).sum(axis=1).reshape(B_d, -1)
+        ucnt = ucnt[:, :n_blocks]
+        theta = jnp.take(
+            theta_tab, jnp.minimum(nk_l, theta_tab.shape[1] - 1), axis=1
+        ).T
+        read_ok = (
+            (lens_l >= min_len) & (nk_l <= dedup_threshold) & bval_l
+        )
+        g = jnp.arange(n_blocks, dtype=jnp.int32)
+        mine = (g >= ti * nb_l) & (g < (ti + 1) * nb_l)
+        active = (ucnt >= theta) & read_ok[:, None] & mine[None, :]
+        pairs, n_pairs_l = _nonzero_asc(
+            active.reshape(-1), pair_budget_l, B_d * n_blocks
+        )
+        pv = pairs < B_d * n_blocks
+        pidx = jnp.minimum(pairs, B_d * n_blocks - 1)
+        pb = pidx // n_blocks
+        pg = pidx % n_blocks
+        pg_l = jnp.clip(pg - ti * nb_l, 0, nb_l - 1)
+
+        # ---- pass 2: dense count of this shard's active pairs
+        # bits_l [S_b+1, nb_l*W_b] -> flat [(S_b+1)*nb_l, W_b]; the
+        # sentinel row's slices are all-zero for any block, so the
+        # sentinel location maps to row s_block*nb_l + pg_l safely
+        W_b = bits_l.shape[1] // nb_l
+        bits3 = bits_l.reshape((s_block + 1) * nb_l, W_b)
+        locp = jnp.take(loc_l, pb, axis=0)  # [P_l, K]
+        r = locp * nb_l + pg_l[:, None]
+        rows = jnp.take(bits3, r, axis=0)  # [P_l, K, W_b]
+        bit = (rows[..., None] >> shifts) & jnp.uint32(1)
+        counts = bit.astype(jnp.int32).sum(axis=1)
+        P_l = counts.shape[0]
+        counts = counts.reshape(P_l, -1)
+        nk_p = jnp.take(nk_l, pb)
+        c_thr = jnp.take(
+            cmin, jnp.minimum(nk_p, cmin.shape[0] - 1)
+        )[:, None]
+        ok = (
+            (counts >= c_thr)
+            & (counts >= jnp.take(tmin2, pg, axis=0))
+            & jnp.take(spos2, pg, axis=0)
+            & pv[:, None]
+        )
+        cidx, n_c = _nonzero_asc(ok.reshape(-1), cand_budget, P_l * t_block)
+        cnt = jnp.take(
+            counts.reshape(-1), jnp.minimum(cidx, P_l * t_block - 1)
+        )
+        cnt = jnp.where(cidx < P_l * t_block, cnt, -1).astype(jnp.int32)
+        p_of = jnp.minimum(cidx // t_block, P_l - 1)
+        sent = min(B * T, 2**31 - 1)
+        gidx = (
+            (di.astype(jnp.int32) * B_d + jnp.take(pb, p_of)) * T
+            + jnp.take(pg, p_of) * t_block
+            + cidx % t_block
+        )
+        gidx = jnp.where(cidx < P_l * t_block, gidx, sent).astype(jnp.int32)
+        # a pair-budget overflow must poison the global total so the
+        # caller's 4x retry fires
+        n_rep = jnp.where(
+            n_pairs_l > pair_budget_l,
+            jnp.int32(cand_budget) + jnp.int32(1),
+            n_c,
+        )
+        out = _merge_segments(n_rep, gidx, cnt, cand_budget, B * T)
+        nk_full = lax.all_gather(nk_l, "d").reshape(-1)
+        return jnp.concatenate([out, nk_full])
+
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, "t"), P(), P("d", None), P("d", None), P("d"),
+            P("d"), P("d"), P(), P(), P(), P(),
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    def wrapper(bits_ext, u_ext, loc, locu, nkmers, lens,
+                cmin, theta_tab, tmin, sizes_pos):
+        B = loc.shape[0]
+        B_pad = -(-B // d_size) * d_size
+        bval = jnp.arange(B_pad) < B
+        if B_pad != B:
+            pad = B_pad - B
+            loc = jnp.pad(loc, ((0, pad), (0, 0)),
+                          constant_values=s_block)
+            locu = jnp.pad(locu, ((0, pad), (0, 0)),
+                           constant_values=u_ext.shape[0] - 1)
+            nkmers = jnp.pad(nkmers, (0, pad))
+            lens = jnp.pad(lens, (0, pad))
+        tmin2 = tmin.reshape(n_blocks, t_block)
+        spos2 = sizes_pos.reshape(n_blocks, t_block)
+        out = sharded(
+            bits_ext, u_ext, loc, locu, nkmers, lens, bval,
+            cmin, theta_tab, tmin2, spos2,
+        )
+        head = 1 + 2 * cand_budget
+        return jnp.concatenate([out[:head], out[head : head + B]])
+
+    return jax.jit(wrapper)
 
 
 @functools.lru_cache(maxsize=None)
@@ -1191,12 +1356,26 @@ class DeviceDB:
                 gsizes.extend([0] * pad)
                 sizes.extend([0] * pad)
         self.total_rows = row_off
-        stacked = np.concatenate(mats, axis=0)
-        if mesh is not None:
-            if self.n_blocks != 1:
+        if mesh is not None and self.n_blocks > 1:
+            # sharded multi-block layout: uniform-geometry blocks stack
+            # COLUMN-wise so mesh axis 't' shards whole blocks and one
+            # modulus (rows = S_b) serves every shard — the screened
+            # composition of SURVEY P3 (_make_screened_step_sharded)
+            if len({m.shape for m in mats}) != 1:
                 raise ValueError(
-                    "sharded DeviceDB requires a single-block (tpu-native) DB"
+                    "sharded multi-block DeviceDB needs uniform block "
+                    "geometry (index --uniform-sigs)"
                 )
+            if self.n_blocks % mesh.shape["t"]:
+                raise ValueError(
+                    f"{self.n_blocks} blocks do not divide the 't' axis "
+                    f"({mesh.shape['t']})"
+                )
+            stacked = np.concatenate(mats, axis=1)
+            self.total_rows = mats[0].shape[0]
+        else:
+            stacked = np.concatenate(mats, axis=0)
+        if mesh is not None and self.n_blocks == 1:
             # pad word axis so the 't' shard axis divides it evenly
             t_shards = mesh.shape["t"]
             pad_w = (-stacked.shape[1]) % t_shards
@@ -1237,10 +1416,16 @@ class DeviceDB:
         )
         self._cmin_cache: dict[int, object] = {}
         self._dev = repl
-        # two-pass block screen (multi-block wide DBs; _make_screened_tail)
+        # two-pass block screen (multi-block wide DBs; _make_screened_tail
+        # single-device, _make_screened_step_sharded on a mesh)
         self.screen = None
-        if mesh is None and self.n_blocks > 1 and db.info.num_hashes == 1:
+        if self.n_blocks > 1 and db.info.num_hashes == 1:
             self.screen = self._load_screen(db)
+        if mesh is not None and self.n_blocks > 1 and self.screen is None:
+            raise ValueError(
+                "sharded multi-block DeviceDB needs the block screen "
+                "(index --block-screen --uniform-sigs)"
+            )
 
     def _load_screen(self, db):
         """Packed block-union table for the device two-pass search, or
@@ -1452,6 +1637,42 @@ class DeviceDB:
             cmin,
             self._tmin,
             self.sizes_pos,
+        )
+
+    def search_screened_sharded(
+        self,
+        loc: np.ndarray,
+        loc_u: np.ndarray,
+        nkmers: np.ndarray,
+        lens: np.ndarray,
+        cand_budget: int,
+    ):
+        """Dispatch the sharded two-pass screened step (multi-block mesh
+        layout).  loc/loc_u: [B, K] int32 host-computed location planes,
+        sentinels = s_block / union num_bits."""
+        import jax.numpy as jnp
+
+        assert self.mesh is not None and self.screen is not None
+        step = _make_screened_step_sharded(
+            cand_budget,
+            max(256, 2 * cand_budget),
+            self.opt.min_query_len,
+            self.opt.kmer_dedup_threshold,
+            self.n_blocks,
+            self.t_per_block,
+            self.total_rows,
+            self.mesh,
+        )
+        K = loc.shape[1]
+        cmin = self.cmin_for(max(int(K), 1))
+        theta = self._theta_for(max(int(K), 1))
+        return step(
+            self.bits_ext, self.screen["u_ext"],
+            jnp.asarray(loc.astype(np.int32)),
+            jnp.asarray(loc_u.astype(np.int32)),
+            jnp.asarray(np.minimum(nkmers, 10**9).astype(np.int32)),
+            jnp.asarray(np.asarray(lens).astype(np.int32)),
+            cmin, theta, self._tmin, self.sizes_pos,
         )
 
     def search_async(self, loc: np.ndarray, nkmers: np.ndarray, cand_budget: int):

@@ -914,6 +914,101 @@ def test_device_two_pass_screen_matches_host(tmp_path):
     assert np.all(np.diff(np.asarray(didx)) >= 0) or dn <= 1
 
 
+def test_sharded_screened_step_matches_host(tmp_path):
+    """The sharded two-pass screened step (blocks over 't', reads over
+    'd' on the virtual CPU mesh) must produce the host backend's exact
+    candidate set on a multi-block screened DB
+    (device.py::_make_screened_step_sharded)."""
+    from kmcp_tpu.kmer import native as _nat
+
+    if _nat.get_lib() is None:
+        pytest.skip("native library unavailable")
+    import jax
+    from jax.sharding import Mesh
+
+    from kmcp_tpu.commands.compute import ComputeOptions, run_compute
+    from kmcp_tpu.index.build import run_index
+    from kmcp_tpu.search.device import DeviceDB, HostDB
+    from kmcp_tpu.search.engine import SearchEngine, SearchOptions
+    from kmcp_tpu.search.stream import _unpack_result
+
+    rng = np.random.default_rng(59)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genomes = []
+    for g, size in enumerate([30000, 42000, 36000, 30000]):
+        seq = rng.choice(bases, size=size).tobytes()
+        (tmp_path / f"g{g}.fa").write_text(f">g{g}\n{seq.decode()}\n")
+        genomes.append(seq)
+    run_compute(
+        out_dir=str(tmp_path / "ks"),
+        files=[str(tmp_path / f"g{g}.fa") for g in range(4)],
+        opt=ComputeOptions(ks=[21], split_number=4, split_overlap=100),
+        force=True,
+    )
+    db_dir = str(tmp_path / "db")
+    run_index(
+        in_dir=str(tmp_path / "ks"), out_dir=db_dir, num_hashes=1,
+        fpr=0.3, force=True, tpu_native=True, native_block_targets=4,
+        block_screen=True, uniform_sigs=True,
+    )
+
+    B = 90  # deliberately not divisible by d: exercises batch padding
+    reads = []
+    for i in range(B):
+        if i % 5 == 4:
+            reads.append(rng.choice(bases, size=150).tobytes())
+        elif i % 17 == 16:
+            reads.append(b"ACGT")
+        else:
+            g = genomes[int(rng.integers(0, 4))]
+            p = int(rng.integers(0, len(g) - 150))
+            reads.append(g[p : p + 150])
+    lens = np.array([len(s) for s in reads], dtype=np.int64)
+    lmax = 160
+
+    opt = SearchOptions(backend="jax", batch_size=B)
+    eng = SearchEngine([db_dir], opt)
+    db = eng.dbs[0]
+    assert len(db.blocks) == 4
+
+    budget = 8 * B
+    hd = HostDB(db, opt)
+    host_res = hd.search_reads_async(
+        (B, lmax), lens, budget, seqs=reads,
+        dedup_threshold=opt.kmer_dedup_threshold,
+    )
+    hn, hidx, hcnt, hnk = _unpack_result(host_res, budget, B)
+
+    k = sorted(db.info.ks)[-1]
+    kmax = lmax - k + 1
+    hashes, counts = _nat.hash_reads_padded(reads, k, kmax)
+    s_block = int(db.blocks[0].bits.shape[0])
+    nbits = dev_nbits = None
+    from kmcp_tpu.index.format import read_block_union
+
+    nbits = int(read_block_union(db_dir, 0)[1])
+    loc = _nat.locations(hashes, 1, s_block)[..., 0]
+    loc[hashes == 0] = s_block
+    loc_u = _nat.locations(hashes, 1, nbits)[..., 0]
+    loc_u[hashes == 0] = nbits
+
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("d", "t"))
+    dev = DeviceDB(db, opt, mesh=mesh)
+    assert dev.screen is not None and dev.screen["num_bits"] == nbits
+    res = dev.search_screened_sharded(
+        loc, loc_u, counts, lens, budget
+    )
+    dn, didx, dcnt, dnk = _unpack_result(np.asarray(res), budget, B)
+
+    assert dn == hn
+    ho = np.argsort(np.asarray(hidx), kind="stable")
+    do = np.argsort(np.asarray(didx), kind="stable")
+    np.testing.assert_array_equal(np.asarray(didx)[do], np.asarray(hidx)[ho])
+    np.testing.assert_array_equal(np.asarray(dcnt)[do], np.asarray(hcnt)[ho])
+    np.testing.assert_array_equal(dnk, hnk)
+
+
 def test_block_screen_union(tmp_path):
     """--block-screen builds per-block union Blooms; screened search
     output is identical on clean+junk reads (true matches always clear
