@@ -121,6 +121,64 @@ def measure(T: int, B: int, d: int, t: int, cand_budget: int):
     }
 
 
+def measure_screened(T: int, B: int, d: int, t: int, cand_budget: int):
+    """Same model for the sharded two-pass screened step
+    (_make_screened_step_sharded).  Static shapes bound the pair gather
+    by pair_budget, so compute bytes are a worst case; collective bytes
+    are exact (O(budget), independent of T)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from kmcp_tpu.search.device import _make_screened_step_sharded
+
+    K = 131
+    t_block = 4096
+    nb = max(T // t_block, t)
+    s_block = 16 * 1024
+    s_union = 32 * (T * 1400 // t_block) // 8  # ~3.5 bits/k-mer unions
+    pair_budget = max(256, 2 * cand_budget)
+    devs = np.array(jax.devices("cpu")[: d * t]).reshape(d, t)
+    mesh = Mesh(devs, axis_names=("d", "t"))
+    step = _make_screened_step_sharded(
+        cand_budget, pair_budget, 30, 256, nb, t_block, s_block, mesh
+    )
+
+    Wu = -(-nb // 32)
+    bits = jax.ShapeDtypeStruct((s_block + 1, nb * (t_block // 32)),
+                                np.uint32)
+    u_ext = jax.ShapeDtypeStruct((s_union + 1, Wu), np.uint32)
+    loc = jax.ShapeDtypeStruct((B, K), np.int32)
+    locu = jax.ShapeDtypeStruct((B, K), np.int32)
+    nk = jax.ShapeDtypeStruct((B,), np.int32)
+    lens = jax.ShapeDtypeStruct((B,), np.int32)
+    cmin = jax.ShapeDtypeStruct((K + 1,), np.int32)
+    theta = jax.ShapeDtypeStruct((nb, K + 1), np.int32)
+    tmin = jax.ShapeDtypeStruct((nb * t_block,), np.int32)
+    spos = jax.ShapeDtypeStruct((nb * t_block,), bool)
+
+    compiled = step.lower(
+        bits, u_ext, loc, locu, nk, lens, cmin, theta, tmin, spos
+    ).compile()
+    colls = collective_bytes(compiled.as_text())
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    comp_bytes = float(ca.get("bytes accessed", 0.0))
+    coll_total = sum(colls.values())
+    hbm_t = comp_bytes / (d * t) / HBM_BPS
+    ici_t = coll_total / ICI_BPS
+    share = ici_t / (ici_t + hbm_t) if (ici_t + hbm_t) else 0.0
+    return {
+        "step": "screened", "T": nb * t_block, "B": B,
+        "mesh": f"d{d}xt{t}", "cand_budget": cand_budget,
+        "collective_bytes": colls, "collective_total": coll_total,
+        "compute_bytes_per_dev": round(comp_bytes / (d * t)),
+        "proj_hbm_ms": round(hbm_t * 1e3, 3),
+        "proj_ici_ms": round(ici_t * 1e3, 3),
+        "comm_share_pct": round(share * 100, 2),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default=None)
@@ -145,6 +203,18 @@ def main():
             f"{r['collective_bytes']}",
             file=sys.stderr, flush=True,
         )
+    for B in (1024,):
+        for d, t in ((1, 8), (2, 4), (8, 1)):
+            r = measure_screened(131072, B, d, t, 4 * B)
+            rows.append(r)
+            print(
+                f"SCREENED T={r['T']:>6} B={B:>5} mesh=d{d}xt{t} "
+                f"coll={r['collective_total']:>9} B "
+                f"hbm={r['proj_hbm_ms']:>8.3f} ms "
+                f"ici={r['proj_ici_ms']:>7.3f} ms "
+                f"share={r['comm_share_pct']:>6.2f}%",
+                file=sys.stderr, flush=True,
+            )
     if args.json:
         with open(args.json, "w") as f:
             json.dump(rows, f, indent=1)
