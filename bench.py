@@ -78,11 +78,15 @@ def make_reads(n: int) -> list[bytes]:
     tunnel, not on re-reading gzipped genomes."""
     cache = os.path.join(CACHE, f"reads-{n}.npy")
     if os.path.isfile(cache):
-        flat = np.load(cache)
-        return [
-            flat[i * READ_LEN : (i + 1) * READ_LEN].tobytes()
-            for i in range(n)
-        ]
+        try:
+            flat = np.load(cache)
+            if flat.size == n * READ_LEN:
+                return [
+                    flat[i * READ_LEN : (i + 1) * READ_LEN].tobytes()
+                    for i in range(n)
+                ]
+        except Exception:
+            pass  # corrupt cache: regenerate below
     from kmcp_tpu.seqio.fastx import read_fastx
 
     rng = np.random.default_rng(20260817)
@@ -102,7 +106,11 @@ def make_reads(n: int) -> list[bytes]:
         reads.append(g[p : p + READ_LEN])
     try:
         os.makedirs(CACHE, exist_ok=True)
-        np.save(cache, np.frombuffer(b"".join(reads), dtype=np.uint8))
+        # atomic write: a watchdog kill mid-save must not leave a
+        # truncated cache that poisons every later run
+        tmp = cache + f".{os.getpid()}.npy"
+        np.save(tmp, np.frombuffer(b"".join(reads), dtype=np.uint8))
+        os.replace(tmp, cache)
     except OSError:
         pass
     return reads
@@ -217,7 +225,13 @@ def main() -> None:
                     # loss, so give up on this backend
                     break
         if results:
-            best = max(results.values(), key=lambda r: r["value"])
+            # a salvaged partial record (pure device-step rate, no
+            # end-to-end run) must not displace a full measurement as
+            # the headline; it only contributes its device-step field
+            full = [r for r in results.values() if not r.get("partial")]
+            best = max(
+                full or results.values(), key=lambda r: r["value"]
+            )
             best["all_backends"] = {
                 k: v["value"] for k, v in results.items()
             }

@@ -187,6 +187,16 @@ def read_block_union(db_dir: str, block_id: int):
         return z["words"], int(z["num_bits"]), float(z["fpr"])
 
 
+def read_block_union_header(db_dir: str, block_id: int):
+    """(num_bits, fpr) or None — the union's scalars without loading
+    the (multi-MB) word array; npz members load lazily."""
+    path = union_path(db_dir, block_id)
+    if not os.path.isfile(path):
+        return None
+    with np.load(path) as z:
+        return int(z["num_bits"]), float(z["fpr"])
+
+
 def write_db_info(db_dir: str, info: DBInfo) -> None:
     with open(os.path.join(db_dir, DB_INFO_FILE), "w") as f:
         json.dump(info.to_json(), f, indent=1)

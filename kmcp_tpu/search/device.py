@@ -544,29 +544,36 @@ def _make_count_tail(
     return jax.jit(tail)
 
 
-def two_pass_ready(db) -> bool:
-    """True when a multi-block DB can run the device two-pass screened
-    search: single-hash, every block carries a union screen
-    (index --block-screen), and the blocks share one Bloom geometry
-    (equal num_sigs and word width) so one pallas location plane serves
-    every block.  Uniformly-chunked databases (the profiling layout —
-    genomes split into ~equal chunks) satisfy the geometry condition by
-    construction."""
+def _screen_geometry(db):
+    """Shared union num_bits when a multi-block DB can run the device
+    two-pass screened search, else None: single-hash, every block
+    carries a union screen (index --block-screen) of one shared size,
+    and the blocks share a Bloom ROW count so one location plane serves
+    every block (widths may be ragged — they pad to w_max; a padded
+    word's bits are zero and never count).  `index --uniform-sigs`
+    forces both conditions on heterogeneous inputs; uniformly-chunked
+    databases satisfy them by construction.  Reads only union headers."""
     if db.info.num_hashes != 1 or len(db.blocks) <= 1:
-        return False
-    from ..index.format import read_block_union
+        return None
+    from ..index.format import read_block_union_header
 
     n_bits = set()
     for b in range(len(db.blocks)):
-        u = read_block_union(db.path, b)
-        if u is None:
-            return False
-        n_bits.add(int(u[1]))
+        h = read_block_union_header(db.path, b)
+        if h is None:
+            return None
+        n_bits.add(h[0])
     if len(n_bits) != 1:
-        return False
-    if len({blk.bits.shape for blk in db.blocks}) != 1:
-        return False
-    return True
+        return None
+    if len({blk.bits.shape[0] for blk in db.blocks}) != 1:
+        return None
+    return n_bits.pop()
+
+
+def two_pass_ready(db) -> bool:
+    """True when the device two-pass screened search can serve this DB
+    (see _screen_geometry)."""
+    return _screen_geometry(db) is not None
 
 
 @functools.lru_cache(maxsize=None)
@@ -1439,14 +1446,10 @@ class DeviceDB:
 
         if os.environ.get("KMCP_TPU_NO_SCREEN"):
             return None
+        nb_u = _screen_geometry(db)
+        if nb_u is None:
+            return None
         us = [read_block_union(db.path, b) for b in range(self.n_blocks)]
-        if any(u is None for u in us):
-            return None
-        if len({int(u[1]) for u in us}) != 1:
-            return None
-        if len({blk.bits.shape for blk in db.blocks}) != 1:
-            return None
-        nb_u = int(us[0][1])
         Wu = -(-self.n_blocks // 32)
         U = np.zeros((nb_u + 1, Wu), np.uint32)
         fprs = []

@@ -201,6 +201,11 @@ class StreamSearcher:
                 return False
         if engine.opt.backend not in ("jax", "host"):
             return False
+        if engine.opt.backend != "host":
+            # int32 flat candidate ids need B*T <= 2^31 with B >= 256
+            w_max = max(b.bits.shape[1] for b in db.blocks)
+            if len(db.blocks) * w_max * 32 > (2**31) // 256:
+                return False
         if engine.opt.low_mem:
             # row-seek mode keeps the index on disk; the streaming
             # backends materialize the stacked matrix
@@ -251,6 +256,13 @@ class StreamSearcher:
         db = self.db
         dev = self.dev
         batch_size = max(opt.batch_size, 16384)
+        if opt.backend != "host":
+            # candidate indices are int32 flat b*T + t: cap the batch so
+            # B*T <= 2^31 (max index 2^31-1), and round to the pallas
+            # 256-read tile so the kernel path is always available
+            T_all = dev.t_per_block * dev.n_blocks
+            batch_size = min(batch_size, (2**31) // T_all)
+            batch_size = max(batch_size // 256 * 256, 256)
         kmax = 0
         pending: deque = deque()
         total = matched = 0
