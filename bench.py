@@ -137,12 +137,21 @@ def _device_step_rate(st, queries, opt) -> float | None:
         budget = B + B // 2
         r = dev.search_reads_pallas(xt, lt, budget)
         np.asarray(r[0])[:1]  # data pull: trustworthy completion barrier
+        # pipelined dispatch (depth 4, tiny pull per rep): back-to-back
+        # dispatch of identical programs through the axon relay
+        # serializes pathologically, and block_until_ready can return
+        # early — this pattern matches the production stream's shape
+        from collections import deque
+
         reps = 10
         t0 = time.time()
+        pend = deque()
         for _ in range(reps):
-            r = dev.search_reads_pallas(xt, lt, budget)
-        # programs run in order; one pull waits for all reps
-        np.asarray(r[0])[:1]
+            pend.append(dev.search_reads_pallas(xt, lt, budget))
+            if len(pend) >= 4:
+                np.asarray(pend.popleft()[0])[:1]
+        while pend:
+            np.asarray(pend.popleft()[0])[:1]
         return round(B * reps / (time.time() - t0), 1)
     except Exception as e:
         print(f"[bench] device-step extra failed: {e}", file=sys.stderr)

@@ -207,21 +207,11 @@ def bench_device(db: str, reads, batch: int = 1024):
     r = dev.search_reads_pallas(mats[0][0], mats[0][1], budget)
     jax.block_until_ready(r)
 
-    # pure device-step rate (resident input; one tiny pull per rep —
-    # block_until_ready through the axon relay has been observed to
-    # return before execution finishes, so a data pull is the only
-    # trustworthy completion barrier)
-    xt = jax.device_put(mats[0][0])
-    lt = jax.device_put(mats[0][1].astype(np.int32))
-    jax.block_until_ready((xt, lt))
-    reps = 5
-    t0 = time.time()
-    for _ in range(reps):
-        r = dev.search_reads_pallas(xt, lt, budget)
-    # the device runs programs in order: pulling the last result waits
-    # for all reps (one RTT total, amortized)
-    np.asarray(jax.tree_util.tree_leaves(r)[0])[:1]
-    step_s = (time.time() - t0) / reps
+    # (no separate resident-input "step" loop: repeated dispatch of one
+    # program with identical device-resident args serializes
+    # pathologically through the axon relay — observed 90x slower than
+    # the varied-input pipelined loop below, which matches the
+    # production stream's dispatch shape and is the honest metric)
 
     # pipelined end-to-end through the tunnel
     from collections import deque
@@ -252,7 +242,6 @@ def bench_device(db: str, reads, batch: int = 1024):
     return {
         "backend": "jax",
         "reads_per_s": round(n / best, 1),
-        "device_step_reads_per_s": round(batch / step_s, 1),
         "candidates": matched,
         "seconds": round(best, 2),
         "batch": batch,
