@@ -614,33 +614,53 @@ def _make_screened_tail(
 
     def pair_chunk(bits_ext, loc_t, nkmers, pb_c, pg_c, pv_c, cmin, tmin2,
                    spos2, budget_c):
-        """One chunk of pairs: pb_c/pg_c/pv_c [P_c]."""
+        """One chunk of pairs: pb_c/pg_c/pv_c [P_c].  Pairs are
+        front-loaded, so trailing chunks are often ALL padding — a
+        lax.cond skips their gather+count entirely (the pair budget's
+        generosity then costs nothing at runtime)."""
         P_c = pb_c.shape[0]
-        sent = bits_ext.shape[0] - 1
-        locp = jnp.take(loc_t, pb_c, axis=1)  # [K, P_c]
-        r = jnp.where(
-            locp == jnp.int32(s_block),
-            jnp.int32(sent),
-            locp + pg_c[None, :] * jnp.int32(s_block),
-        )
-        rows = jnp.take(bits_ext, r.T, axis=0)  # [P_c, K, W_b]
-        shifts = jnp.arange(32, dtype=jnp.uint32)
-        bit = (rows[..., None] >> shifts) & jnp.uint32(1)
-        counts = bit.astype(jnp.int32).sum(axis=1).reshape(P_c, -1)
-        nk_c = jnp.take(nkmers, pb_c)
-        c_thr = jnp.take(
-            cmin, jnp.minimum(nk_c, cmin.shape[0] - 1)
-        )[:, None]
-        ok = (
-            (counts >= c_thr)
-            & (counts >= jnp.take(tmin2, pg_c, axis=0))
-            & jnp.take(spos2, pg_c, axis=0)
-            & pv_c[:, None]
-        )
-        cidx, n_c = _nonzero_asc(ok.reshape(-1), budget_c, P_c * t_block)
-        cnt = jnp.take(counts.reshape(-1), jnp.minimum(cidx, P_c * t_block - 1))
-        cnt = jnp.where(cidx < P_c * t_block, cnt, 0)
-        return n_c, cidx, jnp.clip(cnt, 0, 65535).astype(jnp.uint16)
+
+        def heavy(_):
+            sent = bits_ext.shape[0] - 1
+            locp = jnp.take(loc_t, pb_c, axis=1)  # [K, P_c]
+            r = jnp.where(
+                locp == jnp.int32(s_block),
+                jnp.int32(sent),
+                locp + pg_c[None, :] * jnp.int32(s_block),
+            )
+            rows = jnp.take(bits_ext, r.T, axis=0)  # [P_c, K, W_b]
+            shifts = jnp.arange(32, dtype=jnp.uint32)
+            bit = (rows[..., None] >> shifts) & jnp.uint32(1)
+            counts = bit.astype(jnp.int32).sum(axis=1).reshape(P_c, -1)
+            nk_c = jnp.take(nkmers, pb_c)
+            c_thr = jnp.take(
+                cmin, jnp.minimum(nk_c, cmin.shape[0] - 1)
+            )[:, None]
+            ok = (
+                (counts >= c_thr)
+                & (counts >= jnp.take(tmin2, pg_c, axis=0))
+                & jnp.take(spos2, pg_c, axis=0)
+                & pv_c[:, None]
+            )
+            cidx, n_c = _nonzero_asc(
+                ok.reshape(-1), budget_c, P_c * t_block
+            )
+            cnt = jnp.take(
+                counts.reshape(-1), jnp.minimum(cidx, P_c * t_block - 1)
+            )
+            cnt = jnp.where(cidx < P_c * t_block, cnt, 0)
+            return n_c, cidx, jnp.clip(cnt, 0, 65535).astype(jnp.uint16)
+
+        def empty(_):
+            return (
+                jnp.int32(0),
+                jnp.full((budget_c,), P_c * t_block, jnp.int32),
+                jnp.zeros((budget_c,), jnp.uint16),
+            )
+
+        from jax import lax as _lax
+
+        return _lax.cond(pv_c.any(), heavy, empty, None)
 
     def tail(bits_ext, u_ext, loc_t, locu_t, nk, lens, cmin, theta_tab,
              tmin, sizes_pos):
@@ -686,23 +706,21 @@ def _make_screened_tail(
         total = n_c.sum()
         overflowed = (n_c > budget_c).any() | (n_pairs > pair_budget)
 
-        # global flat index of chunk i's local cidx: pair p = i*P_c +
-        # cidx//t_block, global = pb[p]*T + pg[p]*t_block + cidx%t_block.
-        # Pairs ascend by (b, g), t ascends within a pair, so chunk-major
-        # splicing keeps the dense path's ascending flat order.
+        # split (read, target) ids of chunk i's local cidx: pair p =
+        # i*P_c + cidx//t_block, read = pb[p], target = pg[p]*t_block +
+        # cidx%t_block.  Split int32 ids carry no B*T < 2^31 limit (the
+        # flat dense-tail encoding does), so huge-T DBs keep big
+        # batches.  Pairs ascend by (b, g), t ascends within a pair, so
+        # chunk-major splicing keeps the dense path's ascending order.
         p_loc = idx_c // t_block + (
             jnp.arange(C, dtype=jnp.int32) * P_c
         )[:, None]
         p_cap = jnp.minimum(p_loc, pair_budget - 1)
-        idx_g = (
-            jnp.take(pb, p_cap) * T
-            + jnp.take(pg, p_cap) * t_block
-            + idx_c % t_block
+        valid_c = idx_c < P_c * t_block
+        q_g = jnp.where(valid_c, jnp.take(pb, p_cap), B)
+        t_g = jnp.where(
+            valid_c, jnp.take(pg, p_cap) * t_block + idx_c % t_block, 0
         )
-        # sentinel lanes sit beyond meta[0] and are never read; clamp so
-        # B*T == 2^31 (e.g. 16384 reads x 131072 targets) stays in int32
-        sent_g = min(B * T, 2**31 - 1)
-        idx_g = jnp.where(idx_c < P_c * t_block, idx_g, sent_g)
         n_eff = jnp.minimum(n_c, budget_c)
         offs = jnp.cumsum(n_eff) - n_eff
         lane = jnp.arange(budget_c, dtype=jnp.int32)
@@ -711,9 +729,13 @@ def _make_screened_tail(
             offs[:, None] + lane[None, :],
             cand_budget,  # dropped by the scatter
         ).reshape(-1)
-        out_idx = (
-            jnp.full((cand_budget,), sent_g, jnp.int32)
-            .at[po].set(idx_g.reshape(-1), mode="drop")
+        out_q = (
+            jnp.full((cand_budget,), B, jnp.int32)
+            .at[po].set(q_g.reshape(-1), mode="drop")
+        )
+        out_t = (
+            jnp.zeros((cand_budget,), jnp.int32)
+            .at[po].set(t_g.reshape(-1), mode="drop")
         )
         out_cnt = (
             jnp.zeros((cand_budget,), jnp.uint16)
@@ -723,7 +745,7 @@ def _make_screened_tail(
             overflowed, jnp.int32(cand_budget) + jnp.int32(1),
             total.astype(jnp.int32),
         )
-        meta = jnp.concatenate([n_rep[None], out_idx])
+        meta = jnp.concatenate([n_rep[None], out_q, out_t])
         aux = jnp.concatenate(
             [out_cnt, jnp.clip(nkmers, 0, 65535).astype(jnp.uint16)]
         )

@@ -62,37 +62,43 @@ def _copy_async(fut):
     return fut
 
 
-def _unpack_result(fut, budget, nb):
-    """Normalize a search-step result to (n_cand, idx, cnt, nk).
+def _unpack_result(fut, budget, nb, T=None):
+    """Normalize a search-step result to (n_cand, qi, t, cnt, nk).
 
-    Tuple results use the compact pallas-tail layout (meta int32
-    [1 + budget], aux uint16 [budget + nb] = counts + nkmers,
-    device.py::_make_count_tail); plain arrays are the legacy
-    concatenated int32 layout [n_cand, idx[budget], cnt[budget]
-    (, nkmers[nb])].  On budget overflow returns (n_cand, None, ...) —
-    the caller retries with a larger budget."""
+    Three layouts:
+    - tuple (meta int32 [1 + 2*budget], aux): SPLIT candidate ids —
+      [n, read_idx..., target_idx...] — used by the screened wide-T
+      tail so B*T may exceed int32 (device.py::_make_screened_tail);
+    - tuple (meta int32 [1 + budget], aux): flat ids ``qi*T + t``
+      (device.py::_make_count_tail); aux uint16 [budget + nb] =
+      counts + nkmers in both tuple layouts;
+    - plain array: legacy concatenated int32 [n, idx[budget],
+      cnt[budget] (, nkmers[nb])].
+    Flat layouts need ``T`` to split ids.  On budget overflow returns
+    (n_cand, None, ...) — the caller retries with a larger budget."""
     if isinstance(fut, tuple):
         meta = np.asarray(fut[0])
         n = int(meta[0])
         if n > budget:
-            return n, None, None, None
+            return n, None, None, None, None
         aux = np.asarray(fut[1])
-        return (
-            n,
-            meta[1 : 1 + n],
-            aux[:n].astype(np.int64),
-            aux[budget : budget + nb].astype(np.int64),
-        )
+        cnt = aux[:n].astype(np.int64)
+        nk = aux[budget : budget + nb].astype(np.int64)
+        if meta.shape[0] >= 1 + 2 * budget:
+            return n, meta[1 : 1 + n], meta[1 + budget : 1 + budget + n], cnt, nk
+        idx = meta[1 : 1 + n]
+        return n, idx // T, idx % T, cnt, nk
     arr = _materialize(fut)
     n = int(arr[0])
     if n > budget:
-        return n, None, None, None
+        return n, None, None, None, None
     nk = (
         arr[1 + 2 * budget : 1 + 2 * budget + nb].astype(np.int64)
         if arr.shape[0] > 1 + 2 * budget
         else None
     )
-    return n, arr[1 : 1 + n], arr[1 + budget : 1 + budget + n], nk
+    idx = arr[1 : 1 + n]
+    return n, idx // T, idx % T, arr[1 + budget : 1 + budget + n], nk
 
 
 def _pack_reads_matrix(seqs, lens, lmax):
@@ -201,10 +207,11 @@ class StreamSearcher:
                 return False
         if engine.opt.backend not in ("jax", "host"):
             return False
-        if engine.opt.backend != "host":
-            # int32 flat candidate ids need B*T <= 2^31 with B >= 256
-            w_max = max(b.bits.shape[1] for b in db.blocks)
-            if len(db.blocks) * w_max * 32 > (2**31) // 256:
+        if engine.opt.backend != "host" and len(db.blocks) == 1:
+            # the dense tail's int32 flat candidate ids need
+            # B*T <= 2^31 with B >= 256 (the screened multi-block tail
+            # emits split ids and carries no such limit)
+            if db.blocks[0].bits.shape[1] * 32 > (2**31) // 256:
                 return False
         if engine.opt.low_mem:
             # row-seek mode keeps the index on disk; the streaming
@@ -257,11 +264,13 @@ class StreamSearcher:
         dev = self.dev
         batch_size = max(opt.batch_size, 16384)
         if opt.backend != "host":
-            # candidate indices are int32 flat b*T + t: cap the batch so
-            # B*T <= 2^31 (max index 2^31-1), and round to the pallas
-            # 256-read tile so the kernel path is always available
-            T_all = dev.t_per_block * dev.n_blocks
-            batch_size = min(batch_size, (2**31) // T_all)
+            # the DENSE device tail encodes candidates as int32 flat
+            # b*T + t: cap the batch so B*T <= 2^31.  The screened
+            # multi-block tail emits split (read, target) ids and needs
+            # no cap.  Round to the pallas 256-read tile either way.
+            if not (dev.n_blocks > 1 and getattr(dev, "screen", None)):
+                T_all = dev.t_per_block * dev.n_blocks
+                batch_size = min(batch_size, (2**31) // T_all)
             batch_size = max(batch_size // 256 * 256, 256)
         kmax = 0
         pending: deque = deque()
@@ -425,10 +434,11 @@ class StreamSearcher:
             nonlocal total, matched
             budget = state["budget"]
             nb = len(state["lens"])
-            n_cand, idx, cnt, nk = _unpack_result(
-                state["fut"], budget, nb
+            T = dev.t_per_block * dev.n_blocks
+            n_cand, qi, t, cnt, nk = _unpack_result(
+                state["fut"], budget, nb, T
             )
-            while idx is None:  # budget overflow: retry with 4x
+            while qi is None:  # budget overflow: retry with 4x
                 budget *= 4
                 if state["counts"] is None:
                     if "reads_bl" in state:
@@ -449,10 +459,9 @@ class StreamSearcher:
                     fut = dev.search_async(
                         state["loc"], state["n_dev"], budget
                     )
-                n_cand, idx, cnt, nk = _unpack_result(fut, budget, nb)
-            T = dev.t_per_block * dev.n_blocks
-            qi = idx // T
-            t = idx % T
+                n_cand, qi, t, cnt, nk = _unpack_result(
+                    fut, budget, nb, T
+                )
 
             B = state["real_b"]
             if state["counts"] is None:

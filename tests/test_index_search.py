@@ -888,12 +888,15 @@ def test_device_two_pass_screen_matches_host(tmp_path):
     assert StreamSearcher.usable(eng) is False  # CPU: no Mosaic kernels
 
     budget = 8 * B
+    T = None
     hd = HostDB(db, opt)
+    T = hd.t_per_block * hd.n_blocks
     host_res = hd.search_reads_async(
         (B, lmax), lens, budget, seqs=reads,
         dedup_threshold=opt.kmer_dedup_threshold,
     )
-    hn, hidx, hcnt, hnk = _unpack_result(host_res, budget, B)
+    hn, hqi, ht, hcnt, hnk = _unpack_result(host_res, budget, B, T)
+    hidx = np.asarray(hqi).astype(np.int64) * T + np.asarray(ht)
 
     dev = DeviceDB(db, opt)
     assert dev.screen is not None
@@ -901,17 +904,107 @@ def test_device_two_pass_screen_matches_host(tmp_path):
     meta_aux = dev._search_reads_screened(
         mat, lens, budget, k, lmax, (1 << 64) - 1, interpret=True,
     )
-    dn, didx, dcnt, dnk = _unpack_result(meta_aux, budget, B)
+    dn, dqi, dt_, dcnt, dnk = _unpack_result(meta_aux, budget, B, T)
+    didx = np.asarray(dqi).astype(np.int64) * T + np.asarray(dt_)
 
     assert dn == hn
-    ho = np.argsort(np.asarray(hidx), kind="stable")
-    do = np.argsort(np.asarray(didx), kind="stable")
-    np.testing.assert_array_equal(np.asarray(didx)[do], np.asarray(hidx)[ho])
+    ho = np.argsort(hidx, kind="stable")
+    do = np.argsort(didx, kind="stable")
+    np.testing.assert_array_equal(didx[do], hidx[ho])
     np.testing.assert_array_equal(np.asarray(dcnt)[do], np.asarray(hcnt)[ho])
     np.testing.assert_array_equal(dnk, hnk)
-    # the device path must also emit ascending flat indices (the stream
-    # writer's order contract with the dense tail)
-    assert np.all(np.diff(np.asarray(didx)) >= 0) or dn <= 1
+    # the device path must also emit ascending ids (the stream writer's
+    # order contract with the dense tail)
+    assert np.all(np.diff(didx) >= 0) or dn <= 1
+
+
+def test_screened_tail_chunked_pairs_match_unchunked(tmp_path):
+    """The screened tail's pair chunking (lax.map + lax.cond skip of
+    all-padding chunks) must produce the unchunked tail's exact output,
+    including when trailing chunks are pure padding (pairs are
+    front-loaded)."""
+    from kmcp_tpu.kmer import native as _nat
+
+    if _nat.get_lib() is None:
+        pytest.skip("native library unavailable")
+    import jax.numpy as jnp
+
+    from kmcp_tpu.commands.compute import ComputeOptions, run_compute
+    from kmcp_tpu.index.build import run_index
+    from kmcp_tpu.search.device import DeviceDB, _make_screened_tail
+    from kmcp_tpu.search.engine import SearchEngine, SearchOptions
+
+    rng = np.random.default_rng(61)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genomes = []
+    for g in range(4):
+        seq = rng.choice(bases, size=30000).tobytes()
+        (tmp_path / f"g{g}.fa").write_text(f">g{g}\n{seq.decode()}\n")
+        genomes.append(seq)
+    run_compute(
+        out_dir=str(tmp_path / "ks"),
+        files=[str(tmp_path / f"g{g}.fa") for g in range(4)],
+        opt=ComputeOptions(ks=[21], split_number=4, split_overlap=100),
+        force=True,
+    )
+    run_index(
+        in_dir=str(tmp_path / "ks"), out_dir=str(tmp_path / "db"),
+        num_hashes=1, fpr=0.3, force=True, tpu_native=True,
+        native_block_targets=4, block_screen=True, uniform_sigs=True,
+    )
+
+    B = 64
+    reads = []
+    for i in range(B):
+        g = genomes[int(rng.integers(0, 4))]
+        p = int(rng.integers(0, len(g) - 150))
+        reads.append(g[p : p + 150])
+    lens = np.array([len(s) for s in reads], dtype=np.int64)
+
+    opt = SearchOptions(backend="jax", batch_size=B)
+    eng = SearchEngine([str(tmp_path / "db")], opt)
+    db = eng.dbs[0]
+    dev = DeviceDB(db, opt)
+    scr = dev.screen
+    k = 21
+    kmax = 160 - k + 1
+    hashes, counts = _nat.hash_reads_padded(reads, k, kmax)
+    s_block = dev.total_rows
+    loc = _nat.locations(hashes, 1, s_block)[..., 0]
+    loc[hashes == 0] = s_block
+    loc_u = _nat.locations(hashes, 1, scr["num_bits"])[..., 0]
+    loc_u[hashes == 0] = scr["num_bits"]
+
+    budget = 8 * B
+    pair_budget = 8 * B  # >> active pairs: trailing chunks all padding
+    cmin = dev.cmin_for(kmax)
+    theta = dev._theta_for(kmax)
+    args = (
+        dev.bits_ext, scr["u_ext"],
+        jnp.asarray(loc.T.copy()), jnp.asarray(loc_u.T.copy()),
+        jnp.asarray(counts.astype(np.int32))[None, :],
+        jnp.asarray(lens.astype(np.int32)),
+        cmin, theta, dev._tmin, dev.sizes_pos,
+    )
+    outs = {}
+    for C in (1, 4):
+        tail = _make_screened_tail(
+            budget, pair_budget, opt.min_query_len,
+            opt.kmer_dedup_threshold, dev.n_blocks, dev.t_per_block,
+            s_block, C,
+        )
+        meta, aux = tail(*args)
+        outs[C] = (np.asarray(meta), np.asarray(aux))
+    n = int(outs[1][0][0])
+    assert n == int(outs[4][0][0]) and n > 0
+    np.testing.assert_array_equal(
+        outs[1][0][1 : 1 + n], outs[4][0][1 : 1 + n]
+    )
+    np.testing.assert_array_equal(
+        outs[1][0][1 + budget : 1 + budget + n],
+        outs[4][0][1 + budget : 1 + budget + n],
+    )
+    np.testing.assert_array_equal(outs[1][1][:n], outs[4][1][:n])
 
 
 def test_sharded_screened_step_matches_host(tmp_path):
@@ -973,11 +1066,13 @@ def test_sharded_screened_step_matches_host(tmp_path):
 
     budget = 8 * B
     hd = HostDB(db, opt)
+    T = hd.t_per_block * hd.n_blocks
     host_res = hd.search_reads_async(
         (B, lmax), lens, budget, seqs=reads,
         dedup_threshold=opt.kmer_dedup_threshold,
     )
-    hn, hidx, hcnt, hnk = _unpack_result(host_res, budget, B)
+    hn, hqi, ht, hcnt, hnk = _unpack_result(host_res, budget, B, T)
+    hidx = np.asarray(hqi).astype(np.int64) * T + np.asarray(ht)
 
     k = sorted(db.info.ks)[-1]
     kmax = lmax - k + 1
@@ -999,12 +1094,13 @@ def test_sharded_screened_step_matches_host(tmp_path):
     res = dev.search_screened_sharded(
         loc, loc_u, counts, lens, budget
     )
-    dn, didx, dcnt, dnk = _unpack_result(np.asarray(res), budget, B)
+    dn, dqi, dt_, dcnt, dnk = _unpack_result(np.asarray(res), budget, B, T)
+    didx = np.asarray(dqi).astype(np.int64) * T + np.asarray(dt_)
 
     assert dn == hn
-    ho = np.argsort(np.asarray(hidx), kind="stable")
-    do = np.argsort(np.asarray(didx), kind="stable")
-    np.testing.assert_array_equal(np.asarray(didx)[do], np.asarray(hidx)[ho])
+    ho = np.argsort(hidx, kind="stable")
+    do = np.argsort(didx, kind="stable")
+    np.testing.assert_array_equal(didx[do], hidx[ho])
     np.testing.assert_array_equal(np.asarray(dcnt)[do], np.asarray(hcnt)[ho])
     np.testing.assert_array_equal(dnk, hnk)
 
@@ -1189,38 +1285,49 @@ def test_chunked_count_tail_matches_dense():
 
 def test_unpack_result_layouts():
     """Drain-side normalization of search-step results: compact tuple
-    (meta int32 + aux uint16), legacy concat int32 with and without the
-    nkmers tail, and the overflow signal."""
+    (meta int32 + aux uint16) in flat and split-id layouts, legacy
+    concat int32 with and without the nkmers tail, and the overflow
+    signal."""
     from kmcp_tpu.search.stream import _unpack_result
 
-    budget, nb = 8, 4
+    budget, nb, T = 8, 4, 10
     meta = np.zeros(1 + budget, dtype=np.int32)
     aux = np.zeros(budget + nb, dtype=np.uint16)
     meta[0] = 3
     meta[1:4] = [5, 9, 77]
     aux[:3] = [2, 4, 6]
     aux[budget:] = [10, 11, 12, 13]
-    n, idx, cnt, nk = _unpack_result((meta, aux), budget, nb)
+    n, qi, t, cnt, nk = _unpack_result((meta, aux), budget, nb, T)
     assert n == 3
-    assert idx.tolist() == [5, 9, 77]
+    assert qi.tolist() == [0, 0, 7] and t.tolist() == [5, 9, 7]
     assert cnt.tolist() == [2, 4, 6]
     assert nk.tolist() == [10, 11, 12, 13]
 
     meta[0] = budget + 1  # overflow -> caller retries
-    n, idx, cnt, nk = _unpack_result((meta, aux), budget, nb)
-    assert n == budget + 1 and idx is None
+    n, qi, t, cnt, nk = _unpack_result((meta, aux), budget, nb, T)
+    assert n == budget + 1 and qi is None
+
+    # split-id layout (screened wide-T tail): no flat B*T encoding
+    meta2 = np.zeros(1 + 2 * budget, dtype=np.int32)
+    meta2[0] = 2
+    meta2[1:3] = [3, 900000]          # read ids
+    meta2[1 + budget : 3 + budget] = [7, 524287]  # target ids
+    n, qi, t, cnt, nk = _unpack_result((meta2, aux), budget, nb, T)
+    assert n == 2
+    assert qi.tolist() == [3, 900000] and t.tolist() == [7, 524287]
 
     legacy = np.zeros(1 + 2 * budget + nb, dtype=np.int64)
     legacy[0] = 2
-    legacy[1:3] = [7, 8]
+    legacy[1:3] = [75, 83]
     legacy[1 + budget : 3 + budget] = [5, 3]
     legacy[1 + 2 * budget :] = [1, 2, 3, 4]
-    n, idx, cnt, nk = _unpack_result(legacy, budget, nb)
-    assert n == 2 and idx.tolist() == [7, 8] and cnt.tolist() == [5, 3]
+    n, qi, t, cnt, nk = _unpack_result(legacy, budget, nb, T)
+    assert n == 2 and qi.tolist() == [7, 8] and t.tolist() == [5, 3]
+    assert cnt.tolist() == [5, 3]
     assert nk.tolist() == [1, 2, 3, 4]
 
     legacy_short = legacy[: 1 + 2 * budget]
-    n, idx, cnt, nk = _unpack_result(legacy_short, budget, nb)
+    n, qi, t, cnt, nk = _unpack_result(legacy_short, budget, nb, T)
     assert n == 2 and nk is None
 
 
