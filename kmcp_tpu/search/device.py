@@ -576,6 +576,30 @@ def two_pass_ready(db) -> bool:
     return _screen_geometry(db) is not None
 
 
+def build_packed_union(db, n_blocks: int):
+    """(U_ext uint32 [num_bits+1, ceil(nb/32)], num_bits, fprs f64[nb])
+    or None: bit g of row r = row r set in block g's union Bloom — ONE
+    location plane probes every block's screen at once (the host's
+    per-block union_count does nb u64-mods per k-mer; this does one).
+    Requires the shared geometry of _screen_geometry."""
+    from ..index.format import read_block_union
+
+    nb_u = _screen_geometry(db)
+    if nb_u is None:
+        return None
+    us = [read_block_union(db.path, b) for b in range(n_blocks)]
+    Wu = -(-n_blocks // 32)
+    U = np.zeros((nb_u + 1, Wu), np.uint32)
+    fprs = []
+    for g, (words, _nb, fpr) in enumerate(us):
+        fprs.append(float(fpr))
+        bits = np.unpackbits(
+            words.view(np.uint8), bitorder="little", count=nb_u
+        ).astype(np.uint32)
+        U[:nb_u, g // 32] |= bits << np.uint32(g % 32)
+    return U, nb_u, np.asarray(fprs, dtype=np.float64)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_screened_tail(
     cand_budget: int,
@@ -1095,6 +1119,12 @@ class HostDB:
                 read_block_union(db.path, b) for b in range(self.n_blocks)
             ]
         self.has_screen = any(u is not None for u in self.block_unions)
+        # (a packed union table — one mod probing every block via the
+        # AVX2 count kernel — measured NEUTRAL at 131k targets and ~12%
+        # slower at 524k on this host: the per-block mod+test loop and
+        # the gather+positional-popcount do equivalent work per k-mer.
+        # The packed table pays only on the device, where the gather is
+        # one fused op: DeviceDB._load_screen / build_packed_union.)
 
     def _cmin(self, n_max: int) -> np.ndarray:
         n_max = max(64, -(-n_max // 64) * 64)
@@ -1464,27 +1494,16 @@ class DeviceDB:
         import jax
         import jax.numpy as jnp
 
-        from ..index.format import read_block_union
-
         if os.environ.get("KMCP_TPU_NO_SCREEN"):
             return None
-        nb_u = _screen_geometry(db)
-        if nb_u is None:
+        packed = build_packed_union(db, self.n_blocks)
+        if packed is None:
             return None
-        us = [read_block_union(db.path, b) for b in range(self.n_blocks)]
-        Wu = -(-self.n_blocks // 32)
-        U = np.zeros((nb_u + 1, Wu), np.uint32)
-        fprs = []
-        for g, (words, _nb, fpr) in enumerate(us):
-            fprs.append(float(fpr))
-            bits = np.unpackbits(
-                words.view(np.uint8), bitorder="little", count=nb_u
-            ).astype(np.uint32)
-            U[:nb_u, g // 32] |= bits << np.uint32(g % 32)
+        U, nb_u, fprs = packed
         return {
             "u_ext": jax.device_put(jnp.asarray(U), self._dev),
             "num_bits": nb_u,
-            "fprs": np.asarray(fprs, dtype=np.float64),
+            "fprs": fprs,
             "theta": {},
             "s_block": int(db.blocks[0].bits.shape[0]),
         }
