@@ -90,6 +90,19 @@ def build_tmin_table(sizes: np.ndarray, min_tcov: float) -> np.ndarray:
     return out
 
 
+def _unpack_count(rows):
+    """Positional popcount over the k-mer axis: uint32 rows [.., K, W]
+    -> int32 per-target counts [.., W*32] (bit j of word w = target
+    w*32 + j) — the pospop/pand replacement contraction shared by every
+    device tail."""
+    import jax.numpy as jnp
+
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bit = (rows[..., None] >> shifts) & jnp.uint32(1)
+    counts = bit.astype(jnp.int32).sum(axis=-3)
+    return counts.reshape(*counts.shape[:-2], -1)
+
+
 def _nonzero_asc(flat_ok, budget: int, fill):
     """Ascending indices of the set lanes of a flat bool vector, padded
     with ``fill``: equivalent to ``jnp.nonzero(flat_ok, size=budget,
@@ -208,10 +221,7 @@ def _make_read_search_step(
             acc = rows[..., 0, :]
             for jj in range(1, num_hashes):
                 acc = acc & rows[..., jj, :]
-            shifts = jnp.arange(32, dtype=jnp.uint32)
-            bit = (acc[..., None] >> shifts) & jnp.uint32(1)
-            counts = bit.astype(jnp.int32).sum(axis=1)  # [B,W,32]
-            return counts.reshape(counts.shape[0], -1)
+            return _unpack_count(acc)
 
         def read_ok(counts, nkmers, lens, cmin, tmin_c, spos_c):
             c_thresh = jnp.take(
@@ -429,11 +439,8 @@ def _make_count_tail(
                    budget_c):
         """One chunk: loc_t_c [K, B_c] (single-hash plane)."""
         rows = jnp.take(bits_ext, loc_t_c.T, axis=0)  # [B_c,K,W]
-        shifts = jnp.arange(32, dtype=jnp.uint32)
-        bit = (rows[..., None] >> shifts) & jnp.uint32(1)
-        counts = bit.astype(jnp.int32).sum(axis=1)
+        counts = _unpack_count(rows)
         B_c = counts.shape[0]
-        counts = counts.reshape(B_c, -1)
         c_thresh = jnp.take(
             cmin, jnp.minimum(nk_c, cmin.shape[0] - 1), axis=0
         )[:, None]
@@ -463,11 +470,8 @@ def _make_count_tail(
             for loc_t in loc_ts:
                 rows = jnp.take(bits_ext, loc_t.T, axis=0)  # [B,K,W]
                 acc = rows if acc is None else (acc & rows)
-            shifts = jnp.arange(32, dtype=jnp.uint32)
-            bit = (acc[..., None] >> shifts) & jnp.uint32(1)
-            counts = bit.astype(jnp.int32).sum(axis=1)
+            counts = _unpack_count(acc)
             B = counts.shape[0]
-            counts = counts.reshape(B, -1)
             c_thresh = jnp.take(
                 cmin, jnp.minimum(nkmers, cmin.shape[0] - 1), axis=0
             )[:, None]
@@ -653,9 +657,7 @@ def _make_screened_tail(
                 locp + pg_c[None, :] * jnp.int32(s_block),
             )
             rows = jnp.take(bits_ext, r.T, axis=0)  # [P_c, K, W_b]
-            shifts = jnp.arange(32, dtype=jnp.uint32)
-            bit = (rows[..., None] >> shifts) & jnp.uint32(1)
-            counts = bit.astype(jnp.int32).sum(axis=1).reshape(P_c, -1)
+            counts = _unpack_count(rows)
             nk_c = jnp.take(nkmers, pb_c)
             c_thr = jnp.take(
                 cmin, jnp.minimum(nk_c, cmin.shape[0] - 1)
@@ -682,22 +684,16 @@ def _make_screened_tail(
                 jnp.zeros((budget_c,), jnp.uint16),
             )
 
-        from jax import lax as _lax
-
-        return _lax.cond(pv_c.any(), heavy, empty, None)
+        return lax.cond(pv_c.any(), heavy, empty, None)
 
     def tail(bits_ext, u_ext, loc_t, locu_t, nk, lens, cmin, theta_tab,
              tmin, sizes_pos):
         nkmers = nk[0]
         B = nkmers.shape[0]
-        T = n_blocks * t_block
 
         # ---- pass 1: per-block union-hit counts + screen threshold
         urows = jnp.take(u_ext, locu_t.T, axis=0)  # [B, K, Wu]
-        shifts = jnp.arange(32, dtype=jnp.uint32)
-        ubit = (urows[..., None] >> shifts) & jnp.uint32(1)
-        ucnt = ubit.astype(jnp.int32).sum(axis=1).reshape(B, -1)
-        ucnt = ucnt[:, :n_blocks]  # [B, nb]
+        ucnt = _unpack_count(urows)[:, :n_blocks]  # [B, nb]
         theta = jnp.take(
             theta_tab, jnp.minimum(nkmers, theta_tab.shape[1] - 1), axis=1
         ).T  # [B, nb]
@@ -822,13 +818,10 @@ def _make_screened_step_sharded(
         di = lax.axis_index("d")
         B_d = loc_l.shape[0]
         B = B_d * d_size
-        shifts = jnp.arange(32, dtype=jnp.uint32)
 
         # ---- pass 1: union screen (replicated table, all blocks)
         urows = jnp.take(u_ext, locu_l, axis=0)  # [B_d, K, Wu]
-        ubit = (urows[..., None] >> shifts) & jnp.uint32(1)
-        ucnt = ubit.astype(jnp.int32).sum(axis=1).reshape(B_d, -1)
-        ucnt = ucnt[:, :n_blocks]
+        ucnt = _unpack_count(urows)[:, :n_blocks]
         theta = jnp.take(
             theta_tab, jnp.minimum(nk_l, theta_tab.shape[1] - 1), axis=1
         ).T
@@ -856,10 +849,8 @@ def _make_screened_step_sharded(
         locp = jnp.take(loc_l, pb, axis=0)  # [P_l, K]
         r = locp * nb_l + pg_l[:, None]
         rows = jnp.take(bits3, r, axis=0)  # [P_l, K, W_b]
-        bit = (rows[..., None] >> shifts) & jnp.uint32(1)
-        counts = bit.astype(jnp.int32).sum(axis=1)
+        counts = _unpack_count(rows)
         P_l = counts.shape[0]
-        counts = counts.reshape(P_l, -1)
         nk_p = jnp.take(nk_l, pb)
         c_thr = jnp.take(
             cmin, jnp.minimum(nk_p, cmin.shape[0] - 1)
@@ -1641,9 +1632,8 @@ class DeviceDB:
             opt.kmer_dedup_threshold, self.n_blocks, self.t_per_block,
             s_block, n_chunks,
         )
-        n_win = lmax - k + 1
-        cmin = self.cmin_for(max(n_win, 1))
-        theta = self._theta_for(max(n_win, 1))
+        cmin = self.cmin_for(max(K, 1))
+        theta = self._theta_for(max(K, 1))
         if isinstance(lens, np.ndarray) or not hasattr(lens, "dtype"):
             lens = jnp.asarray(np.asarray(lens).astype(np.int32))
         return tail(

@@ -370,12 +370,6 @@ class StreamSearcher:
                 state["reads_u8"] = (len(seqs), lmax)
                 state["seqs_pad"] = seqs
                 state["counts"] = None
-                # in-kernel dedup of >threshold k-mer sets: no slow-path
-                # fallback needed for long or paired reads
-                state["host_extra"] = {
-                    "dedup_threshold": opt.kmer_dedup_threshold,
-                    "eff_lens": eff,
-                }
                 if paired and db.is_sketch:
                     # sketch selection must not cross the mate junction
                     # (engine.py:408-414 sketches each mate alone): mates
@@ -392,6 +386,13 @@ class StreamSearcher:
                         "dedup_threshold": 0,
                         "eff_lens": eff,
                         "mates": mates,
+                    }
+                else:
+                    # in-kernel dedup of >threshold k-mer sets: no
+                    # slow-path fallback for long or paired reads
+                    state["host_extra"] = {
+                        "dedup_threshold": opt.kmer_dedup_threshold,
+                        "eff_lens": eff,
                     }
                 # run on a worker thread (the C++ releases the GIL) so
                 # batch N+1's hash+count overlaps batch N's row writing
