@@ -91,16 +91,24 @@ def build_tmin_table(sizes: np.ndarray, min_tcov: float) -> np.ndarray:
 
 
 def _unpack_count(rows):
-    """Positional popcount over the k-mer axis: uint32 rows [.., K, W]
-    -> int32 per-target counts [.., W*32] (bit j of word w = target
-    w*32 + j) — the pospop/pand replacement contraction shared by every
-    device tail."""
+    """Positional popcount over the k-mer axis: uint32 rows [K, P, W]
+    (k-MAJOR — the pallas hash emits [K, B] location planes, so the
+    gather produces this layout for free) -> int32 per-target counts
+    [P, W*32] (bit j of word w = target w*32 + j) — the pospop/pand
+    replacement contraction shared by every device tail.
+
+    The k-major layout collapses (P, W) into one huge minor axis for
+    the unpack+reduce, which the VPU vectorizes ~5x better than the
+    read-major [P, K, W] form (measured 24.5 -> 4.6 ms on a
+    [6144, 140, 128] pair chunk)."""
     import jax.numpy as jnp
 
+    K, Pp, W = rows.shape
+    flat = rows.reshape(K, Pp * W)
     shifts = jnp.arange(32, dtype=jnp.uint32)
-    bit = (rows[..., None] >> shifts) & jnp.uint32(1)
-    counts = bit.astype(jnp.int32).sum(axis=-3)
-    return counts.reshape(*counts.shape[:-2], -1)
+    bit = (flat[..., None] >> shifts) & jnp.uint32(1)  # [K, P*W, 32]
+    counts = bit.astype(jnp.int32).sum(axis=0)  # [P*W, 32]
+    return counts.reshape(Pp, W * 32)
 
 
 def _nonzero_asc(flat_ok, budget: int, fill):
@@ -221,7 +229,7 @@ def _make_read_search_step(
             acc = rows[..., 0, :]
             for jj in range(1, num_hashes):
                 acc = acc & rows[..., jj, :]
-            return _unpack_count(acc)
+            return _unpack_count(acc.transpose(1, 0, 2))
 
         def read_ok(counts, nkmers, lens, cmin, tmin_c, spos_c):
             c_thresh = jnp.take(
@@ -438,7 +446,7 @@ def _make_count_tail(
     def chunk_tail(bits_ext, loc_t_c, nk_c, lens_c, cmin, tmin, sizes_pos,
                    budget_c):
         """One chunk: loc_t_c [K, B_c] (single-hash plane)."""
-        rows = jnp.take(bits_ext, loc_t_c.T, axis=0)  # [B_c,K,W]
+        rows = jnp.take(bits_ext, loc_t_c, axis=0)  # [K,B_c,W] k-major
         counts = _unpack_count(rows)
         B_c = counts.shape[0]
         c_thresh = jnp.take(
@@ -468,7 +476,7 @@ def _make_count_tail(
         if n_chunks == 1 or len(loc_ts) > 1:
             acc = None
             for loc_t in loc_ts:
-                rows = jnp.take(bits_ext, loc_t.T, axis=0)  # [B,K,W]
+                rows = jnp.take(bits_ext, loc_t, axis=0)  # [K,B,W]
                 acc = rows if acc is None else (acc & rows)
             counts = _unpack_count(acc)
             B = counts.shape[0]
@@ -656,7 +664,7 @@ def _make_screened_tail(
                 jnp.int32(sent),
                 locp + pg_c[None, :] * jnp.int32(s_block),
             )
-            rows = jnp.take(bits_ext, r.T, axis=0)  # [P_c, K, W_b]
+            rows = jnp.take(bits_ext, r, axis=0)  # [K, P_c, W_b]
             counts = _unpack_count(rows)
             nk_c = jnp.take(nkmers, pb_c)
             c_thr = jnp.take(
@@ -692,7 +700,7 @@ def _make_screened_tail(
         B = nkmers.shape[0]
 
         # ---- pass 1: per-block union-hit counts + screen threshold
-        urows = jnp.take(u_ext, locu_t.T, axis=0)  # [B, K, Wu]
+        urows = jnp.take(u_ext, locu_t, axis=0)  # [K, B, Wu] k-major
         ucnt = _unpack_count(urows)[:, :n_blocks]  # [B, nb]
         theta = jnp.take(
             theta_tab, jnp.minimum(nkmers, theta_tab.shape[1] - 1), axis=1
@@ -820,7 +828,7 @@ def _make_screened_step_sharded(
         B = B_d * d_size
 
         # ---- pass 1: union screen (replicated table, all blocks)
-        urows = jnp.take(u_ext, locu_l, axis=0)  # [B_d, K, Wu]
+        urows = jnp.take(u_ext, locu_l.T, axis=0)  # [K, B_d, Wu]
         ucnt = _unpack_count(urows)[:, :n_blocks]
         theta = jnp.take(
             theta_tab, jnp.minimum(nk_l, theta_tab.shape[1] - 1), axis=1
@@ -847,8 +855,8 @@ def _make_screened_step_sharded(
         W_b = bits_l.shape[1] // nb_l
         bits3 = bits_l.reshape((s_block + 1) * nb_l, W_b)
         locp = jnp.take(loc_l, pb, axis=0)  # [P_l, K]
-        r = locp * nb_l + pg_l[:, None]
-        rows = jnp.take(bits3, r, axis=0)  # [P_l, K, W_b]
+        r = (locp * nb_l + pg_l[:, None]).T  # [K, P_l]
+        rows = jnp.take(bits3, r, axis=0)  # [K, P_l, W_b]
         counts = _unpack_count(rows)
         P_l = counts.shape[0]
         nk_p = jnp.take(nk_l, pb)
