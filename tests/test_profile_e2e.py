@@ -192,6 +192,63 @@ def test_merge_two_shards(demo_db, tmp_path):
 
 
 @pytest.mark.skipif(not reference_available(), reason="reference repo absent")
+def test_cluster_shard_merge_profile(taxid_map, tmp_path):
+    """The full cluster pipeline (BASELINE config 5 semantics, CPU): the
+    reference collection split into TWO genuinely different DB shards,
+    searched independently, merged, and profiled — all 15 refs recovered
+    with abundances near truth, like the single-DB pipeline
+    (/root/reference/kmcp/cmd/merge.go cluster story)."""
+    from kmcp_tpu.commands.compute import ComputeOptions, run_compute
+    from kmcp_tpu.index.build import run_index
+
+    accs = sorted(DEPTHS)
+    halves = [accs[::2], accs[1::2]]
+    dbs = []
+    for i, half in enumerate(halves):
+        kdir = tmp_path / f"ks{i}"
+        run_compute(
+            out_dir=str(kdir),
+            files=[os.path.join(REFS, a + ".fa.gz") for a in half],
+            opt=ComputeOptions(
+                ks=[21], split_number=10, split_overlap=150,
+                ref_name_regexp=r"^([\w\.\_]+\.\d+)",
+                seq_name_filter=["plasmid"],
+            ),
+            force=True, verbose=False,
+        )
+        db = tmp_path / f"shard{i}.db"
+        run_index(in_dir=str(kdir), out_dir=str(db), num_hashes=1,
+                  fpr=0.3, force=True, verbose=False)
+        dbs.append(str(db))
+
+    fq, truth = simulate_reads(tmp_path)
+    shard_tsvs = []
+    for i, db in enumerate(dbs):
+        t = tmp_path / f"shard{i}.tsv"
+        run_cli("-q", "search", "-d", db, str(fq), "-o", str(t))
+        shard_tsvs.append(str(t))
+    merged = tmp_path / "merged.tsv"
+    run_cli("-q", "merge", *shard_tsvs, "-o", str(merged))
+
+    kprofile = tmp_path / "cluster.kmcp.profile"
+    run_cli(
+        "-q", "profile", "-T", taxid_map, "-X", TAXDUMP, "-m", "1",
+        str(merged), "-o", str(kprofile), "-s", "0",
+    )
+    rows = {}
+    with open(kprofile) as f:
+        f.readline()
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            rows[parts[0]] = float(parts[1])
+    assert set(rows) == set(DEPTHS), (
+        f"missing: {set(DEPTHS) - set(rows)}, extra: {set(rows) - set(DEPTHS)}"
+    )
+    for acc, expect_pct in truth.items():
+        assert abs(rows[acc] - expect_pct) < 1.5, (acc, rows[acc], expect_pct)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference repo absent")
 def test_fast_profiler_equals_reference_engine(demo_db, taxid_map, tmp_path):
     """The vectorized profiler must reproduce the loop-based
     reference-faithful engine to float precision."""
