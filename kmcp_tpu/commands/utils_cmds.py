@@ -186,8 +186,9 @@ def run_index_density(db_dir: str, out_file: str, bins: int = 512):
     """Bit-density heatmap of each block's Bloom matrix.
 
     The reference renders a grayscale JPEG (index-density.go:44-69); we
-    emit a portable PGM image (plus a TSV alongside) — same information,
-    dependency-free."""
+    do the same when Pillow is available (out file ending .jpg/.jpeg/
+    .png), always with a portable PGM + TSV alongside — same
+    information, dependency-optional."""
     rows = []
     labels = []
     for d in find_db_dirs(db_dir):
@@ -221,7 +222,20 @@ def run_index_density(db_dir: str, out_file: str, bins: int = 512):
         raise SystemExit("kmcp-tpu utils index-density: empty database")
     mx = img.max() or 1.0
     gray = (255 * (1 - img / mx)).astype(np.uint8)
-    pgm = out_file if out_file.endswith(".pgm") else out_file + ".pgm"
+    wrote = None
+    if out_file.lower().endswith((".jpg", ".jpeg", ".png")):
+        # the reference's JPEG heatmap (index-density.go:44-69)
+        try:
+            from PIL import Image
+
+            Image.fromarray(gray, mode="L").save(out_file)
+            wrote = out_file
+        except ImportError:
+            pass
+    pgm = (
+        out_file if out_file.endswith(".pgm")
+        else os.path.splitext(out_file)[0] + ".pgm"
+    )
     with open(pgm, "wb") as f:
         f.write(b"P5\n%d %d\n255\n" % (gray.shape[1], gray.shape[0]))
         f.write(gray.tobytes())
@@ -229,7 +243,8 @@ def run_index_density(db_dir: str, out_file: str, bins: int = 512):
         f.write("target\t" + "\t".join(str(i) for i in range(bins)) + "\n")
         for lab, r in zip(labels, img):
             f.write(lab + "\t" + "\t".join(f"{v:.4f}" for v in r) + "\n")
-    print(f"[index-density] wrote {pgm} ({gray.shape[0]}x{gray.shape[1]})",
+    wrote = wrote or pgm
+    print(f"[index-density] wrote {wrote} ({gray.shape[0]}x{gray.shape[1]})",
           file=sys.stderr)
 
 

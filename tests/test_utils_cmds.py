@@ -52,6 +52,11 @@ def test_kset_index_ref_info_density(demo_db, tmp_path):  # noqa: F811
     pgm = str(png) + ".pgm"
     with open(pgm, "rb") as f:
         assert f.read(2) == b"P5"
+    # JPEG output (the reference's format, index-density.go:44-69)
+    jpg = tmp_path / "density.jpg"
+    run_cli("utils", "index-density", demo_db, "-o", str(jpg), "--bins", "64")
+    with open(jpg, "rb") as f:
+        assert f.read(2) == b"\xff\xd8"  # JFIF magic
 
 
 @pytest.mark.skipif(not reference_available(), reason="reference repo absent")
