@@ -756,8 +756,40 @@ class FastProfiler:
         )
         sel = sel[order]
         gids = flat.gt_group[sel]
-        bounds = np.flatnonzero(np.diff(gids)) + 1
-        for seg in np.split(sel, bounds):
+        starts = np.flatnonzero(
+            np.concatenate(([True], gids[1:] != gids[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(gids)]))
+        sizes = ends - starts
+        # vectorized fast path for 2-target groups (the overwhelming
+        # majority of ambiguous reads): one i=0,j=1 comparison each,
+        # exactly the reference's loop order (cond1 -> dead[j], elif
+        # cond2 -> dead[i])
+        two = starts[sizes == 2]
+        if len(two):
+            a = sel[two]
+            b = sel[two + 1]
+            ha = flat.gt_target[a].astype(np.int64)
+            hb = flat.gt_target[b].astype(np.int64)
+            lo = np.minimum(ha, hb)
+            hi = np.maximum(ha, hb)
+            shared = np.fromiter(
+                (amb.get((int(x), int(y)), 0.0) for x, y in zip(lo, hi)),
+                np.float64, len(lo),
+            )
+            n2 = len(lo)
+            sm_a = np.fromiter((sum_match[int(h)] for h in ha), np.float64, n2)
+            sm_b = np.fromiter((sum_match[int(h)] for h in hb), np.float64, n2)
+            su_a = np.fromiter((sum_uniq[int(h)] for h in ha), np.float64, n2)
+            su_b = np.fromiter((sum_uniq[int(h)] for h in hb), np.float64, n2)
+            del_b = (sm_a * one_minus >= shared) & (su_b < su_a * mm)
+            del_a = ~del_b & (sm_b * one_minus >= shared) & (
+                su_a < su_b * mm
+            )
+            deleted[b[del_b]] = True
+            deleted[a[del_a]] = True
+        for s, e in zip(starts[sizes > 2], ends[sizes > 2]):
+            seg = sel[s:e]
             tlist = flat.gt_target[seg]
             n = len(seg)
             dead = [False] * n
