@@ -549,17 +549,39 @@ class FastProfiler:
             order = np.lexsort((flat.gt_target[gsel], flat.gt_group[gsel]))
             gsel = gsel[order]
             gids = flat.gt_group[gsel]
-            tids = flat.gt_target[gsel]
-            bounds = np.flatnonzero(np.diff(gids)) + 1
-            for seg in np.split(tids, bounds):
+            tids = flat.gt_target[gsel].astype(np.int64)
+            starts = np.flatnonzero(
+                np.concatenate(([True], gids[1:] != gids[:-1]))
+            )
+            ends = np.concatenate((starts[1:], [len(gids)]))
+            sizes = ends - starts
+            # 2-target groups (the vast majority): targets ascend within
+            # a group (the lexsort above), so the pair key is already
+            # (min, max) — count all pairs with one np.unique
+            two = starts[sizes == 2]
+            if len(two):
+                C = int(flat.n_targets)
+                ks, cnts = np.unique(
+                    tids[two] * C + tids[two + 1], return_counts=True
+                )
+                for k, c in zip(ks.tolist(), cnts.tolist()):
+                    key = (k // C, k % C)
+                    amb[key] = amb.get(key, 0.0) + c
+            for s, e in zip(starts[sizes > 2], ends[sizes > 2]):
+                seg = tids[s:e]
                 for i in range(len(seg) - 1):
                     for j in range(i + 1, len(seg)):
                         k = (int(seg[i]), int(seg[j]))
                         amb[k] = amb.get(k, 0.0) + 1
 
         # ---------------- stage 3: disambiguate + recount
-        sum_match1 = {t: v[0] for t, v in prof1.items()}
-        sum_uniq1 = {t: v[1] for t, v in prof1.items()}
+        # dense per-target arrays (zeros are unreachable: stage-3 groups
+        # only contain prof1 survivors)
+        sum_match1 = np.zeros(flat.n_targets)
+        sum_uniq1 = np.zeros(flat.n_targets)
+        for t, v in prof1.items():
+            sum_match1[t] = v[0]
+            sum_uniq1[t] = v[1]
         gt_deleted = self._megapath_deletions(
             flat, st_allowed, amb, sum_match1, sum_uniq1
         )
@@ -777,14 +799,11 @@ class FastProfiler:
                 (amb.get((int(x), int(y)), 0.0) for x, y in zip(lo, hi)),
                 np.float64, len(lo),
             )
-            n2 = len(lo)
-            sm_a = np.fromiter((sum_match[int(h)] for h in ha), np.float64, n2)
-            sm_b = np.fromiter((sum_match[int(h)] for h in hb), np.float64, n2)
-            su_a = np.fromiter((sum_uniq[int(h)] for h in ha), np.float64, n2)
-            su_b = np.fromiter((sum_uniq[int(h)] for h in hb), np.float64, n2)
-            del_b = (sm_a * one_minus >= shared) & (su_b < su_a * mm)
-            del_a = ~del_b & (sm_b * one_minus >= shared) & (
-                su_a < su_b * mm
+            del_b = (sum_match[ha] * one_minus >= shared) & (
+                sum_uniq[hb] < sum_uniq[ha] * mm
+            )
+            del_a = ~del_b & (sum_match[hb] * one_minus >= shared) & (
+                sum_uniq[ha] < sum_uniq[hb] * mm
             )
             deleted[b[del_b]] = True
             deleted[a[del_a]] = True
