@@ -1118,12 +1118,15 @@ class HostDB:
                 read_block_union(db.path, b) for b in range(self.n_blocks)
             ]
         self.has_screen = any(u is not None for u in self.block_unions)
-        # (a packed union table — one mod probing every block via the
-        # AVX2 count kernel — measured NEUTRAL at 131k targets and ~12%
-        # slower at 524k on this host: the per-block mod+test loop and
-        # the gather+positional-popcount do equivalent work per k-mer.
-        # The packed table pays only on the device, where the gather is
-        # one fused op: DeviceDB._load_screen / build_packed_union.)
+        # packed union table (uniform geometry): ONE u64 mod per k-mer
+        # probes every block's screen via the AVX2 count kernel instead
+        # of n_blocks mod+test passes — isolated probe cost 0.55 s vs
+        # 0.03 s per 8k reads at 256 blocks (1M targets)
+        self.packed_union = (
+            build_packed_union(db, self.n_blocks)
+            if self.has_screen and self.n_blocks > 1
+            else None
+        )
 
     def _cmin(self, n_max: int) -> np.ndarray:
         n_max = max(64, -(-n_max // 64) * 64)
@@ -1215,16 +1218,35 @@ class HostDB:
                 self._tmin_eff_np = t
             return t
 
+        ucnt_state: dict = {}
+
         def screen_active(b, hashes, nk):
             """Union-screen activity mask for block b, or None: a read
             passes only when its union-bloom hit count clears the
             junk-FP band (mean fpr_u*n + 3 sigma; index/build.py
-            _write_union_screen)."""
+            _write_union_screen).  With the packed union table, one
+            hash+count pass computed lazily per batch serves every
+            block."""
             u = self.block_unions[b]
             if u is None:
                 return None
             words, num_bits, fpr_u = u
-            uc = native.union_count(words, num_bits, hashes)
+            uc = None
+            if self.packed_union is not None:
+                if "mat" not in ucnt_state:
+                    U, nbits, _f = self.packed_union
+                    loc_u = native.locations(hashes, 1, nbits)
+                    if loc_u is None:
+                        ucnt_state["mat"] = None
+                    else:
+                        loc_u[hashes[..., None] == 0] = np.int32(nbits)
+                        ucnt_state["mat"] = native.count_block(
+                            U, loc_u, 1
+                        )
+                if ucnt_state["mat"] is not None:
+                    uc = ucnt_state["mat"][:, b]
+            if uc is None:
+                uc = native.union_count(words, num_bits, hashes)
             if uc is None:
                 return None
             theta = np.maximum(
