@@ -90,6 +90,23 @@ def build_tmin_table(sizes: np.ndarray, min_tcov: float) -> np.ndarray:
     return out
 
 
+def _csa(a, b, c):
+    """Carry-save adder on 32 independent bit-lanes per uint32 element:
+    returns (sum, carry) with a+b+c == sum + 2*carry per bit-column."""
+    u = a ^ b
+    return u ^ c, (a & b) | (u & c)
+
+
+def _unpack_sum(planes):
+    """Naive positional popcount of [G, N] uint32 -> [N, 32] int32
+    (bit j of each word, summed over the leading axis)."""
+    import jax.numpy as jnp
+
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bit = (planes[..., None] >> shifts) & jnp.uint32(1)
+    return bit.astype(jnp.int32).sum(axis=0)
+
+
 def _unpack_count(rows):
     """Positional popcount over the k-mer axis: uint32 rows [K, P, W]
     (k-MAJOR — the pallas hash emits [K, B] location planes, so the
@@ -97,17 +114,56 @@ def _unpack_count(rows):
     [P, W*32] (bit j of word w = target w*32 + j) — the pospop/pand
     replacement contraction shared by every device tail.
 
-    The k-major layout collapses (P, W) into one huge minor axis for
-    the unpack+reduce, which the VPU vectorizes ~5x better than the
-    read-major [P, K, W] form (measured 24.5 -> 4.6 ms on a
-    [6144, 140, 128] pair chunk)."""
+    Algorithm: the Harley-Seal carry-save-adder tree — the same scheme
+    as the reference's pospop AVX2/AVX512 assembly
+    (/root/reference/kmcp/cmd/util-db-search.go:6728 calls
+    shenwei356/pospop.Count8) — mapped onto 32-bit VPU lanes, where
+    each uint32 element already carries 32 independent bit-columns.
+    Groups of 16 k-mer planes collapse into one `sixteens` plane via 15
+    CSAs (~75 lane-ops) while ones/twos/fours/eights chain across
+    groups; only the per-group sixteens (K/16 planes) and the four
+    residue planes pay the 32-shift bit-unpack.  ~11 lane-ops per
+    (k-mer, word) vs ~96 for unpacking every plane (the round-1 form),
+    and the k-major layout keeps (P, W) as one huge minor axis for the
+    VPU.  K < 24 falls back to the naive unpack (the CSA residue
+    unpacks dominate at tiny K)."""
     import jax.numpy as jnp
 
     K, Pp, W = rows.shape
     flat = rows.reshape(K, Pp * W)
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    bit = (flat[..., None] >> shifts) & jnp.uint32(1)  # [K, P*W, 32]
-    counts = bit.astype(jnp.int32).sum(axis=0)  # [P*W, 32]
+    if K < 24:
+        return _unpack_sum(flat).reshape(Pp, W * 32)
+
+    G = K // 16
+    tail = flat[G * 16 :]  # leftover planes: naive unpack below
+    zero = jnp.zeros_like(flat[0])
+    ones = twos = fours = eights = zero
+    sixteens = []
+    for g in range(G):
+        x = [flat[16 * g + i] for i in range(16)]
+        ones, t2a = _csa(ones, x[0], x[1])
+        ones, t2b = _csa(ones, x[2], x[3])
+        twos, f4a = _csa(twos, t2a, t2b)
+        ones, t2a = _csa(ones, x[4], x[5])
+        ones, t2b = _csa(ones, x[6], x[7])
+        twos, f4b = _csa(twos, t2a, t2b)
+        fours, e8a = _csa(fours, f4a, f4b)
+        ones, t2a = _csa(ones, x[8], x[9])
+        ones, t2b = _csa(ones, x[10], x[11])
+        twos, f4a = _csa(twos, t2a, t2b)
+        ones, t2a = _csa(ones, x[12], x[13])
+        ones, t2b = _csa(ones, x[14], x[15])
+        twos, f4b = _csa(twos, t2a, t2b)
+        fours, e8b = _csa(fours, f4a, f4b)
+        eights, s16 = _csa(eights, e8a, e8b)
+        sixteens.append(s16)
+    counts = _unpack_sum(jnp.stack(sixteens)) * 16
+    counts += _unpack_sum(eights[None]) * 8
+    counts += _unpack_sum(fours[None]) * 4
+    counts += _unpack_sum(twos[None]) * 2
+    counts += _unpack_sum(ones[None])
+    if tail.shape[0]:
+        counts += _unpack_sum(tail)
     return counts.reshape(Pp, W * 32)
 
 
@@ -952,12 +1008,11 @@ def _make_search_step(num_hashes: int, cand_budget: int, mesh=None):
         acc = rows[..., 0, :]
         for j in range(1, num_hashes):
             acc = acc & rows[..., j, :]
-        # acc: [B,K,nb,W]
-        shifts = jnp.arange(32, dtype=jnp.uint32)
-        bit = (acc[..., None] >> shifts) & jnp.uint32(1)  # [B,K,nb,W,32]
-        counts = bit.astype(jnp.int32).sum(axis=1)  # [B,nb,W,32]
-        B = counts.shape[0]
-        counts = counts.reshape(B, -1)  # [B,T]
+        # acc: [B,K,nb,W] -> k-major [K, B, nb*W] for the CSA contraction
+        B, K, nb, W = acc.shape
+        counts = _unpack_count(
+            acc.transpose(1, 0, 2, 3).reshape(K, B, nb * W)
+        )  # [B, nb*W*32] == [B,T]
         c_thresh = jnp.take(cmin, nkmers, axis=0)[:, None]  # [B,1]
         ok = (
             (counts >= c_thresh)
@@ -989,11 +1044,10 @@ def _make_search_step(num_hashes: int, cand_budget: int, mesh=None):
         acc = rows[..., 0, :]
         for j in range(1, num_hashes):
             acc = acc & rows[..., j, :]
-        shifts = jnp.arange(32, dtype=jnp.uint32)
-        bit = (acc[..., None] >> shifts) & jnp.uint32(1)
-        counts = bit.astype(jnp.int32).sum(axis=1)  # [B_d,nb,W_t,32]
-        B_d, nb, W_t = counts.shape[0], counts.shape[1], counts.shape[2]
-        counts = counts.reshape(B_d, -1)  # [B_d,T_l]
+        B_d, K, nb, W_t = acc.shape
+        counts = _unpack_count(
+            acc.transpose(1, 0, 2, 3).reshape(K, B_d, nb * W_t)
+        )  # [B_d,T_l]
         di = lax.axis_index("d")
         tg = _global_target_ids(nb, W_t, t_size, lax.axis_index("t"))
         c_thresh = jnp.take(cmin, nk_l, axis=0)[:, None]

@@ -1349,3 +1349,24 @@ def test_pack_rows_native_matches_numpy():
     want[cols < lens[:, None]] = concat
     np.testing.assert_array_equal(got, want)
     np.testing.assert_array_equal(_pack_reads_matrix(seqs, lens, 48), want)
+
+
+@pytest.mark.parametrize("K", [1, 5, 16, 23, 24, 31, 32, 48, 130, 137])
+def test_unpack_count_csa_matches_naive(K):
+    """The Harley-Seal CSA positional popcount (device.py::_unpack_count)
+    must agree bit-for-bit with the direct unpack on every K regime:
+    below the CSA cutoff, exact group multiples, and ragged tails."""
+    from kmcp_tpu.search.device import _unpack_count, _unpack_sum
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(K)
+    rows = rng.integers(0, 2**32, size=(K, 3, 5), dtype=np.uint32)
+    got = np.asarray(_unpack_count(jnp.asarray(rows)))
+    want = np.asarray(
+        _unpack_sum(jnp.asarray(rows.reshape(K, 15)))
+    ).reshape(3, 5 * 32)
+    # independent numpy oracle as well (guards _unpack_sum itself)
+    bits = (rows[..., None] >> np.arange(32, dtype=np.uint32)) & 1
+    oracle = bits.sum(axis=0).reshape(3, 5 * 32).astype(np.int32)
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(got, oracle)
