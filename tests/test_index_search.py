@@ -1370,3 +1370,42 @@ def test_unpack_count_csa_matches_naive(K):
     oracle = bits.sum(axis=0).reshape(3, 5 * 32).astype(np.int32)
     np.testing.assert_array_equal(got, want)
     np.testing.assert_array_equal(got, oracle)
+
+
+def test_per_read_compaction_matches_flat():
+    """_compact_candidates' per-read two-level scheme (B >= 4096, small
+    T: the demo-scale device regime) returns byte-identical
+    (idx, cnt, n) to the flat cumsum+search scheme, and poisons n past
+    the budget when a read holds more than its slot allowance."""
+    import jax.numpy as jnp
+
+    from kmcp_tpu.search.device import _compact_candidates, _nonzero_asc
+
+    rng = np.random.default_rng(11)
+    B, T = 4096, 96
+    counts = rng.integers(0, 40, (B, T)).astype(np.int32)
+    ok = counts >= 36  # ~10% lanes, up to ~20 per read
+    budget = int(ok.sum()) + 64
+    okj, cj = jnp.asarray(ok), jnp.asarray(counts)
+    idx, cnt, n = _compact_candidates(okj, cj, budget, -1)
+    # flat-scheme oracle
+    fidx, fn = _nonzero_asc(okj.reshape(-1), budget, B * T)
+    fcnt = jnp.where(
+        fidx < B * T,
+        jnp.take(cj.reshape(-1), jnp.minimum(fidx, B * T - 1)),
+        -1,
+    )
+    # n_slots = max(8, ceil(4*budget/B)) covers the densest read here
+    assert int(ok.sum(axis=1).max()) <= max(8, -(-4 * budget) // B)
+    assert int(n) == int(fn) == int(ok.sum())
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(fidx))
+    np.testing.assert_array_equal(np.asarray(cnt), np.asarray(fcnt))
+
+    # per-read slot overflow: a tiny budget shrinks n_slots below one
+    # read's candidate count -> n must exceed the budget (retry signal)
+    dense_ok = np.zeros((B, T), dtype=bool)
+    dense_ok[7, :32] = True  # one read with 32 candidates
+    _, _, n_o = _compact_candidates(
+        jnp.asarray(dense_ok), cj, 16, -1
+    )
+    assert int(n_o) > 16
