@@ -534,16 +534,67 @@ def _global_target_ids(nb, W_t, t_size, ti):
     ).reshape(-1)
 
 
+def _remap_bitmajor(cidx, W: int, T: int, n_rows: int):
+    """Remap compacted candidate lanes from the Pallas count kernel's
+    bit-major layout (lane p = j*W + w) back to real target ids
+    (t = w*32 + j); sentinel lanes (>= n_rows*T) pass through.  The
+    permuted within-read order is normalized downstream by the stream
+    layer's lexsort (stream.py:513)."""
+    import jax.numpy as jnp
+
+    p = cidx % T
+    b = cidx // T
+    t = (p % W) * 32 + p // W
+    return jnp.where(cidx < n_rows * T, b * T + t, cidx)
+
+
+def _pc_mode(h: int, w: int):
+    """'compiled' | 'interpret' | None: whether the fused Pallas
+    gather+popcount kernel (pallas_count.py) replaces the XLA gather
+    tail.  Single-hash only (there is no pand row-AND to fuse,
+    pallas_count module docstring) and W must be a whole number of
+    uint8-lane groups.  Default: on for the TPU backend;
+    KMCP_TPU_PALLAS_COUNT=0 disables, =1 forces the compiled kernel,
+    =interpret forces the interpreter (hermetic CPU parity tests)."""
+    if h != 1 or w % 8:
+        return None
+    env = os.environ.get("KMCP_TPU_PALLAS_COUNT", "").lower()
+    if env in ("0", "off"):
+        return None
+    if env == "interpret":
+        return "interpret"
+    if w % 1024:
+        # Mosaic DMAs slice whole (8, 128)-tiled lane groups: a row view
+        # [8, W//8] is only HBM-addressable when W//8 is a multiple of
+        # 128.  Narrower DBs keep the XLA gather tail — the kernel
+        # exists for the wide-row regime (W=4096 at 131k targets) where
+        # the gather leaves ~7x HBM headroom on the table.
+        return None
+    import jax
+
+    if env == "1" or jax.default_backend() == "tpu":
+        return "compiled"
+    return None
+
+
 @functools.lru_cache(maxsize=None)
 def _make_count_tail(
     cand_budget: int,
     min_len: int,
     dedup_threshold: int,
     n_chunks: int = 1,
+    pc_cfg=None,
 ):
     """Jitted tail after device hashing: gather -> count -> threshold ->
     compaction (single-hash).  loc_t arrives transposed [K, B] from the
     Pallas hashing kernel.
+
+    With ``pc_cfg`` = (K, W, interpret) the gather + positional popcount
+    run as ONE fused Mosaic kernel (pallas_count.make_pallas_count) —
+    the gathered rows never round-trip through HBM.  The kernel counts
+    in the bit-major lane layout, so the tail then expects the tmin /
+    sizes_pos arguments PERMUTED by pallas_count.perm_t_of_p and remaps
+    candidate indices after compaction (_remap_bitmajor).
 
     Returns (meta int32 [1 + budget] = [n_cand, idx...],
     aux uint16 [budget + B] = [cnt..., nkmers...]): device->host bytes
@@ -566,11 +617,28 @@ def _make_count_tail(
     import jax.numpy as jnp
     from jax import lax
 
+    pc_fn = None
+    if pc_cfg is not None:
+        from .pallas_count import make_pallas_count
+
+        pc_K, pc_W, pc_interp = pc_cfg
+        pc_fn = make_pallas_count(pc_K, pc_W, interpret=pc_interp)
+
+    def gather_count(bits_ext, loc_t):
+        """[K, B?] single-hash locations -> [B?, T] counts (bit-major
+        lane layout when the fused Pallas kernel is active)."""
+        if pc_fn is not None:
+            S_ext = bits_ext.shape[0]
+            return pc_fn(
+                bits_ext.reshape(S_ext, 8, pc_W // 8), loc_t.T
+            )
+        rows = jnp.take(bits_ext, loc_t, axis=0)  # [K,B?,W] k-major
+        return _unpack_count(rows)
+
     def chunk_tail(bits_ext, loc_t_c, nk_c, lens_c, cmin, tmin, sizes_pos,
                    budget_c):
         """One chunk: loc_t_c [K, B_c] (single-hash plane)."""
-        rows = jnp.take(bits_ext, loc_t_c, axis=0)  # [K,B_c,W] k-major
-        counts = _unpack_count(rows)
+        counts = gather_count(bits_ext, loc_t_c)
         B_c = counts.shape[0]
         c_thresh = jnp.take(
             cmin, jnp.minimum(nk_c, cmin.shape[0] - 1), axis=0
@@ -587,6 +655,8 @@ def _make_count_tail(
         cidx, n_cand = _nonzero_asc(flat_ok, budget_c, B_c * T)
         cnt = jnp.take(counts.reshape(-1), jnp.minimum(cidx, B_c * T - 1))
         cnt = jnp.where(cidx < B_c * T, cnt, 0)
+        if pc_fn is not None:
+            cidx = _remap_bitmajor(cidx, pc_W, T, B_c)
         return n_cand, cidx, jnp.clip(cnt, 0, 65535).astype(jnp.uint16)
 
     def tail(bits_ext, loc_ts, nk, lens, cmin, tmin, sizes_pos):
@@ -597,11 +667,14 @@ def _make_count_tail(
         aux_nk = jnp.clip(nkmers, 0, 65535).astype(jnp.uint16)
 
         if n_chunks == 1 or len(loc_ts) > 1:
-            acc = None
-            for loc_t in loc_ts:
-                rows = jnp.take(bits_ext, loc_t, axis=0)  # [K,B,W]
-                acc = rows if acc is None else (acc & rows)
-            counts = _unpack_count(acc)
+            if pc_fn is not None:
+                counts = gather_count(bits_ext, loc_ts[0])
+            else:
+                acc = None
+                for loc_t in loc_ts:
+                    rows = jnp.take(bits_ext, loc_t, axis=0)  # [K,B,W]
+                    acc = rows if acc is None else (acc & rows)
+                counts = _unpack_count(acc)
             B = counts.shape[0]
             c_thresh = jnp.take(
                 cmin, jnp.minimum(nkmers, cmin.shape[0] - 1), axis=0
@@ -616,6 +689,8 @@ def _make_count_tail(
             cidx, cnt, n_cand = _compact_candidates(
                 ok, counts, cand_budget, 0
             )
+            if pc_fn is not None:
+                cidx = _remap_bitmajor(cidx, pc_W, counts.shape[1], B)
             meta = jnp.concatenate([n_cand[None], cidx])
             aux = jnp.concatenate(
                 [jnp.clip(cnt, 0, 65535).astype(jnp.uint16), aux_nk]
@@ -1599,12 +1674,11 @@ class DeviceDB:
         self.sizes = np.asarray(sizes, dtype=np.int64)
         self.sizes_pos_np = self.sizes > 0
         self.sizes_pos = jax.device_put(jnp.asarray(self.sizes_pos_np), repl)
-        self._tmin = jax.device_put(
-            jnp.asarray(
-                build_tmin_table(self.sizes.astype(np.float64), opt.min_target_cov)
-            ),
-            repl,
+        self._tmin_np = build_tmin_table(
+            self.sizes.astype(np.float64), opt.min_target_cov
         )
+        self._tmin = jax.device_put(jnp.asarray(self._tmin_np), repl)
+        self._perm_tabs = None  # bit-major (tmin, sizes_pos) for pallas_count
         self._cmin_cache: dict[int, object] = {}
         self._dev = repl
         # two-pass block screen (multi-block wide DBs; _make_screened_tail
@@ -1714,22 +1788,38 @@ class DeviceDB:
         loc_ts, nk = outs[:h], outs[h]
         B = reads_u8.shape[0]
         K = lmax - k + 1
-        # chunk wide-T batches so the [B_c, K, W] gathered-rows
-        # intermediate stays under ~600 MB (see _make_count_tail)
+        pc = _pc_mode(h, self.w)
+        if pc:
+            # the kernel tiles R reads per grid step (full VPU lanes on
+            # narrow rows); odd batch sizes keep the XLA tail
+            pc_R = max(1, 128 // (self.w // 8))
+            if B % pc_R:
+                pc = None
+        pc_cfg = (K, self.w, pc == "interpret") if pc else None
+        # chunk wide-T batches so the big intermediate stays bounded:
+        # [B_c, K, W] gathered rows on the XLA path (~600 MB), the
+        # [B_c, 32*W] count matrix on the fused-Pallas path (the kernel
+        # never materializes the gathered rows)
         n_chunks = 1
         if h == 1:
+            limit = 128_000_000 if pc else 150_000_000
+            per_read = 32 * self.w if pc else K * self.w
             while (
-                (B // n_chunks) * K * self.w > 150_000_000
+                (B // n_chunks) * per_read > limit
                 and n_chunks < B
                 and B % (n_chunks * 2) == 0
+                and (not pc or (B // (n_chunks * 2)) % pc_R == 0)
             ):
                 n_chunks *= 2
         tail = _make_count_tail(
             cand_budget, opt.min_query_len, opt.kmer_dedup_threshold,
-            n_chunks,
+            n_chunks, pc_cfg,
         )
         n_win = lmax - k + 1
         cmin = self.cmin_for(max(n_win, 1))
+        tmin, spos = (
+            self._bitmajor_tabs() if pc else (self._tmin, self.sizes_pos)
+        )
         if isinstance(lens, np.ndarray) or not hasattr(lens, "dtype"):
             # one H2D per batch; callers re-stepping the same batch
             # (bench reps, overflow retries) pass a device array to skip
@@ -1737,8 +1827,26 @@ class DeviceDB:
             lens = jnp.asarray(np.asarray(lens).astype(np.int32))
         return tail(
             self.bits_ext, tuple(loc_ts), nk, lens,
-            cmin, self._tmin, self.sizes_pos,
+            cmin, tmin, spos,
         )
+
+    def _bitmajor_tabs(self):
+        """(tmin, sizes_pos) permuted into the Pallas count kernel's
+        bit-major lane layout (pallas_count.perm_t_of_p)."""
+        if self._perm_tabs is None:
+            import jax
+            import jax.numpy as jnp
+
+            from .pallas_count import perm_t_of_p
+
+            perm = perm_t_of_p(self.w)
+            self._perm_tabs = (
+                jax.device_put(jnp.asarray(self._tmin_np[perm]), self._dev),
+                jax.device_put(
+                    jnp.asarray(self.sizes_pos_np[perm]), self._dev
+                ),
+            )
+        return self._perm_tabs
 
     def _search_reads_screened(
         self, reads_u8, lens, cand_budget, k, lmax, max_hash,

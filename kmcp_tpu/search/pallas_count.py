@@ -1,0 +1,221 @@
+"""Pallas TPU kernel: fused Bloom-row gather + positional popcount.
+
+The search hot loop's count core — the reference's pospop positional
+popcount (/root/reference/kmcp/cmd/util-db-search.go:6728 calls
+shenwei356/pospop.Count8) fused with the row gather that feeds it
+(row slices at `offset0 + h mod numSigs`, :6810-6816) — as one Mosaic
+kernel.  Per read, the K Bloom rows named by the hash locations are
+DMA'd HBM->VMEM through an N-slot ring (the gather), and a statically
+unrolled Harley-Seal carry-save tree accumulates per-bit-position
+match counts entirely on chip, so the gathered rows never round-trip
+through HBM.  The XLA formulation (device.py::_unpack_count)
+materializes the [K, B, W] gathered-rows intermediate; measured
+113 GB/s of 819 GB/s HBM on wide rows — this kernel's row DMAs are
+the only HBM reads.
+
+Counter structure (same scheme as the reference's pospop assembly,
+mapped to 32-bit VPU lanes): groups of 16 planes collapse through a
+15-CSA tree into one weight-16 plane while ones/twos/fours/eights
+residues chain across groups; the weight-16 planes feed a half-adder
+binary counter whose carry depth is STATICALLY bounded by the group
+index (a carry into level l needs >= 2^l planes), so the whole
+contraction unrolls to ~6 VPU ops per k-mer plane and only
+~log2(K) + 4 planes pay the final 32-way bit-unpack.
+
+Counts leave in the BIT-MAJOR layout counts[b, j*W + w] = matched
+k-mers of target t = w*32 + j (the unpack then never crosses lanes).
+Callers threshold with permuted tmin/sizes tables and remap candidate
+indices after compaction; output ordering is normalized downstream by
+the stream layer's lexsort over (t, size, -cnt, qi) (stream.py:513),
+so the permuted compaction order is invisible in the TSV.
+
+Single-hash only: with num_hashes == 1 there is no pand row-AND
+(util-db-search.go:6639-6645) to fuse; multi-hash DBs keep the XLA
+tail, where the AND folds into the gather.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+
+def perm_t_of_p(W: int) -> np.ndarray:
+    """Target id t of each bit-major lane p: p = j*W + w -> t = w*32 + j.
+
+    Used to permute per-target threshold tables into the kernel's count
+    layout (tab_perm = tab[perm_t_of_p(W)]) and to remap compacted
+    candidate lanes back to real target ids."""
+    p = np.arange(32 * W)
+    return (p % W) * 32 + p // W
+
+
+@functools.lru_cache(maxsize=None)
+def make_pallas_count(
+    K: int, W: int, n_bufs: int = 32, interpret: bool = False
+):
+    """Build fn(bits3d uint32 [S_ext, 8, W//8], loc int32 [B, K]) ->
+    counts int32 [B, 32*W] in the bit-major layout (module docstring).
+
+    bits3d is the row-stacked bit matrix reshaped (a free view of the
+    [S_ext, W] layout); row S_ext-1 is the all-zero sentinel that padding
+    lanes point at.  B must be a multiple of the reads-per-step tile
+    (128 // (W//8), min 1 — full VPU lanes per op for narrow rows)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert W % 8 == 0 and W >= 8
+    W8 = W // 8
+    R = max(1, 128 // W8)  # reads per grid step
+    NB = max(2, min(n_bufs, K))  # DMA ring depth
+
+    def kernel(loc_ref, bits_ref, counts_ref, rowbuf, sems):
+        # loc_ref: SMEM (B, K) int32, unblocked (SMEM blocks must tile
+        # (8, 128); the whole table fits — callers chunk the batch);
+        # bits_ref: HBM/ANY (S_ext, 8, W8);
+        # counts_ref: VMEM (R, 32, 8, W8) int32;
+        # rowbuf: VMEM (NB, R, 8, W8) uint32; sems: DMA (NB, R).
+        b0 = pl.program_id(0) * R
+
+        def copy(i, r, slot):
+            return pltpu.make_async_copy(
+                bits_ref.at[loc_ref[b0 + r, i]],
+                rowbuf.at[slot, r],
+                sems.at[slot, r],
+            )
+
+        def start(i):
+            if i < K:
+                for r in range(R):
+                    copy(i, r, i % NB).start()
+
+        def fetch(i):
+            slot = i % NB
+            for r in range(R):
+                copy(i, r, slot).wait()
+            return rowbuf[slot]  # (R, 8, W8) uint32
+
+        def csa(a, b, c):
+            """3:2 compressor; a may be statically zero (None)."""
+            if a is None:
+                return b ^ c, b & c
+            u = a ^ b
+            return u ^ c, (a & b) | (u & c)
+
+        for i in range(min(NB, K)):
+            start(i)
+
+        # low chain: residue planes of weight 1/2/4/8 (None = zero)
+        lows = [None, None, None, None]
+        # upper half-adder counter: upper[l] has weight 16 * 2^l
+        upper: list = []
+        upper_n = 0  # weight-16 planes inserted (static carry bound)
+
+        def insert_upper(c):
+            nonlocal upper_n
+            upper_n += 1
+            l = 0
+            while True:
+                if l == len(upper):
+                    upper.append(c)
+                    return
+                a = upper[l]
+                upper[l] = a ^ c
+                c = a & c
+                l += 1
+                if upper_n < (1 << l):
+                    return  # carry statically zero beyond this level
+
+        G, tail_n = K // 16, K % 16
+        for g in range(G):
+            base = g * 16
+            x = [fetch(base + ii) for ii in range(16)]
+            # 15-CSA tree: 16 planes -> one weight-16 plane + residues
+            s16 = None
+            e8 = [None, None]
+            for half in range(2):
+                f4 = [None, None]
+                for quarter in range(2):
+                    t2 = [None, None]
+                    for pair in range(2):
+                        o = half * 8 + quarter * 4 + pair * 2
+                        lows[0], t2[pair] = csa(lows[0], x[o], x[o + 1])
+                    lows[1], f4[quarter] = csa(lows[1], t2[0], t2[1])
+                lows[2], e8[half] = csa(lows[2], f4[0], f4[1])
+            lows[3], s16 = csa(lows[3], e8[0], e8[1])
+            insert_upper(s16)
+            # ring slots of this group are free once folded in; only
+            # then may the next DMAs overwrite them (program order is
+            # the WAR fence)
+            for ii in range(16):
+                start(base + ii + NB)
+
+        # tail planes: half-adder inserts with a static carry bound
+        # (low-chain count <= 15 from the group residues + tail so far)
+        for t in range(tail_n):
+            i = G * 16 + t
+            c = fetch(i)
+            cap = (15 if G else 0) + t + 1
+            l = 0
+            while c is not None:
+                if lows[l] is None:
+                    lows[l] = c
+                    break
+                a = lows[l]
+                lows[l] = a ^ c
+                c = a & c
+                l += 1
+                if cap < (1 << l):
+                    break  # carry statically zero
+                if l == 4:
+                    insert_upper(c)
+                    break
+            start(i + NB)
+
+        # final unpack: counts[j] = sum_p weight_p * bit_j(plane_p);
+        # one shift + one mask pre-positions the bit at its weight
+        planes = [
+            (l, p) for l, p in enumerate(lows) if p is not None
+        ] + [(4 + l, p) for l, p in enumerate(upper)]
+        for j in range(32):
+            acc = None
+            for l, p in planes:
+                if j >= l:
+                    b = (p >> jnp.uint32(j - l)) & jnp.uint32(1 << l)
+                else:
+                    b = (p << jnp.uint32(l - j)) & jnp.uint32(1 << l)
+                acc = b if acc is None else acc + b
+            counts_ref[:, j] = acc.astype(jnp.int32)
+
+    @jax.jit
+    def _run(bits3d, loc):
+        B = loc.shape[0]
+        assert B % R == 0, (B, R)
+        fn = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B, 32, 8, W8), jnp.int32),
+            grid=(B // R,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (R, 32, 8, W8), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((NB, R, 8, W8), jnp.uint32),
+                pltpu.SemaphoreType.DMA((NB, R)),
+            ],
+            interpret=interpret,
+        )
+        return fn(loc, bits3d).reshape(B, 32 * W)
+
+    def run(bits3d, loc):
+        return _run(bits3d, loc)
+
+    run.reads_per_step = R
+    return run

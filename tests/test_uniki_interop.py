@@ -1,11 +1,14 @@
 """Reference-format interop (.uniki / __db.yml, index/uniki.py).
 
-With no Go toolchain and no binary fixtures in the reference repo, the
-cross-validation oracle is round-trip equality: our golden-anchored DB
-exported to the reference layout (serialization.go byte layout) and read
-back through the interop reader must reproduce the demo-searching
-FracMinHash golden table bit-for-bit — the same numbers a reference-built
-database would yield.
+KNOWN LIMITATION — the oracle is self-referential: the reference repo
+ships no reference-built .uniki binary anywhere (verified round 2), and
+there is no Go toolchain in this image, so these tests round-trip OUR
+writer through OUR reader.  A shared bug in both (e.g. a mirrored bit
+order) would pass.  What anchors the layout to reality: the byte layout
+is transcribed field-by-field from serialization.go:32-348, and the
+round-tripped DB must reproduce the demo-searching FracMinHash golden
+table bit-for-bit — the same numbers a reference-built database yields.
+Revisit if a reference-built binary fixture ever becomes available.
 """
 
 import os
