@@ -613,6 +613,16 @@ def _make_count_tail(
     preserves the ascending flat-index order); if any chunk overflows
     its budget share, the reported n_cand exceeds the global budget so
     the caller's standard 4x retry kicks in."""
+    if dedup_threshold >= 65535:
+        # reads passing the dedup filter can carry up to dedup_threshold
+        # k-mers; the aux columns are uint16, so a larger threshold would
+        # silently saturate counts/nkmers.  Callers (stream.py::run's
+        # use_pallas predicate) route such configurations to the legacy
+        # int32 scan path / object engine instead.
+        raise ValueError(
+            f"kmer_dedup_threshold {dedup_threshold} >= 65535 would "
+            "overflow the uint16 aux layout"
+        )
     import jax
     import jax.numpy as jnp
     from jax import lax

@@ -200,7 +200,7 @@ def make_pallas_count(
             grid=(B // R,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
                 (R, 32, 8, W8), lambda i: (i, 0, 0, 0),

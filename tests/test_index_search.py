@@ -1409,3 +1409,253 @@ def test_per_read_compaction_matches_flat():
         jnp.asarray(dense_ok), cj, 16, -1
     )
     assert int(n_o) > 16
+
+
+@pytest.mark.parametrize(
+    "K,W,steps",
+    [(5, 128, 2), (16, 128, 1), (33, 128, 1), (130, 128, 1), (9, 64, 1)],
+)
+def test_pallas_count_kernel_matches_oracle(K, W, steps):
+    """The fused Pallas gather+popcount kernel (pallas_count.py, the
+    pospop/pand replacement of SURVEY 2.10 — reference pospop.Count8 at
+    util-db-search.go:6728) must agree bit-for-bit with the XLA
+    gather + CSA oracle across every counter regime: below one 16-plane
+    group (5, over two grid steps), one exact group (16), group +
+    upper-counter carries (33), the production read shape (K=130 =
+    150 bp, k=21, upper-counter depth 4), and a narrow-row multi-read
+    tile (W=64 -> 16 reads/step).  Counts leave bit-major (lane
+    p = j*W + w -> target w*32 + j); the oracle is compared through
+    perm_t_of_p.  (Interpret-mode cost scales with K x reads-per-step x
+    grid steps, hence the lean matrix.)"""
+    import jax.numpy as jnp
+
+    from kmcp_tpu.search.device import _unpack_count
+    from kmcp_tpu.search.pallas_count import make_pallas_count, perm_t_of_p
+
+    rng = np.random.default_rng(K * 1000 + W)
+    S = 61
+    bits = rng.integers(0, 2**32, size=(S + 1, W), dtype=np.uint32)
+    bits[-1] = 0  # sentinel row (padding lanes)
+    R = max(1, 128 // (W // 8))
+    B = R * steps
+    loc = rng.integers(0, S + 1, size=(B, K)).astype(np.int32)
+    fn = make_pallas_count(K, W, interpret=True)
+    got = np.asarray(
+        fn(jnp.asarray(bits).reshape(S + 1, 8, W // 8), jnp.asarray(loc))
+    )
+    rows = jnp.take(jnp.asarray(bits), jnp.asarray(loc.T), axis=0)
+    oracle = np.asarray(_unpack_count(rows))  # [B, T] target-major
+    np.testing.assert_array_equal(got, oracle[:, perm_t_of_p(W)])
+
+
+def test_count_tail_pallas_matches_xla():
+    """_make_count_tail with the fused Pallas count core (pc_cfg,
+    interpret mode) returns the same candidate SET per read as the XLA
+    gather tail: candidate flat ids are emitted in the kernel's
+    bit-major order and remapped (_remap_bitmajor), so within-read
+    order differs but the (idx, cnt) pairs — and the downstream TSV,
+    via the stream layer's lexsort — are identical."""
+    import jax.numpy as jnp
+
+    from kmcp_tpu.search.device import _make_count_tail
+
+    rng = np.random.default_rng(17)
+    S, W, K = 499, 64, 12
+    T = W * 32
+    R = max(1, 128 // (W // 8))  # 128
+    B = 2 * R
+    bits = rng.integers(0, 2**32, (S + 1, W), dtype=np.uint32)
+    bits[S] = 0
+    loc_t = rng.integers(0, S, (K, B), dtype=np.int32)
+    loc_t[rng.random((K, B)) < 0.1] = S  # invalid windows
+    nk = (loc_t != S).sum(axis=0, dtype=np.int32)[None, :]
+    lens = np.full(B, 150, dtype=np.int32)
+    lens[::13] = 10  # below min_len
+    cmin = np.full(K + 1, 10, dtype=np.int32)
+    tmin = np.zeros(T, dtype=np.int32)
+    tmin[::3] = 11
+    sizes_pos = np.ones(T, dtype=bool)
+    sizes_pos[T - 5 :] = False
+    budget = 4096
+    args = (
+        jnp.asarray(bits), (jnp.asarray(loc_t),), jnp.asarray(nk),
+        jnp.asarray(lens), jnp.asarray(cmin), jnp.asarray(tmin),
+        jnp.asarray(sizes_pos),
+    )
+    m_x, a_x = _make_count_tail(budget, 30, 256, 1)(*args)
+    from kmcp_tpu.search.pallas_count import perm_t_of_p
+
+    perm = perm_t_of_p(W)
+    args_pc = args[:4] + (
+        jnp.asarray(cmin), jnp.asarray(tmin[perm]),
+        jnp.asarray(sizes_pos[perm]),
+    )
+    m_p, a_p = _make_count_tail(budget, 30, 256, 1, (K, W, True))(*args_pc)
+    n = int(m_x[0])
+    assert 0 < n <= budget and int(m_p[0]) == n
+    # same candidate set: flat ids are globally unique, so sorting each
+    # output's (idx, cnt) pairs by idx must give identical arrays
+    ix, cx = np.asarray(m_x[1 : 1 + n]), np.asarray(a_x[:n])
+    ip, cp = np.asarray(m_p[1 : 1 + n]), np.asarray(a_p[:n])
+    ox, op = np.argsort(ix), np.argsort(ip)
+    np.testing.assert_array_equal(ix[ox], ip[op])
+    np.testing.assert_array_equal(cx[ox], cp[op])
+    np.testing.assert_array_equal(
+        np.asarray(a_x[budget:]), np.asarray(a_p[budget:])
+    )
+
+    # chunked variant (wide-T memory bounding) keeps the same set
+    m_p2, a_p2 = _make_count_tail(budget, 30, 256, 2, (K, W, True))(
+        *args_pc
+    )
+    assert int(m_p2[0]) == n
+    i2, c2 = np.asarray(m_p2[1 : 1 + n]), np.asarray(a_p2[:n])
+    o2 = np.argsort(i2)
+    np.testing.assert_array_equal(i2[o2], ix[ox])
+    np.testing.assert_array_equal(c2[o2], cx[ox])
+
+
+def test_uint16_dedup_boundary_routing(tmp_path):
+    """The compact device result layout carries counts/nkmers as uint16
+    (device.py::_make_count_tail), so the pallas tail REFUSES dedup
+    thresholds >= 65535 (whose surviving reads could silently saturate
+    the aux columns), and an engine configured past the boundary must
+    still produce object-engine-identical output by routing through the
+    legacy int32 paths (stream.py gates use_pallas on
+    kmer_dedup_threshold < 65535; usable() excludes the multi-block
+    pallas-only route the same way)."""
+    import io
+
+    from kmcp_tpu.kmer import native as _nat
+    from kmcp_tpu.search.device import _make_count_tail
+    from kmcp_tpu.search.engine import SearchEngine, SearchOptions
+    from kmcp_tpu.search.stream import StreamSearcher
+    from kmcp_tpu.search.tsv import write_results
+
+    with pytest.raises(ValueError, match="uint16"):
+        _make_count_tail(64, 30, 65535, 1)
+    _make_count_tail.cache_clear()  # drop the poisoned lru entry
+
+    if _nat.get_lib() is None:
+        pytest.skip("native library unavailable (streaming needs it)")
+    db, genomes = _tiny_db(tmp_path, [21])
+    rng = np.random.default_rng(23)
+    reads = []
+    for i in range(64):
+        g = genomes[int(rng.integers(0, len(genomes)))]
+        ln = 600 if i % 7 == 0 else 150  # ~580 k-mers > default 256
+        p = int(rng.integers(0, len(g) - ln))
+        reads.append((f"r{i}", g[p : p + ln], None))
+
+    opt_np = SearchOptions(
+        backend="numpy", keep_unmatched=False, kmer_dedup_threshold=70000
+    )
+    buf1 = io.StringIO()
+    write_results(
+        buf1, SearchEngine([db], opt_np).search_batch(reads, 0), False
+    )
+    opt_j = SearchOptions(
+        backend="jax", batch_size=64, kmer_dedup_threshold=70000
+    )
+    eng_j = SearchEngine([db], opt_j)
+    assert StreamSearcher.usable(eng_j)  # legacy int32 scan path serves it
+    buf2 = io.StringIO()
+    total, _ = StreamSearcher(eng_j).run(iter(reads), buf2)
+    assert total == 64
+    assert buf1.getvalue() == buf2.getvalue()
+
+
+def test_block_screen_adversarial_fp_only(tmp_path, monkeypatch):
+    """Adversarial probe of the screen's documented divergence (PARITY.md
+    deviation 7): at hostile settings — min_kmers=1, query-cov 0.31, fpr-0.3
+    Blooms, 35 bp reads (15 k-mers) — junk reads false-positive-match
+    targets through Bloom FP bits alone, and the union screen (whose
+    bits are independent of the per-target Blooms) legitimately drops
+    such rows.  The test pins the BOUND on that divergence:
+
+    1. the screen only ever DROPS rows (screened subset of unscreened);
+    2. every clean read's true-source row survives with identical
+       fields (true k-mers always hit the union Bloom — no false
+       negatives — so real matches clear the junk band);
+    3. the divergence actually fires here (dropped FP-only junk rows),
+       which is why PARITY.md documents it rather than claiming
+       identity at all settings.
+
+    Rows are compared WITHOUT the per-query `hits` column: dropping a
+    query's FP rows legitimately decrements its surviving rows' hits
+    count (a knock-on of the same documented divergence)."""
+    import io
+
+    from kmcp_tpu.commands.compute import ComputeOptions, run_compute
+    from kmcp_tpu.index.build import run_index
+    from kmcp_tpu.kmer import native
+    from kmcp_tpu.search.engine import SearchEngine, SearchOptions
+    from kmcp_tpu.search.stream import StreamSearcher
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(31)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genomes = []
+    files = []
+    for g in range(24):
+        seq = rng.choice(bases, size=40000).tobytes()
+        p = tmp_path / f"g{g:02d}.fa"
+        p.write_text(f">g{g}\n{seq.decode()}\n")
+        genomes.append(seq)
+        files.append(str(p))
+    run_compute(out_dir=str(tmp_path / "ks"), files=files,
+                opt=ComputeOptions(ks=[21], split_number=2,
+                                   split_overlap=100), force=True)
+    run_index(in_dir=str(tmp_path / "ks"), out_dir=str(tmp_path / "db"),
+              num_hashes=1, fpr=0.3, force=True, tpu_native=True,
+              native_block_targets=16, block_screen=True)
+
+    reads = []
+    for i in range(100):  # clean 35 bp reads, one per half-genome
+        g = genomes[i % 24]
+        half = (len(genomes[0]) // 2) * ((i // 24) % 2)
+        p = half + int(rng.integers(100, 15000))
+        reads.append((f"c{i}", g[p : p + 35], None))
+    for i in range(200):  # junk: no genuine 21-mer overlap with any genome
+        reads.append((f"j{i}", rng.choice(bases, size=35).tobytes(), None))
+
+    hostile = dict(
+        backend="host", batch_size=512, min_kmers=1, min_query_cov=0.31,
+        max_fpr=1.0,
+    )
+    rows = {}
+    for name, no_screen in (("scr", False), ("plain", True)):
+        if no_screen:
+            monkeypatch.setenv("KMCP_TPU_NO_SCREEN", "1")
+        else:
+            monkeypatch.delenv("KMCP_TPU_NO_SCREEN", raising=False)
+        st = StreamSearcher(
+            SearchEngine([str(tmp_path / "db")], SearchOptions(**hostile))
+        )
+        buf = io.StringIO()
+        st.run(iter(reads), buf)
+        rows[name] = {
+            tuple(f)  # drop col 4 (`hits`): see docstring
+            for l in buf.getvalue().splitlines()
+            if l and not l.startswith("#")
+            for f in [l.split("\t")[:4] + l.split("\t")[5:]]
+        }
+
+    dropped = rows["plain"] - rows["scr"]
+    added = rows["scr"] - rows["plain"]
+    assert added == set(), f"screen ADDED rows: {sorted(added)[:3]}"
+    assert dropped, "adversarial case must fire (FP-only rows dropped)"
+    # every clean read keeps its true-source target row, bit-identical
+    by_query_target = {}
+    for r in rows["plain"]:
+        by_query_target.setdefault((r[0], r[4]), []).append(r)
+    for i in range(100):
+        qid, want_t = f"c{i}", f"g{i % 24:02d}"
+        true_rows = [
+            r for r in by_query_target.get((qid, want_t), [])
+        ]
+        assert true_rows, f"{qid} lost its true match in plain output"
+        for r in true_rows:
+            assert r in rows["scr"], f"screen dropped TRUE match {r[:7]}"
