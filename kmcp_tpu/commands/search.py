@@ -134,8 +134,9 @@ def run_search(
         if not no_header_row:
             out.write(HEADER)
 
-        # fast streaming path: single-end (or, host backend, paired)
-        # reads vs a plain single-group DB
+        # fast streaming path: single-end or paired reads vs a plain
+        # single-group DB (paired mates stream on host AND on the
+        # single-block device backend; multi-block paired is host-only)
         if not whole_file:
             from ..search.stream import StreamSearcher
 

@@ -267,6 +267,7 @@ def _make_read_search_step(
     min_len: int,
     dedup_threshold: int,
     mesh=None,
+    paired_dedup: bool = False,
 ):
     """Fully-fused device search: raw read bytes -> ntHash1 -> Bloom
     locations -> gather -> AND -> count -> threshold -> compaction.
@@ -276,6 +277,12 @@ def _make_read_search_step(
     emulates the uint64 lanes with uint32 pairs on TPU.  Only the raw
     ASCII reads cross host->device (~150 B/read) and only the packed
     candidate list crosses back (~20 B/read).
+
+    With ``paired_dedup`` reads whose raw window count exceeds the dedup
+    threshold are uniqued over the 64-bit k-mer values in-step instead
+    of excluded (the reference's >256-k-mer dedup,
+    util-db-search.go:874-908): the paired streaming mode, where joined
+    mate rows routinely exceed 256 k-mers.
     """
     import jax
     import jax.numpy as jnp
@@ -338,6 +345,25 @@ def _make_read_search_step(
             # windows beyond the read's end are invalid via pad bytes (0)
 
             nkmers = valid.sum(axis=1, dtype=jnp.int32)
+            if paired_dedup:
+                # sort each read's masked values; duplicate nonzero
+                # neighbors beyond the first invalidate their window
+                h_m = jnp.where(valid, h, jnp.uint64(0))
+                order = jnp.argsort(h_m, axis=1, stable=True)
+                h_s = jnp.take_along_axis(h_m, order, axis=1)
+                dup = jnp.zeros_like(valid).at[:, 1:].set(
+                    (h_s[:, 1:] == h_s[:, :-1])
+                    & (h_s[:, 1:] != jnp.uint64(0))
+                )
+                apply = nkmers > dedup_threshold
+                nkmers = jnp.where(
+                    apply, nkmers - dup.sum(axis=1, dtype=jnp.int32),
+                    nkmers,
+                )
+                h = h_s
+                valid = jnp.take_along_axis(valid, order, axis=1) & ~(
+                    dup & apply[:, None]
+                )
 
             if num_hashes == 1:
                 loc = (h % jnp.uint64(S)).astype(jnp.int32)[..., None]
@@ -362,13 +388,15 @@ def _make_read_search_step(
             c_thresh = jnp.take(
                 cmin, jnp.minimum(nkmers, cmin.shape[0] - 1), axis=0
             )[:, None]
-            return (
+            ok = (
                 (counts >= c_thresh)
                 & (counts >= tmin_c[None, :])
                 & spos_c[None, :]
                 & (lens >= min_len)[:, None]
-                & (nkmers <= dedup_threshold)[:, None]
             )
+            if not paired_dedup:
+                ok &= (nkmers <= dedup_threshold)[:, None]
+            return ok
 
         def step(bits_ext, reads, lens, cmin, tmin, sizes_pos):
             """reads [B, L] uint8 ASCII (pad 0); lens [B] int32."""
@@ -548,6 +576,44 @@ def _remap_bitmajor(cidx, W: int, T: int, n_rows: int):
     return jnp.where(cidx < n_rows * T, b * T + t, cidx)
 
 
+def _dedup_value_planes(vhi, vlo, locs, nk, threshold: int, sentinel: int):
+    """Per-read unique over 64-bit k-mer values — the reference's
+    >256-k-mer dedup (util-db-search.go:874-908), on device, for reads
+    whose RAW window count exceeds ``threshold`` (smaller sets keep
+    duplicates, reproducing the reference quirk).  Duplicate windows
+    beyond the first are re-pointed at the sentinel row in every
+    location plane and the read's k-mer count drops to its unique count.
+
+    vhi/vlo: [K, B] uint32 halves of the window's ntHash value, 0 for
+    invalid windows (the kernel zeroes them; a valid window can never
+    hash to 0 — h==0 is defined invalid).  locs: list of [K, B] int32
+    planes.  Window order within a plane is irrelevant downstream (the
+    count tail sums over K), so planes are returned value-sorted."""
+    import jax.numpy as jnp
+
+    o1 = jnp.argsort(vlo, axis=0, stable=True)
+    hi1 = jnp.take_along_axis(vhi, o1, axis=0)
+    o2 = jnp.argsort(hi1, axis=0, stable=True)
+    o = jnp.take_along_axis(o1, o2, axis=0)
+    hi_s = jnp.take_along_axis(vhi, o, axis=0)
+    lo_s = jnp.take_along_axis(vlo, o, axis=0)
+    valid = (hi_s != 0) | (lo_s != 0)
+    prev_same = jnp.zeros_like(valid).at[1:].set(
+        (hi_s[1:] == hi_s[:-1]) & (lo_s[1:] == lo_s[:-1])
+    )
+    dup = prev_same & valid
+    apply = nk > threshold
+    drop = dup & apply[None, :]
+    nk_eff = jnp.where(apply, nk - dup.sum(axis=0, dtype=nk.dtype), nk)
+    out = [
+        jnp.where(
+            drop, jnp.int32(sentinel), jnp.take_along_axis(loc, o, axis=0)
+        )
+        for loc in locs
+    ]
+    return out, nk_eff
+
+
 def _pc_mode(h: int, w: int):
     """'compiled' | 'interpret' | None: whether the fused Pallas
     gather+popcount kernel (pallas_count.py) replaces the XLA gather
@@ -584,6 +650,7 @@ def _make_count_tail(
     dedup_threshold: int,
     n_chunks: int = 1,
     pc_cfg=None,
+    in_dedup: bool = False,
 ):
     """Jitted tail after device hashing: gather -> count -> threshold ->
     compaction (single-hash).  loc_t arrives transposed [K, B] from the
@@ -658,8 +725,9 @@ def _make_count_tail(
             & (counts >= tmin[None, :])
             & sizes_pos[None, :]
             & (lens_c >= min_len)[:, None]
-            & (nk_c <= dedup_threshold)[:, None]
         )
+        if not in_dedup:
+            ok &= (nk_c <= dedup_threshold)[:, None]
         flat_ok = ok.reshape(-1)
         T = counts.shape[1]
         cidx, n_cand = _nonzero_asc(flat_ok, budget_c, B_c * T)
@@ -669,11 +737,21 @@ def _make_count_tail(
             cidx = _remap_bitmajor(cidx, pc_W, T, B_c)
         return n_cand, cidx, jnp.clip(cnt, 0, 65535).astype(jnp.uint16)
 
-    def tail(bits_ext, loc_ts, nk, lens, cmin, tmin, sizes_pos):
+    def tail(bits_ext, loc_ts, nk, lens, cmin, tmin, sizes_pos,
+             vplanes=()):
         # loc_ts: tuple of transposed [K, B] location planes, one per
         # hash function; rows AND together across planes.  (Chunked mode
-        # is only built for the single-hash pallas path.)
+        # is only built for the single-hash pallas path.)  With
+        # ``in_dedup``, vplanes = (vhi, vlo) [K, B] window values and
+        # over-threshold reads are uniqued here (_dedup_value_planes);
+        # nkmers and the reported qKmers become unique counts, matching
+        # the host path's in-kernel dedup.
         nkmers = nk[0]
+        if in_dedup:
+            loc_ts, nkmers = _dedup_value_planes(
+                vplanes[0], vplanes[1], list(loc_ts), nkmers,
+                dedup_threshold, bits_ext.shape[0] - 1,
+            )
         aux_nk = jnp.clip(nkmers, 0, 65535).astype(jnp.uint16)
 
         if n_chunks == 1 or len(loc_ts) > 1:
@@ -694,8 +772,9 @@ def _make_count_tail(
                 & (counts >= tmin[None, :])
                 & sizes_pos[None, :]
                 & (lens >= min_len)[:, None]
-                & (nkmers <= dedup_threshold)[:, None]
             )
+            if not in_dedup:
+                ok &= (nkmers <= dedup_threshold)[:, None]
             cidx, cnt, n_cand = _compact_candidates(
                 ok, counts, cand_budget, 0
             )
@@ -1763,12 +1842,21 @@ class DeviceDB:
             self._cmin_cache[n_max] = t
         return t
 
-    def search_reads_pallas(self, reads_u8, lens, cand_budget):
+    def search_reads_pallas(self, reads_u8, lens, cand_budget,
+                            dedup_values: bool = False):
         """Pallas rolling-hash kernel + jitted count tail (num_hashes==1).
 
         reads_u8: [B, lmax] uint8 (B multiple of 256); the kernel's
         [L, B] layout is produced by a device-side transpose.  Returns
-        (meta int32, aux uint16) — see _make_count_tail."""
+        (meta int32, aux uint16) — see _make_count_tail.
+
+        With ``dedup_values`` the hash kernel also emits the 64-bit
+        window values and reads over the dedup threshold are uniqued on
+        device (_dedup_value_planes) instead of excluded — the paired
+        streaming mode, whose joined mate rows routinely exceed the
+        256-k-mer threshold (util-db-search.go:800-805,874-908).  For
+        paired reads callers pass max(len1, len2) as ``lens`` (it only
+        feeds the min-query-length filter)."""
         import jax.numpy as jnp
 
         from .pallas_hash import make_pallas_hash_loc
@@ -1788,14 +1876,17 @@ class DeviceDB:
                     "multi-block device search needs the two-pass screen "
                     "(index --block-screen with uniform block geometry)"
                 )
+            assert not dedup_values  # paired streams single-block only
             return self._search_reads_screened(
                 reads_u8, lens, cand_budget, k, lmax, max_hash
             )
         hash_fn = make_pallas_hash_loc(
             k, lmax, self.total_rows, max_hash, num_hashes=h,
+            emit_values=dedup_values,
         )
         outs = hash_fn(reads_u8)
         loc_ts, nk = outs[:h], outs[h]
+        vplanes = tuple(outs[h + 1 : h + 3]) if dedup_values else ()
         B = reads_u8.shape[0]
         K = lmax - k + 1
         pc = _pc_mode(h, self.w)
@@ -1823,7 +1914,7 @@ class DeviceDB:
                 n_chunks *= 2
         tail = _make_count_tail(
             cand_budget, opt.min_query_len, opt.kmer_dedup_threshold,
-            n_chunks, pc_cfg,
+            n_chunks, pc_cfg, in_dedup=dedup_values,
         )
         n_win = lmax - k + 1
         cmin = self.cmin_for(max(n_win, 1))
@@ -1837,7 +1928,7 @@ class DeviceDB:
             lens = jnp.asarray(np.asarray(lens).astype(np.int32))
         return tail(
             self.bits_ext, tuple(loc_ts), nk, lens,
-            cmin, tmin, spos,
+            cmin, tmin, spos, vplanes,
         )
 
     def _bitmajor_tabs(self):
@@ -1905,8 +1996,12 @@ class DeviceDB:
         reads_u8: np.ndarray,
         lens: np.ndarray,
         cand_budget: int,
+        paired_dedup: bool = False,
     ):
-        """Dispatch the fused reads->matches step (hashing on device)."""
+        """Dispatch the fused reads->matches step (hashing on device).
+        ``paired_dedup``: in-step >threshold k-mer dedup for joined
+        paired rows (see _make_read_search_step); pass max(len1, len2)
+        as ``lens`` then."""
         import jax.numpy as jnp
 
         opt = self.opt
@@ -1920,6 +2015,7 @@ class DeviceDB:
             opt.min_query_len,
             opt.kmer_dedup_threshold,
             self.mesh,
+            paired_dedup,
         )
         n_win_max = reads_u8.shape[1] - k + 1
         cmin = self.cmin_for(max(n_win_max, 1))

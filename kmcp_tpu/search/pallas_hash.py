@@ -41,6 +41,7 @@ def make_pallas_hash_loc(
     interpret: bool = False,
     num_hashes: int = 1,
     screen_sigs: int = 0,
+    emit_values: bool = False,
 ):
     """Build fn(reads_u8[B, lmax]) -> (loc_t int32 [kmax, B] per hash
     function, ..., nk int32 [1, B]).  B must be a multiple of 256.
@@ -55,7 +56,12 @@ def make_pallas_hash_loc(
     With ``screen_sigs`` > 0 one extra plane ``h mod screen_sigs`` is
     appended after the hash planes (sentinel = screen_sigs): the
     block-union screen locations of the two-pass wide-T search
-    (device.py::_make_screened_tail)."""
+    (device.py::_make_screened_tail).
+
+    With ``emit_values`` two uint32 planes (h_hi, h_lo) of the raw
+    64-bit window value follow the nk output (invalid windows emit 0 —
+    h==0 is itself defined invalid), feeding the device-side >threshold
+    k-mer dedup of paired streaming (device.py::_dedup_value_planes)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -157,6 +163,7 @@ def make_pallas_hash_loc(
     def kernel(reads_ref, *out_refs):
         loc_refs = out_refs[:n_planes]
         nk_ref = out_refs[n_planes]
+        val_refs = out_refs[n_planes + 1 :]  # (hi, lo) if emit_values
         B = TILE_B
         zero = jnp.zeros((B,), jnp.uint32)
 
@@ -172,6 +179,7 @@ def make_pallas_hash_loc(
             rows_out = reads_ref[pl.ds(a, 8 + 8), :]  # [16, B]
 
             locs = [[] for _ in range(n_planes)]
+            vals = ([], [])
             for j in range(8):
                 i = bidx * 8 + j
                 b_in = rows_in[j, :]
@@ -233,12 +241,17 @@ def make_pallas_hash_loc(
                     locs[num_hashes].append(
                         jnp.where(valid, loc_u, jnp.int32(screen_sigs))
                     )
+                if emit_values:
+                    vals[0].append(jnp.where(valid, h_hi, zero))
+                    vals[1].append(jnp.where(valid, h_lo, zero))
                 nk = nk + valid.astype(jnp.int32)
 
             for hj in range(n_planes):
                 loc_refs[hj][pl.ds(base, 8), :] = jnp.stack(
                     locs[hj], axis=0
                 )
+            for vj, vref in enumerate(val_refs):
+                vref[pl.ds(base, 8), :] = jnp.stack(vals[vj], axis=0)
             return (fh_hi, fh_lo, rh_hi, rh_lo, run, nk)
 
         init = (zero, zero, zero, zero,
@@ -253,22 +266,26 @@ def make_pallas_hash_loc(
         B = reads_bl.shape[0]
         loc_spec = pl.BlockSpec((lmax, TILE_B), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)
+        n_vals = 2 if emit_values else 0
         fn = pl.pallas_call(
             kernel,
             out_shape=tuple(
                 [jax.ShapeDtypeStruct((lmax, B), jnp.int32)] * n_planes
-            ) + (jax.ShapeDtypeStruct((1, B), jnp.int32),),
+            ) + (jax.ShapeDtypeStruct((1, B), jnp.int32),) + tuple(
+                [jax.ShapeDtypeStruct((lmax, B), jnp.uint32)] * n_vals
+            ),
             grid=(B // TILE_B,),
             in_specs=[loc_spec],
             out_specs=tuple([loc_spec] * n_planes) + (
                 pl.BlockSpec((1, TILE_B), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-            ),
+            ) + tuple([loc_spec] * n_vals),
             interpret=interpret,
         )
         outs = fn(widened)
         locs = [o[k - 1 :, :] for o in outs[:n_planes]]
-        return (*locs, outs[n_planes])
+        vals = [o[k - 1 :, :] for o in outs[n_planes + 1 :]]
+        return (*locs, outs[n_planes], *vals)
 
     def call(reads_bl: np.ndarray):
         import jax.numpy as jnp

@@ -238,11 +238,17 @@ class StreamSearcher:
 
             if jax.devices()[0].platform in ("cpu",):
                 return False  # Mosaic kernels need real TPU hardware
-        if paired and (engine.opt.backend != "host" or engine.opt.try_se):
-            # paired mates join into one hash row (host in-kernel dedup
-            # handles the >256-k-mer sets); --try-se needs the object
-            # engine's retry plan
-            return False
+        if paired:
+            # paired mates join into one hash row; the >256-k-mer sets
+            # dedup in-kernel (host C++) / in-step (device value sort,
+            # device.py::_dedup_value_planes).  --try-se needs the
+            # object engine's retry plan; the multi-block screened
+            # device tail carries no in-step dedup, so paired multi-
+            # block stays host-only.
+            if engine.opt.try_se:
+                return False
+            if engine.opt.backend != "host" and len(db.blocks) != 1:
+                return False
         if native.get_lib() is None:
             return False
         return True
@@ -405,16 +411,28 @@ class StreamSearcher:
                 mat = _pack_reads_matrix(seqs, lens, lmax)
                 state["reads_bl"] = mat
                 state["counts"] = None
+                # paired: min-len filters on max(len1, len2); joined
+                # rows dedup in-step past the >256-k-mer threshold
+                state["dev_lens"] = eff if paired else lens
+                state["dev_kwargs"] = {"dedup_values": paired}
                 state["fut"] = _copy_async(
-                    dev.search_reads_pallas(mat, lens, budget)
+                    dev.search_reads_pallas(
+                        mat, state["dev_lens"], budget,
+                        **state["dev_kwargs"],
+                    )
                 )
             elif device_hash:
                 # ship raw ASCII reads; hashing happens on device
                 mat = _pack_reads_matrix(seqs, lens, lmax)
                 state["reads_u8"] = mat
                 state["counts"] = None  # nkmers arrives with the results
+                state["dev_lens"] = eff if paired else lens
+                state["dev_kwargs"] = {"paired_dedup": paired}
                 state["fut"] = _copy_async(
-                    dev.search_reads_async(mat, lens, budget)
+                    dev.search_reads_async(
+                        mat, state["dev_lens"], budget,
+                        **state["dev_kwargs"],
+                    )
                 )
             else:
                 res = native.hash_reads_loc(
@@ -445,16 +463,20 @@ class StreamSearcher:
                     if "reads_bl" in state:
                         fut = _copy_async(
                             dev.search_reads_pallas(
-                                state["reads_bl"], state["lens"], budget
+                                state["reads_bl"],
+                                state.get("dev_lens", state["lens"]),
+                                budget, **state.get("dev_kwargs", {}),
                             )
                         )
                     else:
                         extra = dict(state.get("host_extra", {}))
+                        extra.update(state.get("dev_kwargs", {}))
                         if "seqs_pad" in state:
                             extra["seqs"] = state["seqs_pad"]
                         fut = dev.search_reads_async(
-                            state["reads_u8"], state["lens"], budget,
-                            **extra,
+                            state["reads_u8"],
+                            state.get("dev_lens", state["lens"]),
+                            budget, **extra,
                         )
                 else:
                     fut = dev.search_async(
@@ -469,10 +491,13 @@ class StreamSearcher:
                 # device-hash mode: per-read k-mer counts ride along
                 state["counts"] = nk
             state["too_short"] = state["eff"] < opt.min_query_len
-            if "host_extra" in state and state["host_extra"].get(
+            if ("host_extra" in state and state["host_extra"].get(
                 "dedup_threshold"
-            ):
-                # host path deduplicated in-kernel; counts are unique
+            )) or state.get("dev_kwargs", {}).get("dedup_values") or state.get(
+                "dev_kwargs", {}
+            ).get("paired_dedup"):
+                # deduplicated in-kernel (host C++) or in-step (device
+                # value sort); counts are unique — no slow-path fallback
                 state["over_dedup"] = np.zeros(
                     len(state["counts"]), dtype=bool
                 )

@@ -448,6 +448,29 @@ def test_pallas_hash_kernel_interpret():
         b = sorted(x for x in loc_p[i].tolist() if x != S)
         assert a == b and counts_ref[i] == nk[i], i
 
+    # emit_values variant: the (hi, lo) value planes must equal the
+    # canonical ntHash of every valid window (oracle: the NumPy
+    # prefix-XOR twin), 0 elsewhere — the dedup key of the paired
+    # device streaming mode
+    from kmcp_tpu.kmer.nthash import _window_hashes, encode_seq
+
+    fnv = make_pallas_hash_loc(
+        k, L, S, (1 << 64) - 1, interpret=True, emit_values=True
+    )
+    loc_t2, nk2, vhi, vlo = fnv(mat)
+    np.testing.assert_array_equal(np.asarray(loc_t2), loc_p.T)
+    np.testing.assert_array_equal(np.asarray(nk2)[0], nk)
+    got_v = (
+        np.asarray(vhi).astype(np.uint64) << np.uint64(32)
+    ) | np.asarray(vlo).astype(np.uint64)  # [K, B]
+    for i in range(B):
+        fh, rh, valid = _window_hashes(encode_seq(reads[i]), k)
+        want = np.zeros(L - k + 1, dtype=np.uint64)
+        n_w = len(fh)
+        h = np.minimum(fh, rh)
+        want[:n_w][valid & (h != 0)] = h[valid & (h != 0)]
+        np.testing.assert_array_equal(got_v[:, i], want, err_msg=str(i))
+
 
 def test_stream_keep_top_scores_parity(tmp_path):
     """keep-top-scores in the stream python writer matches the engine's
@@ -483,10 +506,14 @@ def test_stream_keep_top_scores_parity(tmp_path):
 
 
 def test_stream_paired_parity(tmp_path):
-    """Paired-end streaming (host backend, joined mate1+N+mate2 rows with
-    in-kernel dedup of the >256-k-mer sets) must stay byte-identical to
-    the object engine, including a junk mate, a short mate, and an empty
-    mate (util-db-search.go:800-908 semantics)."""
+    """Paired-end streaming (joined mate1+N+mate2 rows with in-kernel /
+    in-step dedup of the >256-k-mer sets) must stay byte-identical to
+    the object engine on BOTH streaming backends — host (C++ dedup) and
+    the device path (value-sort dedup, device.py::_dedup_value_planes;
+    exercised here through the XLA scan step the CPU mesh runs, the
+    same tail the TPU pallas path shares) — including a junk mate, a
+    short mate, and an empty mate (util-db-search.go:800-908
+    semantics)."""
     from kmcp_tpu.kmer import native as _nat
 
     if _nat.get_lib() is None:
@@ -529,6 +556,15 @@ def test_stream_paired_parity(tmp_path):
     total, _ = st.run(iter(reads), buf2, paired=True)
     assert total == 300
     assert buf1.getvalue() == buf2.getvalue()
+
+    # device backend: scan path with in-step value dedup
+    opt_j = SearchOptions(backend="jax", batch_size=128)
+    eng_j = SearchEngine([db], opt_j)
+    assert StreamSearcher.usable(eng_j, paired=True)
+    buf3 = io.StringIO()
+    total, _ = StreamSearcher(eng_j).run(iter(reads), buf3, paired=True)
+    assert total == 300
+    assert buf1.getvalue() == buf3.getvalue()
 
     # try-se falls back to the object engine
     opt_se = SearchOptions(backend="host", try_se=True)
@@ -1659,3 +1695,86 @@ def test_block_screen_adversarial_fp_only(tmp_path, monkeypatch):
         assert true_rows, f"{qid} lost its true match in plain output"
         for r in true_rows:
             assert r in rows["scr"], f"screen dropped TRUE match {r[:7]}"
+
+
+def test_count_tail_in_dedup_matches_manual():
+    """The count tail's in-step value dedup (in_dedup + vplanes, the
+    paired pallas route) must equal a manually pre-deduplicated tail:
+    over-threshold reads drop duplicate 64-bit values (keeping ONE
+    window per value) and report unique counts; reads at or below the
+    threshold keep duplicates — the reference's >256-only dedup quirk
+    (util-db-search.go:874-908)."""
+    import jax.numpy as jnp
+
+    from kmcp_tpu.search.device import _make_count_tail
+
+    rng = np.random.default_rng(41)
+    S, W, K, B = 251, 4, 24, 64
+    T = W * 32
+    thr = 12
+    bits = rng.integers(0, 2**32, (S + 1, W), dtype=np.uint32)
+    bits[S] = 0
+    # values: draw from a small pool so duplicates are common
+    pool_hi = rng.integers(1, 2**32, 10, dtype=np.uint32)
+    pool_lo = rng.integers(0, 2**32, 10, dtype=np.uint32)
+    pick = rng.integers(0, 10, (K, B))
+    vhi, vlo = pool_hi[pick], pool_lo[pick]
+    # locations derive from the value (same value -> same location,
+    # as a real hash mod would)
+    loc = ((pool_lo[pick].astype(np.int64)) % S).astype(np.int32)
+    invalid = rng.random((K, B)) < 0.15
+    vhi[invalid], vlo[invalid] = 0, 0
+    loc[invalid] = S
+    nk = (~invalid).sum(axis=0, dtype=np.int32)
+    # half the reads get few windows (<= thr) by invalidating extras
+    few = np.arange(B) % 2 == 0
+    kill = (np.arange(K)[:, None] >= thr - 2) & few[None, :]
+    vhi[kill], vlo[kill] = 0, 0
+    loc[kill] = S
+    nk = ((vhi != 0) | (vlo != 0)).sum(axis=0).astype(np.int32)
+
+    lens = np.full(B, 150, dtype=np.int32)
+    cmin = np.full(K + 1, 1, dtype=np.int32)
+    tmin = np.zeros(T, dtype=np.int32)
+    spos = np.ones(T, dtype=bool)
+    budget = B * T  # no overflow; exact comparison
+
+    tail_d = _make_count_tail(budget, 30, thr, 1, None, True)
+    m_d, a_d = tail_d(
+        jnp.asarray(bits), (jnp.asarray(loc),), jnp.asarray(nk[None]),
+        jnp.asarray(lens), jnp.asarray(cmin), jnp.asarray(tmin),
+        jnp.asarray(spos), (jnp.asarray(vhi), jnp.asarray(vlo)),
+    )
+
+    # manual oracle: dedup over-threshold reads on (hi, lo), keep one
+    loc_m = loc.copy()
+    nk_m = nk.copy()
+    for b in range(B):
+        if nk[b] <= thr:
+            continue
+        seen = set()
+        uniq = 0
+        for kk in range(K):
+            v = (int(vhi[kk, b]), int(vlo[kk, b]))
+            if v == (0, 0):
+                continue
+            if v in seen:
+                loc_m[kk, b] = S
+            else:
+                seen.add(v)
+                uniq += 1
+        nk_m[b] = uniq
+    tail_x = _make_count_tail(budget, 30, 60000, 1)  # filter disabled
+    m_x, a_x = tail_x(
+        jnp.asarray(bits), (jnp.asarray(loc_m),), jnp.asarray(nk_m[None]),
+        jnp.asarray(lens), jnp.asarray(cmin), jnp.asarray(tmin),
+        jnp.asarray(spos),
+    )
+    n = int(m_x[0])
+    assert int(m_d[0]) == n and 0 < n <= budget
+    np.testing.assert_array_equal(
+        np.asarray(m_d[1 : 1 + n]), np.asarray(m_x[1 : 1 + n])
+    )
+    np.testing.assert_array_equal(np.asarray(a_d), np.asarray(a_x))
+    # the dedup actually changed something (both regimes exercised)
+    assert (nk_m != nk).any() and (nk_m == nk)[few].all()
