@@ -1,0 +1,197 @@
+"""Timed 2-process sharded-search benchmark (VERDICT r2 item 6).
+
+The Gloo tests (tests/test_index_search.py::test_multihost_distributed_
+search) assert cross-process CORRECTNESS; this tool measures cross-
+process SCALING of the two-pass screened sharded step
+(device.py::_make_screened_step_sharded) — the production wide-T path —
+as a weak-scaling experiment sized for this 4-core box:
+
+  * every process is pinned to its own 2 cores (sched_setaffinity) and
+    runs 2 virtual CPU devices; the 1-proc baseline runs as TWO
+    INDEPENDENT single-process jobs concurrently (one per core pair),
+    so CPU and DRAM contention are IDENTICAL between configurations and
+    the efficiency ratio isolates the cross-process collective cost
+    (the pass-2 pair gather is memory-bandwidth-bound on this box —
+    an unpinned idle-machine baseline would overstate the comm share);
+  * each process owns the same number of 4096-target blocks (16), so
+    per-process work is identical: the 1-proc run searches a 65k-target
+    DB, the 2-proc run a 131k-target DB sharded over mesh axis 't'
+    (per-host sub-database ownership, the reference's cluster story at
+    /root/reference/kmcp/cmd/merge.go:333-367);
+  * collectives ride Gloo over loopback TCP — strictly worse transport
+    than a TPU pod's ICI, so the measured efficiency is a conservative
+    floor for the HLO-model claim (docs/PERF.md, 99.6%).
+
+Efficiency := step_time(1 proc) / step_time(2 procs)  (ideal = 1.0).
+
+Usage: python tools/bench_multihost.py [--reps 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+T_BLOCK = 4096           # targets per block (tpu-native wide layout)
+NB_PER_PROC = 16         # blocks owned per process
+S_BLOCK = 4096           # Bloom rows per block
+S_UNION = 65536
+B, K = 512, 130          # reads per step, windows per read (150 bp, k=21)
+BUDGET = 4096
+
+
+def _worker():
+    proc_id = int(os.environ["BMH_PROC"])
+    nprocs = int(os.environ["BMH_NPROCS"])
+    port = os.environ["BMH_PORT"]
+    reps = int(os.environ["BMH_REPS"])
+    # pin to this job's own 2 cores BEFORE jax spins up its pools
+    pin = int(os.environ.get("BMH_PIN", proc_id))
+    os.sched_setaffinity(0, {2 * pin, 2 * pin + 1})
+
+    from kmcp_tpu.parallel import distributed as D
+
+    D.init_distributed(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nprocs,
+        process_id=proc_id,
+        cpu_devices_per_process=2,
+    )
+    import jax
+    import numpy as np
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+
+    from kmcp_tpu.search.device import _make_screened_step_sharded
+
+    nb = NB_PER_PROC * nprocs
+    W_b = T_BLOCK // 32
+    rng = np.random.default_rng(7)  # identical on every process
+    # ~12.5% fill (AND of three uniform words) like a 0.3-fpr Bloom
+    bits = (
+        rng.integers(0, 2**32, size=(S_BLOCK + 1, nb * W_b), dtype=np.uint32)
+        & rng.integers(0, 2**32, size=(S_BLOCK + 1, nb * W_b), dtype=np.uint32)
+        & rng.integers(0, 2**32, size=(S_BLOCK + 1, nb * W_b), dtype=np.uint32)
+    )
+    bits[S_BLOCK, :] = 0
+    Wu = -(-nb // 32)
+    u = rng.integers(0, 2**32, size=(S_UNION + 1, Wu), dtype=np.uint32)
+    u[S_UNION, :] = 0
+    loc = rng.integers(0, S_BLOCK, size=(B, K)).astype(np.int32)
+    locu = rng.integers(0, S_UNION, size=(B, K)).astype(np.int32)
+    nk = np.full(B, K, dtype=np.int32)
+    lens = np.full(B, 150, dtype=np.int32)
+    cmin = np.full(K + 1, 30, dtype=np.int32)
+    # union-hit counts are ~Binomial(K, 0.5) on this random table;
+    # theta 78 (~ +2.3 sigma) activates ~1% of blocks per read —
+    # the metagenome shape (each read lights up ~0-2 blocks)
+    theta = np.full((nb, K + 1), 78, dtype=np.int32)
+    tmin = np.ones(nb * T_BLOCK, dtype=np.int32)
+    spos = np.ones(nb * T_BLOCK, dtype=bool)
+
+    mesh = D.make_multihost_mesh()
+    step = _make_screened_step_sharded(
+        BUDGET, 2 * BUDGET, 30, 256, nb, T_BLOCK, S_BLOCK, mesh
+    )
+    w_local = NB_PER_PROC * W_b
+    g_bits = multihost_utils.host_local_array_to_global_array(
+        bits[:, proc_id * w_local : (proc_id + 1) * w_local],
+        mesh, P(None, "t"),
+    )
+    out = jax.block_until_ready(
+        step(g_bits, u, loc, locu, nk, lens, cmin, theta, tmin, spos)
+    )  # warm compile
+    t0 = time.time()
+    for _ in range(reps):
+        out = step(g_bits, u, loc, locu, nk, lens, cmin, theta, tmin, spos)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / reps
+    n_cand = int(np.asarray(out)[0])
+    assert n_cand <= BUDGET, f"budget overflow ({n_cand})"
+    if proc_id == 0:
+        print(json.dumps({
+            "nprocs": nprocs,
+            "targets": nb * T_BLOCK,
+            "step_s": round(dt, 4),
+            "reads_per_s": round(B / dt, 1),
+            "candidates": n_cand,
+        }), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    results = {}
+    for nprocs in (1, 2):
+        jobs = []  # (popen, is_reporting)
+        if nprocs == 1:
+            # two INDEPENDENT 1-proc jobs, one per core pair, running
+            # concurrently: the contention-matched baseline
+            for pin in range(2):
+                with socket.socket() as s:
+                    s.bind(("127.0.0.1", 0))
+                    port = s.getsockname()[1]
+                env = dict(
+                    os.environ, BMH_NPROCS="1", BMH_PORT=str(port),
+                    BMH_REPS=str(args.reps), BMH_WORKER="1",
+                    BMH_PROC="0", BMH_PIN=str(pin),
+                )
+                jobs.append((subprocess.Popen(
+                    [sys.executable, os.path.abspath(__file__)], env=env,
+                    stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                    text=True,
+                ), True))
+        else:
+            with socket.socket() as s:
+                s.bind(("127.0.0.1", 0))
+                port = s.getsockname()[1]
+            for p in range(nprocs):
+                env = dict(
+                    os.environ, BMH_NPROCS=str(nprocs),
+                    BMH_PORT=str(port), BMH_REPS=str(args.reps),
+                    BMH_WORKER="1", BMH_PROC=str(p),
+                )
+                jobs.append((subprocess.Popen(
+                    [sys.executable, os.path.abspath(__file__)], env=env,
+                    stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                    text=True,
+                ), p == 0))
+        outs = [pr.communicate(timeout=900) for pr, _ in jobs]
+        recs = []
+        for (pr, reporting), (so, se) in zip(jobs, outs):
+            if pr.returncode != 0:
+                print(se[-2000:], file=sys.stderr)
+                raise SystemExit(f"worker rc={pr.returncode}")
+            if reporting:
+                line = [l for l in so.splitlines() if l.startswith("{")]
+                recs.append(json.loads(line[-1]))
+        rec = dict(recs[0])
+        rec["step_s"] = round(
+            sum(r["step_s"] for r in recs) / len(recs), 4
+        )
+        results[nprocs] = rec
+        print(json.dumps(rec))
+    eff = results[1]["step_s"] / results[2]["step_s"]
+    print(json.dumps({
+        "metric": "multihost_weak_scaling_efficiency",
+        "value": round(eff, 3),
+        "note": "mean step_time(2 concurrent 1proc jobs, 65k targets "
+                "each) / step_time(2proc Gloo job, 131k targets); 2 "
+                "pinned cores + 2 devices per job either way",
+    }))
+
+
+if __name__ == "__main__":
+    if os.environ.get("BMH_WORKER"):
+        _worker()
+    else:
+        main()
