@@ -614,32 +614,39 @@ def _dedup_value_planes(vhi, vlo, locs, nk, threshold: int, sentinel: int):
     return out, nk_eff
 
 
-def _pc_mode(h: int, w: int):
-    """'compiled' | 'interpret' | None: whether the fused Pallas
-    gather+popcount kernel (pallas_count.py) replaces the XLA gather
-    tail.  Single-hash only (there is no pand row-AND to fuse,
-    pallas_count module docstring) and W must be a whole number of
-    uint8-lane groups.  Default: on for the TPU backend;
-    KMCP_TPU_PALLAS_COUNT=0 disables, =1 forces the compiled kernel,
-    =interpret forces the interpreter (hermetic CPU parity tests)."""
+def _pc_mode(h: int, w: int, s_ext: int = 0):
+    """'resident' | 'ring' | 'interpret' | 'interpret-resident' | None:
+    which fused Pallas gather+popcount kernel (pallas_count.py) replaces
+    the XLA gather tail.  Single-hash only (there is no pand row-AND to
+    fuse, pallas_count module docstring) and W must be a whole number
+    of uint8-lane groups.  Default on the TPU backend: the VMEM-
+    RESIDENT kernel when the row count fits its slab geometry
+    (fine-chunked wide-T DBs), else the DMA-ring kernel.
+    KMCP_TPU_PALLAS_COUNT=0 disables, =1 auto-selects, =ring forces the
+    ring kernel, =interpret / =interpret-resident force the interpreter
+    (hermetic CPU parity tests)."""
     if h != 1 or w % 8:
         return None
     env = os.environ.get("KMCP_TPU_PALLAS_COUNT", "").lower()
     if env in ("0", "off"):
         return None
-    if env == "interpret":
-        return "interpret"
+    if env in ("interpret", "interpret-resident"):
+        return env
     if w % 1024:
         # Mosaic DMAs slice whole (8, 128)-tiled lane groups: a row view
         # [8, W//8] is only HBM-addressable when W//8 is a multiple of
-        # 128.  Narrower DBs keep the XLA gather tail — the kernel
-        # exists for the wide-row regime (W=4096 at 131k targets) where
-        # the gather leaves ~7x HBM headroom on the table.
+        # 128.  Narrower DBs keep the XLA gather tail — the kernels
+        # exist for the wide-row regime (W=4096 at 131k targets).
         return None
     import jax
 
-    if env == "1" or jax.default_backend() == "tpu":
-        return "compiled"
+    if env in ("1", "ring") or jax.default_backend() == "tpu":
+        if env != "ring":
+            from .pallas_count import resident_geometry
+
+            if s_ext and resident_geometry(s_ext, w) is not None:
+                return "resident"
+        return "ring"
     return None
 
 
@@ -695,16 +702,30 @@ def _make_count_tail(
     from jax import lax
 
     pc_fn = None
+    pc_resident = False
     if pc_cfg is not None:
-        from .pallas_count import make_pallas_count
+        pc_K, pc_W, pc_mode, pc_S_ext = pc_cfg
+        pc_resident = pc_mode.endswith("resident")
+        interp = pc_mode.startswith("interpret")
+        if pc_resident:
+            from .pallas_count import make_pallas_count_resident
 
-        pc_K, pc_W, pc_interp = pc_cfg
-        pc_fn = make_pallas_count(pc_K, pc_W, interpret=pc_interp)
+            pc_fn = make_pallas_count_resident(
+                pc_K, pc_W, pc_S_ext, interpret=interp
+            )
+        else:
+            from .pallas_count import make_pallas_count
+
+            pc_fn = make_pallas_count(pc_K, pc_W, interpret=interp)
 
     def gather_count(bits_ext, loc_t):
         """[K, B?] single-hash locations -> [B?, T] counts (bit-major
-        lane layout when the fused Pallas kernel is active)."""
+        lane layout when the fused Pallas kernel is active).  In
+        resident mode ``bits_ext`` is the prepacked slab array from
+        pallas_count.pack_resident."""
         if pc_fn is not None:
+            if pc_resident:
+                return pc_fn(bits_ext, loc_t.T)
             S_ext = bits_ext.shape[0]
             return pc_fn(
                 bits_ext.reshape(S_ext, 8, pc_W // 8), loc_t.T
@@ -748,9 +769,12 @@ def _make_count_tail(
         # the host path's in-kernel dedup.
         nkmers = nk[0]
         if in_dedup:
+            sent = (pc_cfg[3] - 1) if (pc_cfg and pc_resident) else (
+                bits_ext.shape[0] - 1
+            )
             loc_ts, nkmers = _dedup_value_planes(
                 vplanes[0], vplanes[1], list(loc_ts), nkmers,
-                dedup_threshold, bits_ext.shape[0] - 1,
+                dedup_threshold, sent,
             )
         aux_nk = jnp.clip(nkmers, 0, 65535).astype(jnp.uint16)
 
@@ -790,7 +814,7 @@ def _make_count_tail(
         K, B = loc_t.shape
         C = n_chunks
         B_c = B // C
-        T = bits_ext.shape[1] * 32
+        T = 32 * pc_W if pc_fn is not None else bits_ext.shape[1] * 32
         budget_c = -(-cand_budget // C)
 
         loc_chunks = loc_t.reshape(K, C, B_c).transpose(1, 0, 2)
@@ -1889,14 +1913,19 @@ class DeviceDB:
         vplanes = tuple(outs[h + 1 : h + 3]) if dedup_values else ()
         B = reads_u8.shape[0]
         K = lmax - k + 1
-        pc = _pc_mode(h, self.w)
+        S_ext = self.total_rows + 1
+        pc = _pc_mode(h, self.w, S_ext)
         if pc:
-            # the kernel tiles R reads per grid step (full VPU lanes on
-            # narrow rows); odd batch sizes keep the XLA tail
-            pc_R = max(1, 128 // (self.w // 8))
+            # reads per grid step: the resident kernel fixes its own R;
+            # the ring kernel tiles full VPU lanes on narrow rows.  Odd
+            # batch sizes keep the XLA tail.
+            if pc.endswith("resident"):
+                pc_R = 2
+            else:
+                pc_R = max(1, 128 // (self.w // 8))
             if B % pc_R:
                 pc = None
-        pc_cfg = (K, self.w, pc == "interpret") if pc else None
+        pc_cfg = (K, self.w, pc, S_ext) if pc else None
         # chunk wide-T batches so the big intermediate stays bounded:
         # [B_c, K, W] gathered rows on the XLA path (~600 MB), the
         # [B_c, 32*W] count matrix on the fused-Pallas path (the kernel
@@ -1926,10 +1955,25 @@ class DeviceDB:
             # (bench reps, overflow retries) pass a device array to skip
             # the tunnel round-trip
             lens = jnp.asarray(np.asarray(lens).astype(np.int32))
+        bits = (
+            self._bits_resident() if pc and pc.endswith("resident")
+            else self.bits_ext
+        )
         return tail(
-            self.bits_ext, tuple(loc_ts), nk, lens,
+            bits, tuple(loc_ts), nk, lens,
             cmin, tmin, spos, vplanes,
         )
+
+    def _bits_resident(self):
+        """Prepacked [n_rg, n_tiles, rows_g+1, 8, tl] slabs for the
+        VMEM-resident count kernel (one-time device-side shuffle,
+        pallas_count.pack_resident)."""
+        if getattr(self, "_bits5d", None) is None:
+            from .pallas_count import pack_resident, resident_geometry
+
+            geo = resident_geometry(self.total_rows + 1, self.w)
+            self._bits5d = pack_resident(self.bits_ext, *geo)
+        return self._bits5d
 
     def _bitmajor_tabs(self):
         """(tmin, sizes_pos) permuted into the Pallas count kernel's

@@ -219,3 +219,230 @@ def make_pallas_count(
 
     run.reads_per_step = R
     return run
+
+
+def resident_geometry(S_ext: int, W: int, max_groups: int = 8):
+    """(n_rg, rows_g, n_tiles, tl) for the VMEM-resident kernel, or None
+    when the row count needs more than ``max_groups`` VMEM-sized row
+    groups (large-S DBs keep the DMA-ring kernel).  tl is fixed at 128
+    lanes (the native VPU tile width; smaller lane tiles pad to 128 in
+    VMEM and save nothing), so W must be a multiple of 1024 targets'
+    worth of words — same constraint as the ring kernel.
+
+    A single row group holds up to ~3.6k rows (15 MB of 16 MB VMEM —
+    the large-T bench geometry fits) and writes counts directly;
+    multi-group DBs write per-group partial counts that XLA sums (an
+    output block may only be revisited on CONSECUTIVE grid steps, and
+    the row-group dim must be outermost so slabs reload per sweep, not
+    per step)."""
+    TL = 128
+    W8 = W // 8
+    if W % 8 or W8 % TL:
+        return None
+    budget = 15_000_000 if S_ext * 8 * TL * 4 <= 15_000_000 else 7_200_000
+    rows_g = budget // (8 * TL * 4)
+    n_rg = -(-S_ext // rows_g)
+    if n_rg > max_groups:
+        return None
+    rows_g = -(-S_ext // n_rg)
+    return n_rg, rows_g, W8 // TL, TL
+
+
+def pack_resident(bits_ext, n_rg: int, rows_g: int, n_tiles: int, tl: int):
+    """[S_ext, W] uint32 -> [n_rg, n_tiles, rows_g+1, 8, tl] slabs, each
+    with its own all-zero sentinel row at local index rows_g (out-of-
+    group locations remap there).  Runs on device (one-time per DB)."""
+    import jax.numpy as jnp
+
+    S_ext, W = bits_ext.shape
+    b = bits_ext.reshape(S_ext, 8, n_tiles, tl)
+    pad = n_rg * rows_g - S_ext
+    if pad:
+        b = jnp.pad(b, ((0, pad), (0, 0), (0, 0), (0, 0)))
+    b = b.reshape(n_rg, rows_g, 8, n_tiles, tl).transpose(0, 3, 1, 2, 4)
+    return jnp.pad(b, ((0, 0), (0, 0), (0, 1), (0, 0), (0, 0)))
+
+
+@functools.lru_cache(maxsize=None)
+def make_pallas_count_resident(
+    K: int, W: int, S_ext: int, reads_per_step: int = 2,
+    interpret: bool = False,
+):
+    """VMEM-resident variant of make_pallas_count for small-S wide-T DBs
+    (fine-chunked indexes: ~4k Bloom rows x 131k targets at the
+    large-T bench geometry).  The ring-gather kernel is DMA-bound at
+    ~42 GB/s — ~430 ns per 16 KB random-row descriptor, invariant to
+    ring depth, sync pattern, and read interleave (measured round 3) —
+    so instead the BIT MATRIX moves into VMEM once per (row-group,
+    lane-tile) slab and each read's K row slices become plain VPU
+    vector loads with NO per-row DMA at all.  Counts accumulate across
+    row groups in the revisited output block.
+
+    Returns fn(bits5d [n_rg, n_tiles, rows_g+1, 8, tl] from
+    pack_resident, loc int32 [B, K] global row ids) -> counts int32
+    [B, 32*W] in the same bit-major layout as make_pallas_count
+    (perm_t_of_p applies unchanged).  B must be a multiple of
+    reads_per_step."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    geo = resident_geometry(S_ext, W)
+    assert geo is not None, (S_ext, W)
+    n_rg, rows_g, n_tiles, tl = geo
+    R = reads_per_step
+
+    def kernel(loc_ref, bits_ref, out_ref, slab, sem):
+        rg = pl.program_id(0)
+        ti = pl.program_id(1)
+        bi = pl.program_id(2)
+        b0 = bi * R
+        lo = rg * rows_g
+
+        @pl.when(bi == 0)
+        def _():
+            # new (row-group, tile): pull its slab into VMEM once; the
+            # ~15 MB DMA amortizes over the whole read sweep
+            cp = pltpu.make_async_copy(bits_ref.at[rg, ti], slab, sem)
+            cp.start()
+            cp.wait()
+
+        def csa(a, b, c):
+            if a is None:
+                return b ^ c, b & c
+            u = a ^ b
+            return u ^ c, (a & b) | (u & c)
+
+        for r in range(R):
+            lows = [None, None, None, None]
+            upper: list = []
+            upper_n = 0  # noqa: F841 (rebound in insert_upper)
+
+            def insert_upper(c):
+                nonlocal upper_n
+                upper_n += 1
+                l = 0
+                while True:
+                    if l == len(upper):
+                        upper.append(c)
+                        return
+                    a = upper[l]
+                    upper[l] = a ^ c
+                    c = a & c
+                    l += 1
+                    if upper_n < (1 << l):
+                        return
+
+            def fetch(i):
+                li = loc_ref[b0 + r, i]
+                inb = (li >= lo) & (li < lo + rows_g)
+                return slab[jnp.where(inb, li - lo, rows_g)]
+
+            G, tail_n = K // 16, K % 16
+            for g in range(G):
+                base = g * 16
+                x = [fetch(base + ii) for ii in range(16)]
+                s16 = None
+                e8 = [None, None]
+                for half in range(2):
+                    f4 = [None, None]
+                    for quarter in range(2):
+                        t2 = [None, None]
+                        for pair in range(2):
+                            o = half * 8 + quarter * 4 + pair * 2
+                            lows[0], t2[pair] = csa(lows[0], x[o], x[o + 1])
+                        lows[1], f4[quarter] = csa(lows[1], t2[0], t2[1])
+                    lows[2], e8[half] = csa(lows[2], f4[0], f4[1])
+                lows[3], s16 = csa(lows[3], e8[0], e8[1])
+                insert_upper(s16)
+            for t in range(tail_n):
+                c = fetch(G * 16 + t)
+                cap = (15 if G else 0) + t + 1
+                l = 0
+                while c is not None:
+                    if lows[l] is None:
+                        lows[l] = c
+                        break
+                    a = lows[l]
+                    lows[l] = a ^ c
+                    c = a & c
+                    l += 1
+                    if cap < (1 << l):
+                        break
+                    if l == 4:
+                        insert_upper(c)
+                        break
+
+            planes = [
+                (l, p) for l, p in enumerate(lows) if p is not None
+            ] + [(4 + l, p) for l, p in enumerate(upper)]
+            for j in range(32):
+                acc = None
+                for l, p in planes:
+                    if j >= l:
+                        b = (p >> jnp.uint32(j - l)) & jnp.uint32(1 << l)
+                    else:
+                        b = (p << jnp.uint32(l - j)) & jnp.uint32(1 << l)
+                    acc = b if acc is None else acc + b
+                # n_rg == 1 writes the final counts; multi-group writes
+                # its own [rg] output slice (summed by XLA afterwards:
+                # revisited out blocks are only sound on consecutive
+                # steps, and rg must stay outermost for slab reuse)
+                if n_rg == 1:
+                    out_ref[r, j, 0] = acc.astype(jnp.int32)
+                else:
+                    out_ref[0, r, j, 0] = acc.astype(jnp.int32)
+
+    @jax.jit
+    def _run(bits5d, loc):
+        B = loc.shape[0]
+        assert B % R == 0, (B, R)
+        # the tile dim sits at -3 (blocks may only tile the LAST TWO
+        # dims; (8, tl) are the hardware tile there)
+        if n_rg == 1:
+            out_shape = jax.ShapeDtypeStruct(
+                (B, 32, n_tiles, 8, tl), jnp.int32
+            )
+            out_spec = pl.BlockSpec(
+                (R, 32, 1, 8, tl), lambda rg, t, b: (b, 0, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            out_shape = jax.ShapeDtypeStruct(
+                (n_rg, B, 32, n_tiles, 8, tl), jnp.int32
+            )
+            out_spec = pl.BlockSpec(
+                (1, R, 32, 1, 8, tl),
+                lambda rg, t, b: (rg, b, 0, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        fn = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid=(n_rg, n_tiles, B // R),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=out_spec,
+            scratch_shapes=[
+                pltpu.VMEM((rows_g + 1, 8, tl), jnp.uint32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )
+        out = fn(loc, bits5d)
+        if n_rg > 1:
+            out = out.sum(axis=0, dtype=jnp.int32)
+        # [B, 32, n_tiles, 8, tl] -> bit-major [B, 32*W]: lane w is word
+        # s*W8 + t*tl + l, so swap (t, s) before flattening — matching
+        # make_pallas_count's layout (perm_t_of_p applies unchanged)
+        return out.transpose(0, 1, 3, 2, 4).reshape(B, 32 * W)
+
+    def run(bits5d, loc):
+        return _run(bits5d, loc)
+
+    run.reads_per_step = R
+    run.geometry = (n_rg, rows_g, n_tiles, tl)
+    return run

@@ -1526,7 +1526,9 @@ def test_count_tail_pallas_matches_xla():
         jnp.asarray(cmin), jnp.asarray(tmin[perm]),
         jnp.asarray(sizes_pos[perm]),
     )
-    m_p, a_p = _make_count_tail(budget, 30, 256, 1, (K, W, True))(*args_pc)
+    m_p, a_p = _make_count_tail(
+        budget, 30, 256, 1, (K, W, "interpret", S + 1)
+    )(*args_pc)
     n = int(m_x[0])
     assert 0 < n <= budget and int(m_p[0]) == n
     # same candidate set: flat ids are globally unique, so sorting each
@@ -1541,14 +1543,72 @@ def test_count_tail_pallas_matches_xla():
     )
 
     # chunked variant (wide-T memory bounding) keeps the same set
-    m_p2, a_p2 = _make_count_tail(budget, 30, 256, 2, (K, W, True))(
-        *args_pc
-    )
+    m_p2, a_p2 = _make_count_tail(
+        budget, 30, 256, 2, (K, W, "interpret", S + 1)
+    )(*args_pc)
     assert int(m_p2[0]) == n
     i2, c2 = np.asarray(m_p2[1 : 1 + n]), np.asarray(a_p2[:n])
     o2 = np.argsort(i2)
     np.testing.assert_array_equal(i2[o2], ix[ox])
     np.testing.assert_array_equal(c2[o2], cx[ox])
+
+
+def test_count_tail_resident_matches_xla():
+    """The VMEM-resident count kernel variant of the tail
+    (pallas_count.make_pallas_count_resident — bit matrix slabs live in
+    VMEM, reads sweep over them with plain vector loads) yields the
+    same candidate set as the XLA gather tail.  Needs W % 1024 == 0
+    (whole 128-lane tiles), hence its own scenario at W=1024."""
+    import jax.numpy as jnp
+
+    from kmcp_tpu.search.device import _make_count_tail
+    from kmcp_tpu.search.pallas_count import (
+        pack_resident, perm_t_of_p, resident_geometry)
+
+    rng = np.random.default_rng(19)
+    S, W, K = 311, 1024, 12
+    T = W * 32
+    B = 8  # resident reads_per_step = 2
+    bits = rng.integers(0, 2**32, (S + 1, W), dtype=np.uint32)
+    bits[S] = 0
+    loc_t = rng.integers(0, S, (K, B), dtype=np.int32)
+    loc_t[rng.random((K, B)) < 0.1] = S
+    nk = (loc_t != S).sum(axis=0, dtype=np.int32)[None, :]
+    lens = np.full(B, 150, dtype=np.int32)
+    cmin = np.full(K + 1, 10, dtype=np.int32)
+    tmin = np.zeros(T, dtype=np.int32)
+    tmin[::3] = 11
+    sizes_pos = np.ones(T, dtype=bool)
+    sizes_pos[T - 5 :] = False
+    budget = 8192
+    args = (
+        jnp.asarray(bits), (jnp.asarray(loc_t),), jnp.asarray(nk),
+        jnp.asarray(lens), jnp.asarray(cmin), jnp.asarray(tmin),
+        jnp.asarray(sizes_pos),
+    )
+    m_x, a_x = _make_count_tail(budget, 30, 256, 1)(*args)
+    n = int(m_x[0])
+    assert 0 < n <= budget
+    geo = resident_geometry(S + 1, W)
+    assert geo is not None and geo[0] == 1
+    perm = perm_t_of_p(W)
+    b5 = pack_resident(jnp.asarray(bits), *geo)
+    m_r, a_r = _make_count_tail(
+        budget, 30, 256, 1, (K, W, "interpret-resident", S + 1)
+    )(
+        b5, (jnp.asarray(loc_t),), jnp.asarray(nk), jnp.asarray(lens),
+        jnp.asarray(cmin), jnp.asarray(tmin[perm]),
+        jnp.asarray(sizes_pos[perm]),
+    )
+    assert int(m_r[0]) == n
+    ix, cx = np.asarray(m_x[1 : 1 + n]), np.asarray(a_x[:n])
+    ir, cr = np.asarray(m_r[1 : 1 + n]), np.asarray(a_r[:n])
+    ox, orr = np.argsort(ix), np.argsort(ir)
+    np.testing.assert_array_equal(ir[orr], ix[ox])
+    np.testing.assert_array_equal(cr[orr], cx[ox])
+    np.testing.assert_array_equal(
+        np.asarray(a_x[budget:]), np.asarray(a_r[budget:])
+    )
 
 
 def test_uint16_dedup_boundary_routing(tmp_path):
