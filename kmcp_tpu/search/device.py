@@ -630,7 +630,7 @@ def _pc_mode(h: int, w: int, s_ext: int = 0):
     env = os.environ.get("KMCP_TPU_PALLAS_COUNT", "").lower()
     if env in ("0", "off"):
         return None
-    if env in ("interpret", "interpret-resident"):
+    if env in ("interpret", "interpret-resident", "interpret-mask"):
         return env
     if w % 1024:
         # Mosaic DMAs slice whole (8, 128)-tiled lane groups: a row view
@@ -640,12 +640,19 @@ def _pc_mode(h: int, w: int, s_ext: int = 0):
         return None
     import jax
 
-    if env in ("1", "ring") or jax.default_backend() == "tpu":
-        if env != "ring":
-            from .pallas_count import resident_geometry
+    if env in ("1", "ring", "resident", "mask") or (
+        jax.default_backend() == "tpu"
+    ):
+        if env in ("ring", "resident", "mask"):
+            return env
+        from .pallas_count import resident_geometry
 
-            if s_ext and resident_geometry(s_ext, w) is not None:
-                return "resident"
+        geo = s_ext and resident_geometry(s_ext, w)
+        if geo:
+            # single row group: thresholds fuse into the kernel (the
+            # packed candidate bitmask tail); multi-group: plain
+            # resident counts + XLA tail
+            return "mask" if geo[0] == 1 else "resident"
         return "ring"
     return None
 
@@ -702,12 +709,19 @@ def _make_count_tail(
     from jax import lax
 
     pc_fn = None
-    pc_resident = False
+    pc_engine = None
     if pc_cfg is not None:
         pc_K, pc_W, pc_mode, pc_S_ext = pc_cfg
-        pc_resident = pc_mode.endswith("resident")
         interp = pc_mode.startswith("interpret")
-        if pc_resident:
+        pc_engine = pc_mode.removeprefix("interpret")
+        pc_engine = pc_engine.removeprefix("-") or "ring"
+        if pc_engine == "mask":
+            from .pallas_count import make_pallas_count_masked
+
+            pc_fn = make_pallas_count_masked(
+                pc_K, pc_W, pc_S_ext, interpret=interp
+            )
+        elif pc_engine == "resident":
             from .pallas_count import make_pallas_count_resident
 
             pc_fn = make_pallas_count_resident(
@@ -717,14 +731,15 @@ def _make_count_tail(
             from .pallas_count import make_pallas_count
 
             pc_fn = make_pallas_count(pc_K, pc_W, interpret=interp)
+    pc_resident = pc_engine in ("resident", "mask")
 
     def gather_count(bits_ext, loc_t):
         """[K, B?] single-hash locations -> [B?, T] counts (bit-major
         lane layout when the fused Pallas kernel is active).  In
-        resident mode ``bits_ext`` is the prepacked slab array from
-        pallas_count.pack_resident."""
+        resident/mask modes ``bits_ext`` is the prepacked slab array
+        from pallas_count.pack_resident."""
         if pc_fn is not None:
-            if pc_resident:
+            if pc_engine == "resident":
                 return pc_fn(bits_ext, loc_t.T)
             S_ext = bits_ext.shape[0]
             return pc_fn(
@@ -733,9 +748,78 @@ def _make_count_tail(
         rows = jnp.take(bits_ext, loc_t, axis=0)  # [K,B?,W] k-major
         return _unpack_count(rows)
 
+    def masked_core(bits5d, loc_t, nk_c, lens_c, cmin, tmin, sizes_pos,
+                    budget_c):
+        """Fused-threshold path: the kernel emits counts + a packed
+        candidate bitmask; candidates extract word-level (B*W words
+        instead of B*32*W lanes).  Emission order is (word, bit) —
+        not globally ascending — which downstream sorts normalize
+        (stream.py lexsort; the object paths never see this tail).
+        Returns (n_cand, cidx bit-major flat ids, cnt uint16)."""
+        from .pallas_count import thr_table_masked
+
+        c_thresh = jnp.take(
+            cmin, jnp.minimum(nk_c, cmin.shape[0] - 1), axis=0
+        )
+        excl = lens_c < min_len
+        if not in_dedup:
+            excl |= nk_c > dedup_threshold
+        cthr = jnp.where(excl, jnp.int32(2**30), c_thresh).astype(
+            jnp.int32
+        )[:, None]
+        thr = thr_table_masked(tmin, sizes_pos, pc_W)
+        counts, mask = pc_fn(bits5d, loc_t.T, cthr, thr)
+        B_c = mask.shape[0]
+        T = 32 * pc_W
+        wcnt = lax.population_count(mask).astype(jnp.int32)
+        n_cand = wcnt.sum()
+        nw_total = B_c * pc_W
+        wid, _n_w = _nonzero_asc(
+            (mask != 0).reshape(-1), budget_c, nw_total
+        )
+        wvals = jnp.where(
+            wid < nw_total,
+            jnp.take(mask.reshape(-1), jnp.minimum(wid, nw_total - 1)),
+            jnp.uint32(0),
+        )
+        jbits = jnp.arange(32, dtype=jnp.uint32)
+        bset = (wvals[:, None] >> jbits[None, :]) & jnp.uint32(1)
+        pid = (
+            (wid // pc_W)[:, None] * T
+            + jnp.arange(32, dtype=jnp.int32)[None, :] * pc_W
+            + (wid % pc_W)[:, None]
+        )
+        cidx2, _n2 = _nonzero_asc(
+            (bset != 0).reshape(-1), budget_c, budget_c * 32
+        )
+        sent = min(B_c * T, 2**31 - 1)
+        pids = jnp.where(
+            cidx2 < budget_c * 32,
+            jnp.take(
+                pid.reshape(-1), jnp.minimum(cidx2, budget_c * 32 - 1)
+            ),
+            jnp.int32(sent),
+        )
+        cnt = jnp.where(
+            pids < B_c * T,
+            jnp.take(
+                counts.reshape(-1), jnp.minimum(pids, B_c * T - 1)
+            ),
+            0,
+        )
+        return n_cand, pids, jnp.clip(cnt, 0, 65535).astype(jnp.uint16)
+
     def chunk_tail(bits_ext, loc_t_c, nk_c, lens_c, cmin, tmin, sizes_pos,
                    budget_c):
         """One chunk: loc_t_c [K, B_c] (single-hash plane)."""
+        if pc_engine == "mask":
+            B_c = loc_t_c.shape[1]
+            n_cand, pids, cnt = masked_core(
+                bits_ext, loc_t_c, nk_c, lens_c, cmin, tmin, sizes_pos,
+                budget_c,
+            )
+            cidx = _remap_bitmajor(pids, pc_W, 32 * pc_W, B_c)
+            return n_cand, cidx, cnt
         counts = gather_count(bits_ext, loc_t_c)
         B_c = counts.shape[0]
         c_thresh = jnp.take(
@@ -779,6 +863,18 @@ def _make_count_tail(
         aux_nk = jnp.clip(nkmers, 0, 65535).astype(jnp.uint16)
 
         if n_chunks == 1 or len(loc_ts) > 1:
+            if pc_engine == "mask":
+                B = loc_ts[0].shape[1]
+                n_cand, pids, cnt = masked_core(
+                    bits_ext, loc_ts[0], nkmers, lens, cmin, tmin,
+                    sizes_pos, cand_budget,
+                )
+                cidx = _remap_bitmajor(pids, pc_W, 32 * pc_W, B)
+                meta = jnp.concatenate(
+                    [n_cand.astype(jnp.int32)[None], cidx]
+                )
+                aux = jnp.concatenate([cnt, aux_nk])
+                return meta, aux
             if pc_fn is not None:
                 counts = gather_count(bits_ext, loc_ts[0])
             else:
@@ -1919,7 +2015,7 @@ class DeviceDB:
             # reads per grid step: the resident kernel fixes its own R;
             # the ring kernel tiles full VPU lanes on narrow rows.  Odd
             # batch sizes keep the XLA tail.
-            if pc.endswith("resident"):
+            if pc.endswith(("resident", "mask")):
                 pc_R = 2
             else:
                 pc_R = max(1, 128 // (self.w // 8))
@@ -1932,10 +2028,24 @@ class DeviceDB:
         # never materializes the gathered rows)
         n_chunks = 1
         if h == 1:
-            limit = 128_000_000 if pc else 150_000_000
+            # mask mode only READS the counts array sparsely (the tail
+            # scans packed words), so its chunk bound is HBM capacity,
+            # not XLA temporaries
+            if pc and pc.endswith("mask"):
+                limit = 600_000_000
+            elif pc:
+                limit = 128_000_000
+            else:
+                limit = 150_000_000
             per_read = 32 * self.w if pc else K * self.w
+            # pallas kernels hold the whole chunk's loc (+cthr) table in
+            # SMEM (~1 MB): cap chunk reads accordingly
+            smem_rows = 450_000 // (4 * (K + 2)) if pc else B
             while (
-                (B // n_chunks) * per_read > limit
+                (
+                    (B // n_chunks) * per_read > limit
+                    or B // n_chunks > smem_rows
+                )
                 and n_chunks < B
                 and B % (n_chunks * 2) == 0
                 and (not pc or (B // (n_chunks * 2)) % pc_R == 0)
@@ -1956,7 +2066,8 @@ class DeviceDB:
             # the tunnel round-trip
             lens = jnp.asarray(np.asarray(lens).astype(np.int32))
         bits = (
-            self._bits_resident() if pc and pc.endswith("resident")
+            self._bits_resident()
+            if pc and pc.endswith(("resident", "mask"))
             else self.bits_ext
         )
         return tail(

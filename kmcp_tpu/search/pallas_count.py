@@ -446,3 +446,204 @@ def make_pallas_count_resident(
     run.reads_per_step = R
     run.geometry = (n_rg, rows_g, n_tiles, tl)
     return run
+
+
+@functools.lru_cache(maxsize=None)
+def make_pallas_count_masked(
+    K: int, W: int, S_ext: int, reads_per_step: int = 2,
+    interpret: bool = False,
+):
+    """VMEM-resident count kernel WITH fused thresholding: alongside
+    the counts it emits a packed candidate bitmask (bit j of word
+    mask[b, w] = candidate at bit-major lane p = j*W + w), so the tail
+    scans B*W words instead of B*32*W count lanes — a 32x cut of the
+    threshold pass that dominated the unfused tail (measured: the XLA
+    threshold/compaction over the 537 MB counts array cost ~35 us/read
+    vs ~7 us in-kernel at 131k targets).
+
+    The per-candidate predicate folds every filter into two tables the
+    caller precomputes (mirroring the host path's INT32_MAX trick,
+    device.py::HostDB.read_thresholds):
+      thr  [32, n_tiles, 8, tl] i32 — per-LANE floor in the kernel's
+           bit-major layout: max(tmin, 1) where sizes_pos else huge;
+      cthr [B, 1] i32 — per-READ floor: cmin[nkmers], or huge when the
+           read is excluded (too short / over the dedup threshold).
+    Candidate iff count >= max(thr_lane, cthr_read) — identical to the
+    XLA tail's conjunction.
+
+    Single row group only (thresholds need total counts; multi-group
+    DBs keep the unfused resident kernel + XLA tail).
+
+    Returns fn(bits5d, loc, cthr, thr) -> (counts int32 [B, 32*W]
+    bit-major, mask uint32 [B, W])."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    geo = resident_geometry(S_ext, W)
+    assert geo is not None and geo[0] == 1, (S_ext, W, geo)
+    _, rows_g, n_tiles, tl = geo
+    R = reads_per_step
+
+    def kernel(loc_ref, cthr_ref, thr_ref, bits_ref, out_ref, mask_ref,
+               slab, sem):
+        ti = pl.program_id(1)
+        bi = pl.program_id(2)
+        b0 = bi * R
+
+        @pl.when(bi == 0)
+        def _():
+            cp = pltpu.make_async_copy(bits_ref.at[0, ti], slab, sem)
+            cp.start()
+            cp.wait()
+
+        def csa(a, b, c):
+            if a is None:
+                return b ^ c, b & c
+            u = a ^ b
+            return u ^ c, (a & b) | (u & c)
+
+        for r in range(R):
+            lows = [None, None, None, None]
+            upper: list = []
+            upper_n = 0
+
+            def insert_upper(c):
+                nonlocal upper_n
+                upper_n += 1
+                l = 0
+                while True:
+                    if l == len(upper):
+                        upper.append(c)
+                        return
+                    a = upper[l]
+                    upper[l] = a ^ c
+                    c = a & c
+                    l += 1
+                    if upper_n < (1 << l):
+                        return
+
+            def fetch(i):
+                li = loc_ref[b0 + r, i]
+                inb = (li >= 0) & (li < rows_g)
+                return slab[jnp.where(inb, li, rows_g)]
+
+            G, tail_n = K // 16, K % 16
+            for g in range(G):
+                base = g * 16
+                x = [fetch(base + ii) for ii in range(16)]
+                s16 = None
+                e8 = [None, None]
+                for half in range(2):
+                    f4 = [None, None]
+                    for quarter in range(2):
+                        t2 = [None, None]
+                        for pair in range(2):
+                            o = half * 8 + quarter * 4 + pair * 2
+                            lows[0], t2[pair] = csa(lows[0], x[o], x[o + 1])
+                        lows[1], f4[quarter] = csa(lows[1], t2[0], t2[1])
+                    lows[2], e8[half] = csa(lows[2], f4[0], f4[1])
+                lows[3], s16 = csa(lows[3], e8[0], e8[1])
+                insert_upper(s16)
+            for t in range(tail_n):
+                c = fetch(G * 16 + t)
+                cap = (15 if G else 0) + t + 1
+                l = 0
+                while c is not None:
+                    if lows[l] is None:
+                        lows[l] = c
+                        break
+                    a = lows[l]
+                    lows[l] = a ^ c
+                    c = a & c
+                    l += 1
+                    if cap < (1 << l):
+                        break
+                    if l == 4:
+                        insert_upper(c)
+                        break
+
+            planes = [
+                (l, p) for l, p in enumerate(lows) if p is not None
+            ] + [(4 + l, p) for l, p in enumerate(upper)]
+            cthr = cthr_ref[b0 + r, 0]
+            mbits = None
+            for j in range(32):
+                acc = None
+                for l, p in planes:
+                    if j >= l:
+                        b = (p >> jnp.uint32(j - l)) & jnp.uint32(1 << l)
+                    else:
+                        b = (p << jnp.uint32(l - j)) & jnp.uint32(1 << l)
+                    acc = b if acc is None else acc + b
+                cnt = acc.astype(jnp.int32)
+                out_ref[r, j, 0] = cnt
+                thrj = jnp.maximum(thr_ref[j, ti], cthr)
+                okj = (cnt >= thrj).astype(jnp.uint32) << jnp.uint32(j)
+                mbits = okj if mbits is None else mbits | okj
+            mask_ref[r, 0] = mbits
+
+    @jax.jit
+    def _run(bits5d, loc, cthr, thr):
+        B = loc.shape[0]
+        assert B % R == 0, (B, R)
+        fn = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((B, 32, n_tiles, 8, tl), jnp.int32),
+                jax.ShapeDtypeStruct((B, n_tiles, 8, tl), jnp.uint32),
+            ),
+            grid=(1, n_tiles, B // R),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (R, 32, 1, 8, tl), lambda rg, t, b: (b, 0, t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (R, 1, 8, tl), lambda rg, t, b: (b, t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((rows_g + 1, 8, tl), jnp.uint32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )
+        counts, mask = fn(loc, cthr, thr, bits5d)
+        return (
+            counts.transpose(0, 1, 3, 2, 4).reshape(B, 32 * W),
+            mask.transpose(0, 2, 1, 3).reshape(B, W),
+        )
+
+    def run(bits5d, loc, cthr, thr):
+        return _run(bits5d, loc, cthr, thr)
+
+    run.reads_per_step = R
+    run.geometry = (1, rows_g, n_tiles, tl)
+    return run
+
+
+def thr_table_masked(tmin_perm, sizes_pos_perm, W: int):
+    """Per-lane threshold floor for make_pallas_count_masked, in its
+    [32, n_tiles, 8, tl] layout: tmin on real target lanes (count >=
+    max(tmin, cthr) is EXACTLY the XLA tail's conjunction), ~2^30 on
+    padding lanes (cthr stays below it, and the max with cthr must not
+    overflow int32)."""
+    import jax.numpy as jnp
+
+    geo_tl = 128
+    n_tiles = W // 8 // geo_tl
+    eff = jnp.where(
+        sizes_pos_perm, tmin_perm.astype(jnp.int32), jnp.int32(2**30)
+    )
+    return (
+        eff.reshape(32, 8, n_tiles, geo_tl).transpose(0, 2, 1, 3)
+    )

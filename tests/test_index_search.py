@@ -1610,6 +1610,44 @@ def test_count_tail_resident_matches_xla():
         np.asarray(a_x[budget:]), np.asarray(a_r[budget:])
     )
 
+    # fused-threshold bitmask variant (make_pallas_count_masked): the
+    # kernel itself thresholds and the tail extracts candidates from
+    # packed words — same candidate set again
+    m_m, a_m = _make_count_tail(
+        budget, 30, 256, 1, (K, W, "interpret-mask", S + 1)
+    )(
+        b5, (jnp.asarray(loc_t),), jnp.asarray(nk), jnp.asarray(lens),
+        jnp.asarray(cmin), jnp.asarray(tmin[perm]),
+        jnp.asarray(sizes_pos[perm]),
+    )
+    assert int(m_m[0]) == n
+    im, cm = np.asarray(m_m[1 : 1 + n]), np.asarray(a_m[:n])
+    om = np.argsort(im)
+    np.testing.assert_array_equal(im[om], ix[ox])
+    np.testing.assert_array_equal(cm[om], cx[ox])
+
+    # hostile-filter rows: a too-short read and an over-dedup read must
+    # drop entirely in BOTH tails (the mask path folds those filters
+    # into the per-read cthr floor)
+    lens2 = lens.copy(); lens2[0] = 10
+    nk2 = nk.copy(); nk2[0, 1] = 300
+    args2 = lambda bits_a, tmin_a, spos_a: (
+        bits_a, (jnp.asarray(loc_t),), jnp.asarray(nk2),
+        jnp.asarray(lens2), jnp.asarray(cmin), tmin_a, spos_a,
+    )
+    m_x2, a_x2 = _make_count_tail(budget, 30, 256, 1)(
+        *args2(jnp.asarray(bits), jnp.asarray(tmin),
+               jnp.asarray(sizes_pos))
+    )
+    m_m2, a_m2 = _make_count_tail(
+        budget, 30, 256, 1, (K, W, "interpret-mask", S + 1)
+    )(*args2(b5, jnp.asarray(tmin[perm]), jnp.asarray(sizes_pos[perm])))
+    n2 = int(m_x2[0])
+    assert int(m_m2[0]) == n2 and n2 < n
+    ix2 = np.sort(np.asarray(m_x2[1 : 1 + n2]))
+    im2 = np.sort(np.asarray(m_m2[1 : 1 + n2]))
+    np.testing.assert_array_equal(im2, ix2)
+
 
 def test_uint16_dedup_boundary_routing(tmp_path):
     """The compact device result layout carries counts/nkmers as uint16
