@@ -302,13 +302,13 @@ def main() -> None:
                 "large_t_dense_device_reads_per_s",
                 "gbit_and_s",
                 "profile_reads_per_s_device",
+                "paired_pairs_per_s_device",
             ):
                 if jd.get(extra):
                     best[extra] = jd[extra]
-            if hd.get("profile_reads_per_s") and not best.get(
-                "profile_reads_per_s"
-            ):
-                best["profile_reads_per_s"] = hd["profile_reads_per_s"]
+            for hfield in ("profile_reads_per_s", "paired_pairs_per_s"):
+                if hd.get(hfield) and not best.get(hfield):
+                    best[hfield] = hd[hfield]
             if tunnel_health is not None:
                 best["tunnel"] = tunnel_health
             if not jd:
@@ -407,6 +407,24 @@ def main() -> None:
             matched += m
         dt = time.time() - t0
     rps = total / dt
+
+    # paired extra: consecutive reads pair up as mates (throughput
+    # shape of the flagship profiling workload: joined rows + >256-
+    # k-mer dedup in-kernel on host, on-device for the jax backend)
+    paired_rps = None
+    if streaming:
+        try:
+            pq = [
+                (f"p{i}", reads[2 * i], reads[2 * i + 1])
+                for i in range(min(len(reads) // 2, 50_000))
+            ]
+            if StreamSearcher.usable(engine, paired=True):
+                st.run(iter(pq[: opt.batch_size]), out, paired=True)
+                t0 = time.time()
+                tot_p, _m = st.run(iter(pq), out, paired=True)
+                paired_rps = round(tot_p / (time.time() - t0), 1)
+        except Exception as e:
+            print(f"[bench] paired extra failed: {e}", file=sys.stderr)
 
     # large-T extra: search the cached 131k-target wide DB
     # (tools/bench_large_t.py) — the reference's GTDB-scale regime.
@@ -509,6 +527,8 @@ def main() -> None:
         # displaces the host measurement
         ("profile_reads_per_s_device" if backend == "jax"
          else "profile_reads_per_s"): prof_rps,
+        ("paired_pairs_per_s_device" if backend == "jax"
+         else "paired_pairs_per_s"): paired_rps,
         "unit": "reads/s",
         "vs_baseline": round(rps / BASELINE_READS_PER_S, 3),
         "reads": total,

@@ -270,13 +270,12 @@ def make_pallas_count_resident(
 ):
     """VMEM-resident variant of make_pallas_count for small-S wide-T DBs
     (fine-chunked indexes: ~4k Bloom rows x 131k targets at the
-    large-T bench geometry).  The ring-gather kernel is DMA-bound at
-    ~42 GB/s — ~430 ns per 16 KB random-row descriptor, invariant to
-    ring depth, sync pattern, and read interleave (measured round 3) —
-    so instead the BIT MATRIX moves into VMEM once per (row-group,
-    lane-tile) slab and each read's K row slices become plain VPU
-    vector loads with NO per-row DMA at all.  Counts accumulate across
-    row groups in the revisited output block.
+    large-T bench geometry).  The BIT MATRIX moves into VMEM once per
+    (row-group, lane-tile) slab and each read's K row slices become
+    plain VPU vector loads with NO per-row DMA at all; measured ~27%
+    over the ring kernel's random-row DMA gather (146.6k vs 115.8k
+    reads/s raw at 131k targets — the ring's 246 GB/s gather is
+    already strong, docs/PERF.md round-3 table).
 
     Returns fn(bits5d [n_rg, n_tiles, rows_g+1, 8, tl] from
     pack_resident, loc int32 [B, K] global row ids) -> counts int32
