@@ -630,7 +630,8 @@ def _pc_mode(h: int, w: int, s_ext: int = 0):
     env = os.environ.get("KMCP_TPU_PALLAS_COUNT", "").lower()
     if env in ("0", "off"):
         return None
-    if env in ("interpret", "interpret-resident", "interpret-mask"):
+    if env in ("interpret", "interpret-resident", "interpret-mask",
+               "interpret-ring-mask"):
         return env
     if w % 1024:
         # Mosaic DMAs slice whole (8, 128)-tiled lane groups: a row view
@@ -640,10 +641,10 @@ def _pc_mode(h: int, w: int, s_ext: int = 0):
         return None
     import jax
 
-    if env in ("1", "ring", "resident", "mask") or (
+    if env in ("1", "ring", "resident", "mask", "ring-mask") or (
         jax.default_backend() == "tpu"
     ):
-        if env in ("ring", "resident", "mask"):
+        if env in ("ring", "resident", "mask", "ring-mask"):
             return env
         from .pallas_count import resident_geometry
 
@@ -653,7 +654,8 @@ def _pc_mode(h: int, w: int, s_ext: int = 0):
             # packed candidate bitmask tail); multi-group: plain
             # resident counts + XLA tail
             return "mask" if geo[0] == 1 else "resident"
-        return "ring"
+        # large-S: DMA-ring gather with the same fused-threshold mask
+        return "ring-mask"
     return None
 
 
@@ -730,8 +732,12 @@ def _make_count_tail(
         else:
             from .pallas_count import make_pallas_count
 
-            pc_fn = make_pallas_count(pc_K, pc_W, interpret=interp)
+            pc_fn = make_pallas_count(
+                pc_K, pc_W, interpret=interp,
+                masked=pc_engine == "ring-mask",
+            )
     pc_resident = pc_engine in ("resident", "mask")
+    pc_masked = pc_engine in ("mask", "ring-mask")
 
     def gather_count(bits_ext, loc_t):
         """[K, B?] single-hash locations -> [B?, T] counts (bit-major
@@ -756,7 +762,7 @@ def _make_count_tail(
         not globally ascending — which downstream sorts normalize
         (stream.py lexsort; the object paths never see this tail).
         Returns (n_cand, cidx bit-major flat ids, cnt uint16)."""
-        from .pallas_count import thr_table_masked
+        from .pallas_count import thr_table_masked, thr_table_ring
 
         c_thresh = jnp.take(
             cmin, jnp.minimum(nk_c, cmin.shape[0] - 1), axis=0
@@ -767,8 +773,15 @@ def _make_count_tail(
         cthr = jnp.where(excl, jnp.int32(2**30), c_thresh).astype(
             jnp.int32
         )[:, None]
-        thr = thr_table_masked(tmin, sizes_pos, pc_W)
-        counts, mask = pc_fn(bits5d, loc_t.T, cthr, thr)
+        if pc_engine == "ring-mask":
+            thr = thr_table_ring(tmin, sizes_pos, pc_W)
+            counts, mask = pc_fn(
+                bits5d.reshape(bits5d.shape[0], 8, pc_W // 8),
+                loc_t.T, cthr, thr,
+            )
+        else:
+            thr = thr_table_masked(tmin, sizes_pos, pc_W)
+            counts, mask = pc_fn(bits5d, loc_t.T, cthr, thr)
         B_c = mask.shape[0]
         T = 32 * pc_W
         wcnt = lax.population_count(mask).astype(jnp.int32)
@@ -812,7 +825,7 @@ def _make_count_tail(
     def chunk_tail(bits_ext, loc_t_c, nk_c, lens_c, cmin, tmin, sizes_pos,
                    budget_c):
         """One chunk: loc_t_c [K, B_c] (single-hash plane)."""
-        if pc_engine == "mask":
+        if pc_masked:
             B_c = loc_t_c.shape[1]
             n_cand, pids, cnt = masked_core(
                 bits_ext, loc_t_c, nk_c, lens_c, cmin, tmin, sizes_pos,
@@ -863,7 +876,7 @@ def _make_count_tail(
         aux_nk = jnp.clip(nkmers, 0, 65535).astype(jnp.uint16)
 
         if n_chunks == 1 or len(loc_ts) > 1:
-            if pc_engine == "mask":
+            if pc_masked:
                 B = loc_ts[0].shape[1]
                 n_cand, pids, cnt = masked_core(
                     bits_ext, loc_ts[0], nkmers, lens, cmin, tmin,
@@ -2015,7 +2028,9 @@ class DeviceDB:
             # reads per grid step: the resident kernel fixes its own R;
             # the ring kernel tiles full VPU lanes on narrow rows.  Odd
             # batch sizes keep the XLA tail.
-            if pc.endswith(("resident", "mask")):
+            if pc.endswith(("resident", "mask")) and not pc.endswith(
+                "ring-mask"
+            ):
                 pc_R = 2
             else:
                 pc_R = max(1, 128 // (self.w // 8))
@@ -2067,7 +2082,9 @@ class DeviceDB:
             lens = jnp.asarray(np.asarray(lens).astype(np.int32))
         bits = (
             self._bits_resident()
-            if pc and pc.endswith(("resident", "mask"))
+            if pc
+            and pc.endswith(("resident", "mask"))
+            and not pc.endswith("ring-mask")
             else self.bits_ext
         )
         return tail(

@@ -51,9 +51,98 @@ def perm_t_of_p(W: int) -> np.ndarray:
     return (p % W) * 32 + p // W
 
 
+
+
+def _csa(a, b, c):
+    """3:2 compressor; a may be statically zero (None)."""
+    if a is None:
+        return b ^ c, b & c
+    u = a ^ b
+    return u ^ c, (a & b) | (u & c)
+
+
+def _fold_planes(fetch, K: int, on_group_end=None):
+    """Harley-Seal carry-save fold of K fetched planes (module
+    docstring): returns the weighted plane list [(log2_weight, plane)].
+    ``fetch(i)`` yields plane i; ``on_group_end(g)`` fires after each
+    16-plane group folds (the ring kernel refills its DMA ring there)."""
+    lows = [None, None, None, None]
+    upper: list = []
+    upper_n = 0
+
+    def insert_upper(c):
+        nonlocal upper_n
+        upper_n += 1
+        l = 0
+        while True:
+            if l == len(upper):
+                upper.append(c)
+                return
+            a = upper[l]
+            upper[l] = a ^ c
+            c = a & c
+            l += 1
+            if upper_n < (1 << l):
+                return
+
+    G, tail_n = K // 16, K % 16
+    for g in range(G):
+        base = g * 16
+        x = [fetch(base + ii) for ii in range(16)]
+        s16 = None
+        e8 = [None, None]
+        for half in range(2):
+            f4 = [None, None]
+            for quarter in range(2):
+                t2 = [None, None]
+                for pair in range(2):
+                    o = half * 8 + quarter * 4 + pair * 2
+                    lows[0], t2[pair] = _csa(lows[0], x[o], x[o + 1])
+                lows[1], f4[quarter] = _csa(lows[1], t2[0], t2[1])
+            lows[2], e8[half] = _csa(lows[2], f4[0], f4[1])
+        lows[3], s16 = _csa(lows[3], e8[0], e8[1])
+        insert_upper(s16)
+        if on_group_end is not None:
+            on_group_end(g)
+    for t in range(tail_n):
+        c = fetch(G * 16 + t)
+        cap = (15 if G else 0) + t + 1
+        l = 0
+        while c is not None:
+            if lows[l] is None:
+                lows[l] = c
+                break
+            a = lows[l]
+            lows[l] = a ^ c
+            c = a & c
+            l += 1
+            if cap < (1 << l):
+                break
+            if l == 4:
+                insert_upper(c)
+                break
+    return [
+        (l, pl_) for l, pl_ in enumerate(lows) if pl_ is not None
+    ] + [(4 + l, pl_) for l, pl_ in enumerate(upper)]
+
+
+def _unpack_j(planes, j: int, jnp):
+    """counts bit-plane j from the weighted plane list: one shift + one
+    mask pre-positions each plane's j-bit at its weight."""
+    acc = None
+    for l, p in planes:
+        if j >= l:
+            b = (p >> jnp.uint32(j - l)) & jnp.uint32(1 << l)
+        else:
+            b = (p << jnp.uint32(l - j)) & jnp.uint32(1 << l)
+        acc = b if acc is None else acc + b
+    return acc
+
+
 @functools.lru_cache(maxsize=None)
 def make_pallas_count(
-    K: int, W: int, n_bufs: int = 32, interpret: bool = False
+    K: int, W: int, n_bufs: int = 32, interpret: bool = False,
+    masked: bool = False,
 ):
     """Build fn(bits3d uint32 [S_ext, 8, W//8], loc int32 [B, K]) ->
     counts int32 [B, 32*W] in the bit-major layout (module docstring).
@@ -61,7 +150,13 @@ def make_pallas_count(
     bits3d is the row-stacked bit matrix reshaped (a free view of the
     [S_ext, W] layout); row S_ext-1 is the all-zero sentinel that padding
     lanes point at.  B must be a multiple of the reads-per-step tile
-    (128 // (W//8), min 1 — full VPU lanes per op for narrow rows)."""
+    (128 // (W//8), min 1 — full VPU lanes per op for narrow rows).
+
+    With ``masked`` the call takes (bits3d, loc, cthr [B, 1] i32,
+    thr [32, 8, W//8] i32) and also returns a packed candidate bitmask
+    [B, W] u32 — the fused-threshold scheme of make_pallas_count_masked
+    applied to the DMA-ring gather, serving the production large-S
+    geometries whose bit matrix cannot live in VMEM."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -72,9 +167,14 @@ def make_pallas_count(
     R = max(1, 128 // W8)  # reads per grid step
     NB = max(2, min(n_bufs, K))  # DMA ring depth
 
-    def kernel(loc_ref, bits_ref, counts_ref, rowbuf, sems):
-        # loc_ref: SMEM (B, K) int32, unblocked (SMEM blocks must tile
-        # (8, 128); the whole table fits — callers chunk the batch);
+    def kernel(*refs):
+        if masked:
+            loc_ref, cthr_ref, thr_ref, bits_ref, counts_ref, mask_ref, \
+                rowbuf, sems = refs
+        else:
+            loc_ref, bits_ref, counts_ref, rowbuf, sems = refs
+        # loc_ref: SMEM (B, K) int32, unblocked (fetched once; callers
+        # chunk the batch to the SMEM budget);
         # bits_ref: HBM/ANY (S_ext, 8, W8);
         # counts_ref: VMEM (R, 32, 8, W8) int32;
         # rowbuf: VMEM (NB, R, 8, W8) uint32; sems: DMA (NB, R).
@@ -98,127 +198,96 @@ def make_pallas_count(
                 copy(i, r, slot).wait()
             return rowbuf[slot]  # (R, 8, W8) uint32
 
-        def csa(a, b, c):
-            """3:2 compressor; a may be statically zero (None)."""
-            if a is None:
-                return b ^ c, b & c
-            u = a ^ b
-            return u ^ c, (a & b) | (u & c)
-
         for i in range(min(NB, K)):
             start(i)
 
-        # low chain: residue planes of weight 1/2/4/8 (None = zero)
-        lows = [None, None, None, None]
-        # upper half-adder counter: upper[l] has weight 16 * 2^l
-        upper: list = []
-        upper_n = 0  # weight-16 planes inserted (static carry bound)
-
-        def insert_upper(c):
-            nonlocal upper_n
-            upper_n += 1
-            l = 0
-            while True:
-                if l == len(upper):
-                    upper.append(c)
-                    return
-                a = upper[l]
-                upper[l] = a ^ c
-                c = a & c
-                l += 1
-                if upper_n < (1 << l):
-                    return  # carry statically zero beyond this level
-
-        G, tail_n = K // 16, K % 16
-        for g in range(G):
-            base = g * 16
-            x = [fetch(base + ii) for ii in range(16)]
-            # 15-CSA tree: 16 planes -> one weight-16 plane + residues
-            s16 = None
-            e8 = [None, None]
-            for half in range(2):
-                f4 = [None, None]
-                for quarter in range(2):
-                    t2 = [None, None]
-                    for pair in range(2):
-                        o = half * 8 + quarter * 4 + pair * 2
-                        lows[0], t2[pair] = csa(lows[0], x[o], x[o + 1])
-                    lows[1], f4[quarter] = csa(lows[1], t2[0], t2[1])
-                lows[2], e8[half] = csa(lows[2], f4[0], f4[1])
-            lows[3], s16 = csa(lows[3], e8[0], e8[1])
-            insert_upper(s16)
+        def refill(g):
             # ring slots of this group are free once folded in; only
             # then may the next DMAs overwrite them (program order is
             # the WAR fence)
             for ii in range(16):
-                start(base + ii + NB)
+                start(g * 16 + ii + NB)
 
-        # tail planes: half-adder inserts with a static carry bound
-        # (low-chain count <= 15 from the group residues + tail so far)
-        for t in range(tail_n):
-            i = G * 16 + t
-            c = fetch(i)
-            cap = (15 if G else 0) + t + 1
-            l = 0
-            while c is not None:
-                if lows[l] is None:
-                    lows[l] = c
-                    break
-                a = lows[l]
-                lows[l] = a ^ c
-                c = a & c
-                l += 1
-                if cap < (1 << l):
-                    break  # carry statically zero
-                if l == 4:
-                    insert_upper(c)
-                    break
-            start(i + NB)
+        # _fold_planes handles group refills; tail fetches refill
+        # their own slot
+        def fetch_refill(i):
+            x = fetch(i)
+            if i >= (K // 16) * 16:  # tail plane: refill one slot
+                start(i + NB)
+            return x
 
-        # final unpack: counts[j] = sum_p weight_p * bit_j(plane_p);
-        # one shift + one mask pre-positions the bit at its weight
-        planes = [
-            (l, p) for l, p in enumerate(lows) if p is not None
-        ] + [(4 + l, p) for l, p in enumerate(upper)]
+        planes = _fold_planes(fetch_refill, K, on_group_end=refill)
+        if masked:
+            cthr = jnp.stack(
+                [cthr_ref[b0 + r, 0] for r in range(R)]
+            )[:, None, None]
+        mbits = None
         for j in range(32):
-            acc = None
-            for l, p in planes:
-                if j >= l:
-                    b = (p >> jnp.uint32(j - l)) & jnp.uint32(1 << l)
-                else:
-                    b = (p << jnp.uint32(l - j)) & jnp.uint32(1 << l)
-                acc = b if acc is None else acc + b
-            counts_ref[:, j] = acc.astype(jnp.int32)
+            acc = _unpack_j(planes, j, jnp)
+            cnt = acc.astype(jnp.int32)
+            counts_ref[:, j] = cnt
+            if masked:
+                thrj = jnp.maximum(thr_ref[j][None], cthr)
+                okj = (cnt >= thrj).astype(jnp.uint32) << jnp.uint32(j)
+                mbits = okj if mbits is None else mbits | okj
+        if masked:
+            mask_ref[:] = mbits
 
     @jax.jit
-    def _run(bits3d, loc):
+    def _run(bits3d, loc, *extra):
         B = loc.shape[0]
         assert B % R == 0, (B, R)
-        fn = pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((B, 32, 8, W8), jnp.int32),
-            grid=(B // R,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec(
+        out_shape = [
+            jax.ShapeDtypeStruct((B, 32, 8, W8), jnp.int32),
+        ]
+        out_specs = [
+            pl.BlockSpec(
                 (R, 32, 8, W8), lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+        ]
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        if masked:
+            in_specs += [
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ]
+            out_shape.append(
+                jax.ShapeDtypeStruct((B, 8, W8), jnp.uint32)
+            )
+            out_specs.append(
+                pl.BlockSpec(
+                    (R, 8, W8), lambda i: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        fn = pl.pallas_call(
+            kernel,
+            out_shape=tuple(out_shape),
+            grid=(B // R,),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
             scratch_shapes=[
                 pltpu.VMEM((NB, R, 8, W8), jnp.uint32),
                 pltpu.SemaphoreType.DMA((NB, R)),
             ],
             interpret=interpret,
         )
-        return fn(loc, bits3d).reshape(B, 32 * W)
+        outs = fn(loc, *extra, bits3d)
+        if masked:
+            counts, mask = outs
+            return (
+                counts.reshape(B, 32 * W), mask.reshape(B, W)
+            )
+        return outs[0].reshape(B, 32 * W)
 
-    def run(bits3d, loc):
-        return _run(bits3d, loc)
+    def run(bits3d, loc, *extra):
+        return _run(bits3d, loc, *extra)
 
     run.reads_per_step = R
     return run
+
 
 
 def resident_geometry(S_ext: int, W: int, max_groups: int = 8):
@@ -307,83 +376,15 @@ def make_pallas_count_resident(
             cp.start()
             cp.wait()
 
-        def csa(a, b, c):
-            if a is None:
-                return b ^ c, b & c
-            u = a ^ b
-            return u ^ c, (a & b) | (u & c)
-
         for r in range(R):
-            lows = [None, None, None, None]
-            upper: list = []
-            upper_n = 0  # noqa: F841 (rebound in insert_upper)
-
-            def insert_upper(c):
-                nonlocal upper_n
-                upper_n += 1
-                l = 0
-                while True:
-                    if l == len(upper):
-                        upper.append(c)
-                        return
-                    a = upper[l]
-                    upper[l] = a ^ c
-                    c = a & c
-                    l += 1
-                    if upper_n < (1 << l):
-                        return
-
             def fetch(i):
                 li = loc_ref[b0 + r, i]
                 inb = (li >= lo) & (li < lo + rows_g)
                 return slab[jnp.where(inb, li - lo, rows_g)]
 
-            G, tail_n = K // 16, K % 16
-            for g in range(G):
-                base = g * 16
-                x = [fetch(base + ii) for ii in range(16)]
-                s16 = None
-                e8 = [None, None]
-                for half in range(2):
-                    f4 = [None, None]
-                    for quarter in range(2):
-                        t2 = [None, None]
-                        for pair in range(2):
-                            o = half * 8 + quarter * 4 + pair * 2
-                            lows[0], t2[pair] = csa(lows[0], x[o], x[o + 1])
-                        lows[1], f4[quarter] = csa(lows[1], t2[0], t2[1])
-                    lows[2], e8[half] = csa(lows[2], f4[0], f4[1])
-                lows[3], s16 = csa(lows[3], e8[0], e8[1])
-                insert_upper(s16)
-            for t in range(tail_n):
-                c = fetch(G * 16 + t)
-                cap = (15 if G else 0) + t + 1
-                l = 0
-                while c is not None:
-                    if lows[l] is None:
-                        lows[l] = c
-                        break
-                    a = lows[l]
-                    lows[l] = a ^ c
-                    c = a & c
-                    l += 1
-                    if cap < (1 << l):
-                        break
-                    if l == 4:
-                        insert_upper(c)
-                        break
-
-            planes = [
-                (l, p) for l, p in enumerate(lows) if p is not None
-            ] + [(4 + l, p) for l, p in enumerate(upper)]
+            planes = _fold_planes(fetch, K)
             for j in range(32):
-                acc = None
-                for l, p in planes:
-                    if j >= l:
-                        b = (p >> jnp.uint32(j - l)) & jnp.uint32(1 << l)
-                    else:
-                        b = (p << jnp.uint32(l - j)) & jnp.uint32(1 << l)
-                    acc = b if acc is None else acc + b
+                acc = _unpack_j(planes, j, jnp)
                 # n_rg == 1 writes the final counts; multi-group writes
                 # its own [rg] output slice (summed by XLA afterwards:
                 # revisited out blocks are only sound on consecutive
@@ -497,86 +498,17 @@ def make_pallas_count_masked(
             cp.start()
             cp.wait()
 
-        def csa(a, b, c):
-            if a is None:
-                return b ^ c, b & c
-            u = a ^ b
-            return u ^ c, (a & b) | (u & c)
-
         for r in range(R):
-            lows = [None, None, None, None]
-            upper: list = []
-            upper_n = 0
-
-            def insert_upper(c):
-                nonlocal upper_n
-                upper_n += 1
-                l = 0
-                while True:
-                    if l == len(upper):
-                        upper.append(c)
-                        return
-                    a = upper[l]
-                    upper[l] = a ^ c
-                    c = a & c
-                    l += 1
-                    if upper_n < (1 << l):
-                        return
-
             def fetch(i):
                 li = loc_ref[b0 + r, i]
                 inb = (li >= 0) & (li < rows_g)
                 return slab[jnp.where(inb, li, rows_g)]
 
-            G, tail_n = K // 16, K % 16
-            for g in range(G):
-                base = g * 16
-                x = [fetch(base + ii) for ii in range(16)]
-                s16 = None
-                e8 = [None, None]
-                for half in range(2):
-                    f4 = [None, None]
-                    for quarter in range(2):
-                        t2 = [None, None]
-                        for pair in range(2):
-                            o = half * 8 + quarter * 4 + pair * 2
-                            lows[0], t2[pair] = csa(lows[0], x[o], x[o + 1])
-                        lows[1], f4[quarter] = csa(lows[1], t2[0], t2[1])
-                    lows[2], e8[half] = csa(lows[2], f4[0], f4[1])
-                lows[3], s16 = csa(lows[3], e8[0], e8[1])
-                insert_upper(s16)
-            for t in range(tail_n):
-                c = fetch(G * 16 + t)
-                cap = (15 if G else 0) + t + 1
-                l = 0
-                while c is not None:
-                    if lows[l] is None:
-                        lows[l] = c
-                        break
-                    a = lows[l]
-                    lows[l] = a ^ c
-                    c = a & c
-                    l += 1
-                    if cap < (1 << l):
-                        break
-                    if l == 4:
-                        insert_upper(c)
-                        break
-
-            planes = [
-                (l, p) for l, p in enumerate(lows) if p is not None
-            ] + [(4 + l, p) for l, p in enumerate(upper)]
+            planes = _fold_planes(fetch, K)
             cthr = cthr_ref[b0 + r, 0]
             mbits = None
             for j in range(32):
-                acc = None
-                for l, p in planes:
-                    if j >= l:
-                        b = (p >> jnp.uint32(j - l)) & jnp.uint32(1 << l)
-                    else:
-                        b = (p << jnp.uint32(l - j)) & jnp.uint32(1 << l)
-                    acc = b if acc is None else acc + b
-                cnt = acc.astype(jnp.int32)
+                cnt = _unpack_j(planes, j, jnp).astype(jnp.int32)
                 out_ref[r, j, 0] = cnt
                 thrj = jnp.maximum(thr_ref[j, ti], cthr)
                 okj = (cnt >= thrj).astype(jnp.uint32) << jnp.uint32(j)
@@ -646,3 +578,14 @@ def thr_table_masked(tmin_perm, sizes_pos_perm, W: int):
     return (
         eff.reshape(32, 8, n_tiles, geo_tl).transpose(0, 2, 1, 3)
     )
+
+
+def thr_table_ring(tmin_perm, sizes_pos_perm, W: int):
+    """Per-lane threshold floor for the masked RING kernel, in its
+    [32, 8, W//8] count layout (bit-major lane w = s*(W//8) + l)."""
+    import jax.numpy as jnp
+
+    eff = jnp.where(
+        sizes_pos_perm, tmin_perm.astype(jnp.int32), jnp.int32(2**30)
+    )
+    return eff.reshape(32, 8, W // 8)

@@ -1626,6 +1626,21 @@ def test_count_tail_resident_matches_xla():
     np.testing.assert_array_equal(im[om], ix[ox])
     np.testing.assert_array_equal(cm[om], cx[ox])
 
+    # ring-mask variant (DMA-ring gather + fused threshold bitmask —
+    # the production large-S fast path): same candidate set again
+    m_g, a_g = _make_count_tail(
+        budget, 30, 256, 1, (K, W, "interpret-ring-mask", S + 1)
+    )(
+        jnp.asarray(bits), (jnp.asarray(loc_t),), jnp.asarray(nk),
+        jnp.asarray(lens), jnp.asarray(cmin), jnp.asarray(tmin[perm]),
+        jnp.asarray(sizes_pos[perm]),
+    )
+    assert int(m_g[0]) == n
+    ig, cg = np.asarray(m_g[1 : 1 + n]), np.asarray(a_g[:n])
+    og = np.argsort(ig)
+    np.testing.assert_array_equal(ig[og], ix[ox])
+    np.testing.assert_array_equal(cg[og], cx[ox])
+
     # hostile-filter rows: a too-short read and an over-dedup read must
     # drop entirely in BOTH tails (the mask path folds those filters
     # into the per-read cthr floor)

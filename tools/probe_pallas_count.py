@@ -65,7 +65,8 @@ def main():
     results = {}
     outs = {}
     for mode, name in (("0", "xla"), ("ring", "ring"),
-                       ("resident", "resident"), ("1", "mask")):
+                       ("resident", "resident"),
+                       ("ring-mask", "ring_mask"), ("1", "mask")):
         os.environ["KMCP_TPU_PALLAS_COUNT"] = mode
         _make_count_tail.cache_clear()
         t0 = time.time()
@@ -104,14 +105,15 @@ def main():
 
     same = all(
         np.array_equal(outs["xla"][i], outs[nm][i])
-        for nm in ("ring", "resident", "mask") for i in range(3)
+        for nm in ("ring", "resident", "ring_mask", "mask")
+        for i in range(3)
     )
     K, T = 150 - 21 + 1, dev.t_per_block
     best_name = max(results, key=lambda nm: results[nm]["reads_per_s"])
     out = {
         "identical_candidates": bool(same),
         **{nm: results[nm]
-           for nm in ("xla", "ring", "resident", "mask")},
+           for nm in ("xla", "ring", "resident", "ring_mask", "mask")},
         "speedup": round(
             results[best_name]["reads_per_s"]
             / results["xla"]["reads_per_s"], 2),
