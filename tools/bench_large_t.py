@@ -207,11 +207,20 @@ def bench_device(db: str, reads, batch: int = 1024):
     r = dev.search_reads_pallas(mats[0][0], mats[0][1], budget)
     jax.block_until_ready(r)
 
-    # (no separate resident-input "step" loop: repeated dispatch of one
-    # program with identical device-resident args serializes
-    # pathologically through the axon relay — observed 90x slower than
-    # the varied-input pipelined loop below, which matches the
-    # production stream's dispatch shape and is the honest metric)
+    # raw step rate: back-to-back dispatch of VARIED batches with ONE
+    # in-order barrier pull at the end (per-batch pulls — even
+    # pipelined — floor the measurement at the tunnel's pull RTT;
+    # docs/PERF.md round-3 methodology note)
+    step_rps = None
+    try:
+        t0 = time.time()
+        m = None
+        for mat, lens in mats:
+            m, _a = dev.search_reads_pallas(mat, lens, budget)
+        np.asarray(m[:1])
+        step_rps = round(n / (time.time() - t0), 1)
+    except Exception:
+        pass
 
     # pipelined end-to-end through the tunnel
     from collections import deque
@@ -242,6 +251,7 @@ def bench_device(db: str, reads, batch: int = 1024):
     return {
         "backend": "jax",
         "reads_per_s": round(n / best, 1),
+        "step_reads_per_s": step_rps,
         "candidates": matched,
         "seconds": round(best, 2),
         "batch": batch,
