@@ -624,8 +624,10 @@ def _pc_mode(h: int, w: int, s_ext: int = 0):
     (fine-chunked wide-T DBs), else the DMA-ring kernel.
     KMCP_TPU_PALLAS_COUNT=0 disables, =1 auto-selects, =ring forces the
     ring kernel, =interpret / =interpret-resident force the interpreter
-    (hermetic CPU parity tests)."""
-    if h != 1 or w % 8:
+    (hermetic CPU parity tests).  Multi-hash DBs (h <= 4) fuse the pand
+    row-AND in-kernel; their row-ANDs cannot decompose across VMEM row
+    groups, so h > 1 skips the multi-group resident engine."""
+    if not 1 <= h <= 4 or w % 8:
         return None
     env = os.environ.get("KMCP_TPU_PALLAS_COUNT", "").lower()
     if env in ("0", "off"):
@@ -649,12 +651,15 @@ def _pc_mode(h: int, w: int, s_ext: int = 0):
         from .pallas_count import resident_geometry
 
         geo = s_ext and resident_geometry(s_ext, w)
-        if geo:
+        if geo and geo[0] == 1:
             # single row group: thresholds fuse into the kernel (the
-            # packed candidate bitmask tail); multi-group: plain
-            # resident counts + XLA tail
-            return "mask" if geo[0] == 1 else "resident"
-        # large-S: DMA-ring gather with the same fused-threshold mask
+            # packed candidate bitmask tail)
+            return "mask"
+        if geo and h == 1:
+            # multi-group: plain resident counts + XLA tail
+            return "resident"
+        # large-S (or multi-hash multi-group): DMA-ring gather with the
+        # same fused-threshold mask
         return "ring-mask"
     return None
 
@@ -712,8 +717,10 @@ def _make_count_tail(
 
     pc_fn = None
     pc_engine = None
+    pc_H = 1
     if pc_cfg is not None:
-        pc_K, pc_W, pc_mode, pc_S_ext = pc_cfg
+        pc_K, pc_W, pc_mode, pc_S_ext = pc_cfg[:4]
+        pc_H = pc_cfg[4] if len(pc_cfg) > 4 else 1
         interp = pc_mode.startswith("interpret")
         pc_engine = pc_mode.removeprefix("interpret")
         pc_engine = pc_engine.removeprefix("-") or "ring"
@@ -721,35 +728,42 @@ def _make_count_tail(
             from .pallas_count import make_pallas_count_masked
 
             pc_fn = make_pallas_count_masked(
-                pc_K, pc_W, pc_S_ext, interpret=interp
+                pc_K, pc_W, pc_S_ext, interpret=interp, num_hashes=pc_H
             )
         elif pc_engine == "resident":
             from .pallas_count import make_pallas_count_resident
 
             pc_fn = make_pallas_count_resident(
-                pc_K, pc_W, pc_S_ext, interpret=interp
+                pc_K, pc_W, pc_S_ext, interpret=interp, num_hashes=pc_H
             )
         else:
             from .pallas_count import make_pallas_count
 
             pc_fn = make_pallas_count(
                 pc_K, pc_W, interpret=interp,
-                masked=pc_engine == "ring-mask",
+                masked=pc_engine == "ring-mask", num_hashes=pc_H,
             )
     pc_resident = pc_engine in ("resident", "mask")
     pc_masked = pc_engine in ("mask", "ring-mask")
 
+    def pc_loc(loc_ts):
+        """Location planes -> the kernels' layout: [B, K] single-hash,
+        [B, K, h] multi-hash (the fused pand row-AND)."""
+        if len(loc_ts) == 1:
+            return loc_ts[0].T
+        return jnp.stack(loc_ts, axis=-1).transpose(1, 0, 2)
+
     def gather_count(bits_ext, loc_t):
-        """[K, B?] single-hash locations -> [B?, T] counts (bit-major
-        lane layout when the fused Pallas kernel is active).  In
-        resident/mask modes ``bits_ext`` is the prepacked slab array
-        from pallas_count.pack_resident."""
+        """[K, B?] single-hash locations (non-pc) or pc-layout locations
+        -> [B?, T] counts (bit-major lane layout when the fused Pallas
+        kernel is active).  In resident/mask modes ``bits_ext`` is the
+        prepacked slab array from pallas_count.pack_resident."""
         if pc_fn is not None:
             if pc_engine == "resident":
-                return pc_fn(bits_ext, loc_t.T)
+                return pc_fn(bits_ext, loc_t)
             S_ext = bits_ext.shape[0]
             return pc_fn(
-                bits_ext.reshape(S_ext, 8, pc_W // 8), loc_t.T
+                bits_ext.reshape(S_ext, 8, pc_W // 8), loc_t
             )
         rows = jnp.take(bits_ext, loc_t, axis=0)  # [K,B?,W] k-major
         return _unpack_count(rows)
@@ -777,11 +791,11 @@ def _make_count_tail(
             thr = thr_table_ring(tmin, sizes_pos, pc_W)
             counts, mask = pc_fn(
                 bits5d.reshape(bits5d.shape[0], 8, pc_W // 8),
-                loc_t.T, cthr, thr,
+                loc_t, cthr, thr,
             )
         else:
             thr = thr_table_masked(tmin, sizes_pos, pc_W)
-            counts, mask = pc_fn(bits5d, loc_t.T, cthr, thr)
+            counts, mask = pc_fn(bits5d, loc_t, cthr, thr)
         B_c = mask.shape[0]
         T = 32 * pc_W
         wcnt = lax.population_count(mask).astype(jnp.int32)
@@ -822,18 +836,25 @@ def _make_count_tail(
         )
         return n_cand, pids, jnp.clip(cnt, 0, 65535).astype(jnp.uint16)
 
-    def chunk_tail(bits_ext, loc_t_c, nk_c, lens_c, cmin, tmin, sizes_pos,
+    def chunk_tail(bits_ext, loc_hkb, nk_c, lens_c, cmin, tmin, sizes_pos,
                    budget_c):
-        """One chunk: loc_t_c [K, B_c] (single-hash plane)."""
+        """One chunk: loc_hkb [h, K, B_c] stacked location planes."""
+        loc_pc_c = (
+            loc_hkb[0].T if loc_hkb.shape[0] == 1
+            else loc_hkb.transpose(2, 1, 0)
+        )
         if pc_masked:
-            B_c = loc_t_c.shape[1]
+            B_c = loc_hkb.shape[2]
             n_cand, pids, cnt = masked_core(
-                bits_ext, loc_t_c, nk_c, lens_c, cmin, tmin, sizes_pos,
-                budget_c,
+                bits_ext, loc_pc_c, nk_c, lens_c, cmin, tmin,
+                sizes_pos, budget_c,
             )
             cidx = _remap_bitmajor(pids, pc_W, 32 * pc_W, B_c)
             return n_cand, cidx, cnt
-        counts = gather_count(bits_ext, loc_t_c)
+        counts = (
+            gather_count(bits_ext, loc_pc_c) if pc_fn is not None
+            else gather_count(bits_ext, loc_hkb[0])
+        )
         B_c = counts.shape[0]
         c_thresh = jnp.take(
             cmin, jnp.minimum(nk_c, cmin.shape[0] - 1), axis=0
@@ -875,11 +896,11 @@ def _make_count_tail(
             )
         aux_nk = jnp.clip(nkmers, 0, 65535).astype(jnp.uint16)
 
-        if n_chunks == 1 or len(loc_ts) > 1:
+        if n_chunks == 1 or (len(loc_ts) > 1 and pc_fn is None):
             if pc_masked:
                 B = loc_ts[0].shape[1]
                 n_cand, pids, cnt = masked_core(
-                    bits_ext, loc_ts[0], nkmers, lens, cmin, tmin,
+                    bits_ext, pc_loc(loc_ts), nkmers, lens, cmin, tmin,
                     sizes_pos, cand_budget,
                 )
                 cidx = _remap_bitmajor(pids, pc_W, 32 * pc_W, B)
@@ -889,7 +910,7 @@ def _make_count_tail(
                 aux = jnp.concatenate([cnt, aux_nk])
                 return meta, aux
             if pc_fn is not None:
-                counts = gather_count(bits_ext, loc_ts[0])
+                counts = gather_count(bits_ext, pc_loc(loc_ts))
             else:
                 acc = None
                 for loc_t in loc_ts:
@@ -919,14 +940,17 @@ def _make_count_tail(
             )
             return meta, aux
 
-        (loc_t,) = loc_ts
-        K, B = loc_t.shape
+        # chunked path: stack the h location planes and split the batch
+        # (h > 1 only reaches here on the pc path, whose kernels fuse
+        # the row-AND; the XLA h>1 formulation stays dense above)
+        loc_st = jnp.stack(loc_ts)  # [h, K, B]
+        h_pl, K, B = loc_st.shape
         C = n_chunks
         B_c = B // C
         T = 32 * pc_W if pc_fn is not None else bits_ext.shape[1] * 32
         budget_c = -(-cand_budget // C)
 
-        loc_chunks = loc_t.reshape(K, C, B_c).transpose(1, 0, 2)
+        loc_chunks = loc_st.reshape(h_pl, K, C, B_c).transpose(2, 0, 1, 3)
         nk_chunks = nkmers.reshape(C, B_c)
         lens_chunks = lens.reshape(C, B_c)
         n_c, idx_c, cnt_c = lax.map(
@@ -2024,6 +2048,8 @@ class DeviceDB:
         K = lmax - k + 1
         S_ext = self.total_rows + 1
         pc = _pc_mode(h, self.w, S_ext)
+        if pc and h > 1 and not pc.endswith("mask"):
+            pc = None  # h>1 rides the fused-threshold mask tails only
         if pc:
             # reads per grid step: the resident kernel fixes its own R;
             # the ring kernel tiles full VPU lanes on narrow rows.  Odd
@@ -2036,13 +2062,13 @@ class DeviceDB:
                 pc_R = max(1, 128 // (self.w // 8))
             if B % pc_R:
                 pc = None
-        pc_cfg = (K, self.w, pc, S_ext) if pc else None
+        pc_cfg = (K, self.w, pc, S_ext, h) if pc else None
         # chunk wide-T batches so the big intermediate stays bounded:
         # [B_c, K, W] gathered rows on the XLA path (~600 MB), the
         # [B_c, 32*W] count matrix on the fused-Pallas path (the kernel
         # never materializes the gathered rows)
         n_chunks = 1
-        if h == 1:
+        if h == 1 or pc:
             # mask mode only READS the counts array sparsely (the tail
             # scans packed words), so its chunk bound is HBM capacity,
             # not XLA temporaries
@@ -2055,7 +2081,7 @@ class DeviceDB:
             per_read = 32 * self.w if pc else K * self.w
             # pallas kernels hold the whole chunk's loc (+cthr) table in
             # SMEM (~1 MB): cap chunk reads accordingly
-            smem_rows = 450_000 // (4 * (K + 2)) if pc else B
+            smem_rows = 450_000 // (4 * (K * h + 2)) if pc else B
             while (
                 (
                     (B // n_chunks) * per_read > limit

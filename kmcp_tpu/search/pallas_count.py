@@ -142,7 +142,7 @@ def _unpack_j(planes, j: int, jnp):
 @functools.lru_cache(maxsize=None)
 def make_pallas_count(
     K: int, W: int, n_bufs: int = 32, interpret: bool = False,
-    masked: bool = False,
+    masked: bool = False, num_hashes: int = 1,
 ):
     """Build fn(bits3d uint32 [S_ext, 8, W//8], loc int32 [B, K]) ->
     counts int32 [B, 32*W] in the bit-major layout (module docstring).
@@ -156,13 +156,20 @@ def make_pallas_count(
     thr [32, 8, W//8] i32) and also returns a packed candidate bitmask
     [B, W] u32 — the fused-threshold scheme of make_pallas_count_masked
     applied to the DMA-ring gather, serving the production large-S
-    geometries whose bit matrix cannot live in VMEM."""
+    geometries whose bit matrix cannot live in VMEM.
+
+    With ``num_hashes`` > 1 the reference's pand row-AND
+    (util-db-search.go:6639-6645) fuses in as well: loc arrives as
+    [B, K, h], each window's h Bloom rows DMA into the ring slot and
+    AND together in VMEM before feeding the popcount fold — the
+    gathered rows and their AND never touch HBM."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     assert W % 8 == 0 and W >= 8
+    H = num_hashes
     W8 = W // 8
     R = max(1, 128 // W8)  # reads per grid step
     NB = max(2, min(n_bufs, K))  # DMA ring depth
@@ -173,30 +180,39 @@ def make_pallas_count(
                 rowbuf, sems = refs
         else:
             loc_ref, bits_ref, counts_ref, rowbuf, sems = refs
-        # loc_ref: SMEM (B, K) int32, unblocked (fetched once; callers
-        # chunk the batch to the SMEM budget);
+        # loc_ref: SMEM (B, K) or (B, K, h) int32, unblocked (fetched
+        # once; callers chunk the batch to the SMEM budget);
         # bits_ref: HBM/ANY (S_ext, 8, W8);
         # counts_ref: VMEM (R, 32, 8, W8) int32;
-        # rowbuf: VMEM (NB, R, 8, W8) uint32; sems: DMA (NB, R).
+        # rowbuf: VMEM (NB, R, h, 8, W8) uint32; sems: DMA (NB, R, h).
         b0 = pl.program_id(0) * R
 
-        def copy(i, r, slot):
+        def copy(i, r, hj, slot):
+            li = (
+                loc_ref[b0 + r, i] if H == 1
+                else loc_ref[b0 + r, i, hj]
+            )
             return pltpu.make_async_copy(
-                bits_ref.at[loc_ref[b0 + r, i]],
-                rowbuf.at[slot, r],
-                sems.at[slot, r],
+                bits_ref.at[li],
+                rowbuf.at[slot, r, hj],
+                sems.at[slot, r, hj],
             )
 
         def start(i):
             if i < K:
                 for r in range(R):
-                    copy(i, r, i % NB).start()
+                    for hj in range(H):
+                        copy(i, r, hj, i % NB).start()
 
         def fetch(i):
             slot = i % NB
             for r in range(R):
-                copy(i, r, slot).wait()
-            return rowbuf[slot]  # (R, 8, W8) uint32
+                for hj in range(H):
+                    copy(i, r, hj, slot).wait()
+            x = rowbuf[slot, :, 0]  # (R, 8, W8) uint32
+            for hj in range(1, H):
+                x = x & rowbuf[slot, :, hj]  # fused pand row-AND
+            return x
 
         for i in range(min(NB, K)):
             start(i)
@@ -269,8 +285,8 @@ def make_pallas_count(
             in_specs=in_specs,
             out_specs=tuple(out_specs),
             scratch_shapes=[
-                pltpu.VMEM((NB, R, 8, W8), jnp.uint32),
-                pltpu.SemaphoreType.DMA((NB, R)),
+                pltpu.VMEM((NB, R, H, 8, W8), jnp.uint32),
+                pltpu.SemaphoreType.DMA((NB, R, H)),
             ],
             interpret=interpret,
         )
@@ -335,7 +351,7 @@ def pack_resident(bits_ext, n_rg: int, rows_g: int, n_tiles: int, tl: int):
 @functools.lru_cache(maxsize=None)
 def make_pallas_count_resident(
     K: int, W: int, S_ext: int, reads_per_step: int = 2,
-    interpret: bool = False,
+    interpret: bool = False, num_hashes: int = 1,
 ):
     """VMEM-resident variant of make_pallas_count for small-S wide-T DBs
     (fine-chunked indexes: ~4k Bloom rows x 131k targets at the
@@ -359,6 +375,10 @@ def make_pallas_count_resident(
     geo = resident_geometry(S_ext, W)
     assert geo is not None, (S_ext, W)
     n_rg, rows_g, n_tiles, tl = geo
+    # multi-hash row-ANDs cannot decompose across row groups (an
+    # out-of-group row reads as zero and would poison the AND)
+    assert num_hashes == 1 or n_rg == 1, (num_hashes, n_rg)
+    H = num_hashes
     R = reads_per_step
 
     def kernel(loc_ref, bits_ref, out_ref, slab, sem):
@@ -378,9 +398,17 @@ def make_pallas_count_resident(
 
         for r in range(R):
             def fetch(i):
-                li = loc_ref[b0 + r, i]
-                inb = (li >= lo) & (li < lo + rows_g)
-                return slab[jnp.where(inb, li - lo, rows_g)]
+                def one(hj):
+                    li = (
+                        loc_ref[b0 + r, i] if H == 1
+                        else loc_ref[b0 + r, i, hj]
+                    )
+                    inb = (li >= lo) & (li < lo + rows_g)
+                    return slab[jnp.where(inb, li - lo, rows_g)]
+                x = one(0)
+                for hj in range(1, H):
+                    x = x & one(hj)  # fused pand row-AND
+                return x
 
             planes = _fold_planes(fetch, K)
             for j in range(32):
@@ -451,7 +479,7 @@ def make_pallas_count_resident(
 @functools.lru_cache(maxsize=None)
 def make_pallas_count_masked(
     K: int, W: int, S_ext: int, reads_per_step: int = 2,
-    interpret: bool = False,
+    interpret: bool = False, num_hashes: int = 1,
 ):
     """VMEM-resident count kernel WITH fused thresholding: alongside
     the counts it emits a packed candidate bitmask (bit j of word
@@ -484,6 +512,7 @@ def make_pallas_count_masked(
     geo = resident_geometry(S_ext, W)
     assert geo is not None and geo[0] == 1, (S_ext, W, geo)
     _, rows_g, n_tiles, tl = geo
+    H = num_hashes
     R = reads_per_step
 
     def kernel(loc_ref, cthr_ref, thr_ref, bits_ref, out_ref, mask_ref,
@@ -500,9 +529,17 @@ def make_pallas_count_masked(
 
         for r in range(R):
             def fetch(i):
-                li = loc_ref[b0 + r, i]
-                inb = (li >= 0) & (li < rows_g)
-                return slab[jnp.where(inb, li, rows_g)]
+                def one(hj):
+                    li = (
+                        loc_ref[b0 + r, i] if H == 1
+                        else loc_ref[b0 + r, i, hj]
+                    )
+                    inb = (li >= 0) & (li < rows_g)
+                    return slab[jnp.where(inb, li, rows_g)]
+                x = one(0)
+                for hj in range(1, H):
+                    x = x & one(hj)  # fused pand row-AND
+                return x
 
             planes = _fold_planes(fetch, K)
             cthr = cthr_ref[b0 + r, 0]

@@ -1449,7 +1449,7 @@ def test_per_read_compaction_matches_flat():
 
 @pytest.mark.parametrize(
     "K,W,steps",
-    [(5, 128, 2), (16, 128, 1), (33, 128, 1), (130, 128, 1), (9, 64, 1)],
+    [(5, 128, 2), (16, 128, 1), (33, 128, 1), (130, 1024, 1), (9, 64, 1)],
 )
 def test_pallas_count_kernel_matches_oracle(K, W, steps):
     """The fused Pallas gather+popcount kernel (pallas_count.py, the
@@ -1496,7 +1496,7 @@ def test_count_tail_pallas_matches_xla():
     from kmcp_tpu.search.device import _make_count_tail
 
     rng = np.random.default_rng(17)
-    S, W, K = 499, 64, 12
+    S, W, K = 499, 128, 12
     T = W * 32
     R = max(1, 128 // (W // 8))  # 128
     B = 2 * R
@@ -1891,3 +1891,80 @@ def test_count_tail_in_dedup_matches_manual():
     np.testing.assert_array_equal(np.asarray(a_d), np.asarray(a_x))
     # the dedup actually changed something (both regimes exercised)
     assert (nk_m != nk).any() and (nk_m == nk)[few].all()
+
+
+def test_pallas_count_multihash_pand():
+    """num_hashes > 1 fuses the reference's pand row-AND
+    (util-db-search.go:6639-6645) into the Pallas count kernels: the
+    h Bloom rows of each window AND on chip before the popcount fold.
+    Kernel-level oracle: XLA gather + AND + CSA."""
+    import jax.numpy as jnp
+
+    from kmcp_tpu.search.device import _unpack_count
+    from kmcp_tpu.search.pallas_count import make_pallas_count, perm_t_of_p
+
+    rng = np.random.default_rng(77)
+    K, W, H, S = 9, 1024, 3, 61
+    bits = rng.integers(0, 2**32, size=(S + 1, W), dtype=np.uint32)
+    bits[-1] = 0
+    R = max(1, 128 // (W // 8))
+    B = R
+    loc = rng.integers(0, S + 1, size=(B, K, H)).astype(np.int32)
+    fn = make_pallas_count(K, W, interpret=True, num_hashes=H)
+    got = np.asarray(
+        fn(jnp.asarray(bits).reshape(S + 1, 8, W // 8), jnp.asarray(loc))
+    )
+    rows = jnp.take(jnp.asarray(bits), jnp.asarray(loc), axis=0)
+    acc = rows[..., 0, :]
+    for hj in range(1, H):
+        acc = acc & rows[..., hj, :]
+    oracle = np.asarray(_unpack_count(jnp.transpose(acc, (1, 0, 2))))
+    np.testing.assert_array_equal(got, oracle[:, perm_t_of_p(W)])
+
+
+def test_count_tail_multihash_mask_matches_xla():
+    """The fused-threshold mask tail with num_hashes=3 (pand in-kernel)
+    returns the XLA multi-hash tail's exact candidate set."""
+    import jax.numpy as jnp
+
+    from kmcp_tpu.search.device import _make_count_tail
+    from kmcp_tpu.search.pallas_count import perm_t_of_p
+
+    rng = np.random.default_rng(83)
+    S, W, K, H = 311, 1024, 9, 3
+    T = W * 32
+    B = 2
+    bits = rng.integers(0, 2**32, (S + 1, W), dtype=np.uint32)
+    bits[S] = 0
+    loc_ts = tuple(
+        jnp.asarray(rng.integers(0, S, (K, B), dtype=np.int32))
+        for _ in range(H)
+    )
+    nk = np.full((H, B), K, dtype=np.int32)
+    lens = np.full(B, 150, dtype=np.int32)
+    # AND of three ~50% planes is ~12.5% dense: cmin 3 keeps a real set
+    cmin = np.full(K + 1, 3, dtype=np.int32)
+    tmin = np.zeros(T, dtype=np.int32)
+    tmin[::5] = 4
+    sizes_pos = np.ones(T, dtype=bool)
+    budget = 16384
+    m_x, a_x = _make_count_tail(budget, 30, 256, 1)(
+        jnp.asarray(bits), loc_ts, jnp.asarray(nk), jnp.asarray(lens),
+        jnp.asarray(cmin), jnp.asarray(tmin), jnp.asarray(sizes_pos),
+    )
+    n = int(m_x[0])
+    assert 0 < n <= budget
+    perm = perm_t_of_p(W)
+    m_m, a_m = _make_count_tail(
+        budget, 30, 256, 1, (K, W, "interpret-ring-mask", S + 1, H)
+    )(
+        jnp.asarray(bits), loc_ts, jnp.asarray(nk), jnp.asarray(lens),
+        jnp.asarray(cmin), jnp.asarray(tmin[perm]),
+        jnp.asarray(sizes_pos[perm]),
+    )
+    assert int(m_m[0]) == n
+    ix, cx = np.asarray(m_x[1 : 1 + n]), np.asarray(a_x[:n])
+    im, cm = np.asarray(m_m[1 : 1 + n]), np.asarray(a_m[:n])
+    ox, om = np.argsort(ix), np.argsort(im)
+    np.testing.assert_array_equal(im[om], ix[ox])
+    np.testing.assert_array_equal(cm[om], cx[ox])
