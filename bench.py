@@ -136,22 +136,24 @@ def _device_step_rate(st, queries, opt) -> float | None:
         jax.block_until_ready((xt, lt))
         budget = B + B // 2
         r = dev.search_reads_pallas(xt, lt, budget)
-        np.asarray(r[0])[:1]  # data pull: trustworthy completion barrier
-        # pipelined dispatch (depth 4, tiny pull per rep): back-to-back
-        # dispatch of identical programs through the axon relay
-        # serializes pathologically, and block_until_ready can return
-        # early — this pattern matches the production stream's shape
-        from collections import deque
+        np.asarray(r[0][:1])  # data pull: compile barrier
+        # chained dispatch with ONE in-order barrier pull at the end:
+        # per-rep pulls — even pipelined — floor the measurement at the
+        # tunnel's pull RTT (docs/PERF.md round-3 methodology note).
+        # Inputs vary across reps (shifted device-resident batches):
+        # identical repeated dispatch serializes pathologically through
+        # the axon relay.
+        import jax.numpy as jnp
 
+        xts = [xt, jnp.roll(xt, 1, axis=0), jnp.roll(xt, 2, axis=0)]
+        lts = [lt, jnp.roll(lt, 1), jnp.roll(lt, 2)]
+        jax.block_until_ready((xts, lts))
         reps = 10
         t0 = time.time()
-        pend = deque()
-        for _ in range(reps):
-            pend.append(dev.search_reads_pallas(xt, lt, budget))
-            if len(pend) >= 4:
-                np.asarray(pend.popleft()[0])[:1]
-        while pend:
-            np.asarray(pend.popleft()[0])[:1]
+        m = None
+        for i in range(reps):
+            m, _ = dev.search_reads_pallas(xts[i % 3], lts[i % 3], budget)
+        np.asarray(m[:1])
         return round(B * reps / (time.time() - t0), 1)
     except Exception as e:
         print(f"[bench] device-step extra failed: {e}", file=sys.stderr)

@@ -2079,9 +2079,11 @@ class DeviceDB:
             else:
                 limit = 150_000_000
             per_read = 32 * self.w if pc else K * self.w
-            # pallas kernels hold the whole chunk's loc (+cthr) table in
-            # SMEM (~1 MB): cap chunk reads accordingly
-            smem_rows = 450_000 // (4 * (K * h + 2)) if pc else B
+            # pallas kernels hold the whole chunk's loc (+cthr) table
+            # in SMEM (1 MB, minor dim padded to 128-lane multiples):
+            # cap chunk reads accordingly
+            k_pad = -(-(K * h + 1) // 128) * 128
+            smem_rows = 800_000 // (4 * k_pad) if pc else B
             while (
                 (
                     (B // n_chunks) * per_read > limit

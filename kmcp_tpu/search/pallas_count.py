@@ -162,7 +162,13 @@ def make_pallas_count(
     (util-db-search.go:6639-6645) fuses in as well: loc arrives as
     [B, K, h], each window's h Bloom rows DMA into the ring slot and
     AND together in VMEM before feeding the popcount fold — the
-    gathered rows and their AND never touch HBM."""
+    gathered rows and their AND never touch HBM.
+
+    SMEM layout note: SMEM windows pad the minor dimension to 128-lane
+    multiples, so the location table is FLATTENED to [B, K*h] before
+    the kernel and, in masked mode, the per-read cthr rides as one
+    extra trailing column instead of its own (heavily padded) [B, 1]
+    array."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -176,22 +182,20 @@ def make_pallas_count(
 
     def kernel(*refs):
         if masked:
-            loc_ref, cthr_ref, thr_ref, bits_ref, counts_ref, mask_ref, \
+            loc_ref, thr_ref, bits_ref, counts_ref, mask_ref, \
                 rowbuf, sems = refs
         else:
             loc_ref, bits_ref, counts_ref, rowbuf, sems = refs
-        # loc_ref: SMEM (B, K) or (B, K, h) int32, unblocked (fetched
-        # once; callers chunk the batch to the SMEM budget);
+        # loc_ref: SMEM (B, K*h [+1]) int32, unblocked (fetched once;
+        # callers chunk the batch to the SMEM budget); the masked
+        # variant's trailing column is the per-read cthr floor;
         # bits_ref: HBM/ANY (S_ext, 8, W8);
         # counts_ref: VMEM (R, 32, 8, W8) int32;
         # rowbuf: VMEM (NB, R, h, 8, W8) uint32; sems: DMA (NB, R, h).
         b0 = pl.program_id(0) * R
 
         def copy(i, r, hj, slot):
-            li = (
-                loc_ref[b0 + r, i] if H == 1
-                else loc_ref[b0 + r, i, hj]
-            )
+            li = loc_ref[b0 + r, i * H + hj]
             return pltpu.make_async_copy(
                 bits_ref.at[li],
                 rowbuf.at[slot, r, hj],
@@ -235,7 +239,7 @@ def make_pallas_count(
         planes = _fold_planes(fetch_refill, K, on_group_end=refill)
         if masked:
             cthr = jnp.stack(
-                [cthr_ref[b0 + r, 0] for r in range(R)]
+                [loc_ref[b0 + r, K * H] for r in range(R)]
             )[:, None, None]
         mbits = None
         for j in range(32):
@@ -263,11 +267,9 @@ def make_pallas_count(
             ),
         ]
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        loc_flat = loc.reshape(B, -1)
         if masked:
-            in_specs += [
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ]
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             out_shape.append(
                 jax.ShapeDtypeStruct((B, 8, W8), jnp.uint32)
             )
@@ -277,6 +279,12 @@ def make_pallas_count(
                     memory_space=pltpu.VMEM,
                 )
             )
+            cthr, thr = extra
+            loc_flat = jnp.concatenate(
+                [loc_flat, cthr.astype(jnp.int32)], axis=1
+            )
+            extra = (thr,)
+        fn_args = (loc_flat, *extra, bits3d)
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         fn = pl.pallas_call(
             kernel,
@@ -290,7 +298,7 @@ def make_pallas_count(
             ],
             interpret=interpret,
         )
-        outs = fn(loc, *extra, bits3d)
+        outs = fn(*fn_args)
         if masked:
             counts, mask = outs
             return (
@@ -399,10 +407,7 @@ def make_pallas_count_resident(
         for r in range(R):
             def fetch(i):
                 def one(hj):
-                    li = (
-                        loc_ref[b0 + r, i] if H == 1
-                        else loc_ref[b0 + r, i, hj]
-                    )
+                    li = loc_ref[b0 + r, i * H + hj]
                     inb = (li >= lo) & (li < lo + rows_g)
                     return slab[jnp.where(inb, li - lo, rows_g)]
                 x = one(0)
@@ -460,7 +465,7 @@ def make_pallas_count_resident(
             ],
             interpret=interpret,
         )
-        out = fn(loc, bits5d)
+        out = fn(loc.reshape(B, -1), bits5d)
         if n_rg > 1:
             out = out.sum(axis=0, dtype=jnp.int32)
         # [B, 32, n_tiles, 8, tl] -> bit-major [B, 32*W]: lane w is word
@@ -515,8 +520,12 @@ def make_pallas_count_masked(
     H = num_hashes
     R = reads_per_step
 
-    def kernel(loc_ref, cthr_ref, thr_ref, bits_ref, out_ref, mask_ref,
+    def kernel(loc_ref, thr_ref, bits_ref, out_ref, mask_ref,
                slab, sem):
+        # loc_ref: SMEM (B, K*h + 1) int32 — trailing column = cthr
+        # (SMEM windows pad the minor dim to 128-lane multiples, so the
+        # per-read floor folds into the location table rather than
+        # costing its own padded array)
         ti = pl.program_id(1)
         bi = pl.program_id(2)
         b0 = bi * R
@@ -530,10 +539,7 @@ def make_pallas_count_masked(
         for r in range(R):
             def fetch(i):
                 def one(hj):
-                    li = (
-                        loc_ref[b0 + r, i] if H == 1
-                        else loc_ref[b0 + r, i, hj]
-                    )
+                    li = loc_ref[b0 + r, i * H + hj]
                     inb = (li >= 0) & (li < rows_g)
                     return slab[jnp.where(inb, li, rows_g)]
                 x = one(0)
@@ -542,7 +548,7 @@ def make_pallas_count_masked(
                 return x
 
             planes = _fold_planes(fetch, K)
-            cthr = cthr_ref[b0 + r, 0]
+            cthr = loc_ref[b0 + r, K * H]
             mbits = None
             for j in range(32):
                 cnt = _unpack_j(planes, j, jnp).astype(jnp.int32)
@@ -565,7 +571,6 @@ def make_pallas_count_masked(
             grid=(1, n_tiles, B // R),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
@@ -585,7 +590,10 @@ def make_pallas_count_masked(
             ],
             interpret=interpret,
         )
-        counts, mask = fn(loc, cthr, thr, bits5d)
+        loc_ext = jnp.concatenate(
+            [loc.reshape(B, -1), cthr.astype(jnp.int32)], axis=1
+        )
+        counts, mask = fn(loc_ext, thr, bits5d)
         return (
             counts.transpose(0, 1, 3, 2, 4).reshape(B, 32 * W),
             mask.transpose(0, 2, 1, 3).reshape(B, W),

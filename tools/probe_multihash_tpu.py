@@ -20,7 +20,7 @@ def main():
     from kmcp_tpu.search.pallas_count import perm_t_of_p
 
     rng = np.random.default_rng(7)
-    S, W, K, H, B = 3600, 4096, 130, 3, 512
+    S, W, K, H, B = 3600, 4096, 130, 3, 256
     T = W * 32
     bits = (
         rng.integers(0, 2**32, (S + 1, W), dtype=np.uint32)
@@ -37,12 +37,14 @@ def main():
     ]
     nk = jax.device_put(jnp.full((H, B), K, dtype=jnp.int32))
     lens = jax.device_put(jnp.full(B, 150, dtype=jnp.int32))
-    cmin = jnp.full(K + 1, 5, dtype=jnp.int32)  # 12.5% fill, ~16 mean/8
+    # AND of 3 uniform planes = 12.5% fill: counts ~ Binom(130, .125)
+    # (mean 16, sd 3.7); cmin 34 (+4.6 sigma) keeps a sparse real set
+    cmin = jnp.full(K + 1, 34, dtype=jnp.int32)
     tmin = np.zeros(T, dtype=np.int32)
-    tmin[::5] = 6
+    tmin[::5] = 35
     spos = np.ones(T, dtype=bool)
     perm = perm_t_of_p(W)
-    budget = 3 * B
+    budget = 8 * B
     args_x = (bits_d, locs[0], nk, lens, cmin,
               jnp.asarray(tmin), jnp.asarray(spos))
     args_m = (bits_d, locs[0], nk, lens, cmin,

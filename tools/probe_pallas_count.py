@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--nbatches", type=int, default=16)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--targets", type=int, default=131072)
+    ap.add_argument("--modes", default="xla,ring,resident,ring-mask,1")
     args = ap.parse_args()
 
     import jax
@@ -42,8 +44,8 @@ def main():
     from kmcp_tpu.search.engine import SearchEngine, SearchOptions
     from tools.bench_large_t import make_reads
 
-    db_dir = ".bench/large_t-131072/db-wide"
-    gdir = ".bench/large_t-131072/genomes"
+    db_dir = f".bench/large_t-{args.targets}/db-wide"
+    gdir = f".bench/large_t-{args.targets}/genomes"
     B = args.batch
     reads = make_reads(gdir, B * args.nbatches, 10.0)
     opt = SearchOptions(backend="jax", batch_size=B)
@@ -64,9 +66,13 @@ def main():
 
     results = {}
     outs = {}
-    for mode, name in (("0", "xla"), ("ring", "ring"),
-                       ("resident", "resident"),
-                       ("ring-mask", "ring_mask"), ("1", "mask")):
+    all_modes = {"xla": "0", "ring": "ring", "resident": "resident",
+                 "ring_mask": "ring-mask", "mask": "1"}
+    sel = [m.replace("-", "_") if m != "1" else "mask"
+           for m in args.modes.split(",")]
+    sel = [("xla" if m == "0" else m) for m in sel]
+    for name in sel:
+        mode = all_modes[name]
         os.environ["KMCP_TPU_PALLAS_COUNT"] = mode
         _make_count_tail.cache_clear()
         t0 = time.time()
@@ -103,20 +109,19 @@ def main():
                          "seconds": round(best, 2)}
         print(f"[probe] {name}: {rps:.0f} reads/s", file=sys.stderr)
 
+    ref = sel[0]
     same = all(
-        np.array_equal(outs["xla"][i], outs[nm][i])
-        for nm in ("ring", "resident", "ring_mask", "mask")
-        for i in range(3)
+        np.array_equal(outs[ref][i], outs[nm][i])
+        for nm in sel[1:] for i in range(3)
     )
     K, T = 150 - 21 + 1, dev.t_per_block
     best_name = max(results, key=lambda nm: results[nm]["reads_per_s"])
     out = {
         "identical_candidates": bool(same),
-        **{nm: results[nm]
-           for nm in ("xla", "ring", "resident", "ring_mask", "mask")},
+        **{nm: results[nm] for nm in sel},
         "speedup": round(
             results[best_name]["reads_per_s"]
-            / results["xla"]["reads_per_s"], 2),
+            / results[ref]["reads_per_s"], 2),
         "gbit_and_s": round(
             results[best_name]["reads_per_s"] * K * T / 1e9, 1),
         "batch": B,

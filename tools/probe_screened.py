@@ -39,7 +39,7 @@ def main():
     opt = SearchOptions(backend="jax", batch_size=B)
     engine = SearchEngine([db], opt)
     dev = DeviceDB(engine.dbs[0], opt)
-    budget = 4 * B
+    budget = B + B // 2  # production streaming budget
     seqs = [r[1] for r in reads]
     lens_all = np.array([len(s) for s in seqs], dtype=np.int64)
     lmax = max(-(-int(lens_all.max()) // 32) * 32, 21 + 31)
