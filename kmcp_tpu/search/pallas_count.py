@@ -634,3 +634,162 @@ def thr_table_ring(tmin_perm, sizes_pos_perm, W: int):
         sizes_pos_perm, tmin_perm.astype(jnp.int32), jnp.int32(2**30)
     )
     return eff.reshape(32, 8, W // 8)
+
+
+def pack_pair_blocks(bits_ext, n_blocks: int, s_block: int):
+    """Row-stacked screened DB [nb*S_b + 1, W_b] -> per-block VMEM slabs
+    [nb, S8, 8, 128] for make_pallas_pair_count, each slab carrying its
+    own zero sentinel row at local index s_block (W_b must be 128 words
+    = 4096 targets/block, the tpu-native default).  Runs on device."""
+    import jax.numpy as jnp
+
+    W_b = bits_ext.shape[1]
+    assert W_b == 128, W_b
+    S8 = -(-(s_block + 1) // 8)
+    b = bits_ext[: n_blocks * s_block].reshape(n_blocks, s_block, W_b)
+    b = jnp.pad(b, ((0, 0), (0, S8 * 8 - s_block), (0, 0)))
+    return b.reshape(n_blocks, S8, 8, W_b)
+
+
+@functools.lru_cache(maxsize=None)
+def make_pallas_pair_count(
+    K: int, s_block: int, n_blocks: int, pairs_per_step: int = 8,
+    interpret: bool = False,
+):
+    """Block-stationary pass-2 of the two-pass screened search: counts
+    the active (read, block) pairs with the block's bit slab RESIDENT
+    in VMEM instead of the XLA row gather (measured element-issue-bound
+    at ~1.7 G elem/s on the 512-byte block rows — 74% of the screened
+    step at 524k targets).
+
+    Pairs arrive SORTED BY BLOCK (padding pairs, block id = n_blocks,
+    sort last): the kernel walks pair tiles sequentially, re-DMAs the
+    ~S_b/2-KB slab only when the block id changes (<= n_blocks + 1
+    reloads per batch), folds each pair's K row slices through the
+    Harley-Seal counter with a sublane mask (rows pack 8-per-(8,128)
+    tile; the masked fold leaves each window's row at its own sublane
+    and a roll-reduce after the unpack sums them), and fuses the
+    thresholds: per-block per-target floors ride in a [nb, 32, 128]
+    VMEM table, the per-read floor as the tab's trailing column.
+    All-padding tiles skip the fold entirely.
+
+    fn(bits6 [nb, S8, 8, 128] u32 (pack_pair_blocks),
+       tab int32 [P, K + 2] (cols: K row ids in the block modulus with
+         sentinel s_block; block id; cthr),
+       thr int32 [nb, 32, 128] (floor of target g*4096 + l*32 + j at
+         [g, j, l]; ~2^30 on padding lanes))
+      -> (counts int32 [P, 32, 128] (count of target l*32+j at
+          [p, j, l]), mask uint32 [P, 128] (bit j of word l = candidate
+          l*32+j)).  P must be a multiple of pairs_per_step."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    P_t = pairs_per_step
+    S8 = -(-(s_block + 1) // 8)
+    NB = n_blocks
+
+    def kernel(tab_ref, thr_ref, bits_ref, counts_ref, mask_ref,
+               slab, sem, cur):
+        ti = pl.program_id(0)
+
+        @pl.when(ti == 0)
+        def _():
+            cur[0] = jnp.int32(-1)
+
+        is_pad = tab_ref[0, K] == jnp.int32(NB)  # sorted: whole tile
+
+        @pl.when(jnp.logical_not(is_pad))
+        def _():
+            sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            for p in range(P_t):
+                blk = jnp.clip(tab_ref[p, K], 0, NB - 1)
+
+                @pl.when(blk != cur[0])
+                def _(blk=blk):
+                    cp = pltpu.make_async_copy(
+                        bits_ref.at[blk], slab, sem
+                    )
+                    cp.start()
+                    cp.wait()
+                    cur[0] = blk
+
+                def fetch(i, p=p):
+                    li = tab_ref[p, i]
+                    x8 = slab[li // 8]  # (8, 128) row group
+                    return jnp.where(
+                        sub_iota == li % 8, x8, jnp.uint32(0)
+                    )
+
+                planes = _fold_planes(fetch, K)
+                cthr = tab_ref[p, K + 1]
+                thr_b = thr_ref[blk]  # (32, 128) int32
+                mbits = None
+                for j in range(32):
+                    c8 = _unpack_j(planes, j, jnp)  # (8,128) partials
+                    for sh in (4, 2, 1):  # roll-reduce over sublanes
+                        c8 = c8 + pltpu.roll(c8, sh, 0)
+                    cnt = c8[:1].astype(jnp.int32)  # (1, 128) total
+                    counts_ref[p, j : j + 1, :] = cnt
+                    thrj = jnp.maximum(thr_b[j : j + 1, :], cthr)
+                    okj = (cnt >= thrj).astype(jnp.uint32) << jnp.uint32(j)
+                    mbits = okj if mbits is None else mbits | okj
+                mask_ref[p : p + 1, :] = mbits
+
+        @pl.when(is_pad)
+        def _():
+            counts_ref[...] = jnp.zeros(
+                (P_t, 32, 128), jnp.int32
+            )
+            mask_ref[...] = jnp.zeros((P_t, 128), jnp.uint32)
+
+    @jax.jit
+    def _run(bits6, tab, thr):
+        P = tab.shape[0]
+        assert P % P_t == 0, (P, P_t)
+        counts, mask = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((P, 32, 128), jnp.int32),
+                jax.ShapeDtypeStruct((P, 128), jnp.uint32),
+            ),
+            grid=(P // P_t,),
+            in_specs=[
+                pl.BlockSpec((P_t, K + 2), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec((P_t, 32, 128), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((P_t, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((S8, 8, 128), jnp.uint32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SMEM((1,), jnp.int32),
+            ],
+            interpret=interpret,
+        )(tab, thr, bits6)
+        return counts, mask
+
+    def run(bits6, tab, thr):
+        return _run(bits6, tab, thr)
+
+    run.pairs_per_step = P_t
+    return run
+
+
+def thr_table_pairs(tmin, sizes_pos, n_blocks: int):
+    """[nb*4096] per-target floors -> the pair kernel's [nb, 32, 128]
+    layout (target g*4096 + l*32 + j at [g, j, l]); ~2^30 on padding
+    lanes (the max with cthr must not overflow int32)."""
+    import jax.numpy as jnp
+
+    eff = jnp.where(
+        sizes_pos, tmin.astype(jnp.int32), jnp.int32(2**30)
+    )
+    return eff.reshape(n_blocks, 128, 32).transpose(0, 2, 1)
