@@ -1052,6 +1052,35 @@ def build_packed_union(db, n_blocks: int):
     return U, nb_u, np.asarray(fprs, dtype=np.float64)
 
 
+def _pair_pc_mode(t_block: int, s_block: int, n_blocks: int):
+    """'pair' | 'interpret' | None: whether the block-stationary Pallas
+    pair kernel (pallas_count.make_pallas_pair_count) replaces the XLA
+    row gather in the screened pass-2.  Requires the tpu-native block
+    width (128 words = 4096 targets/block) and VMEM room for one block
+    slab (~512 B/row) plus the per-block threshold table (16 KB/block).
+    KMCP_TPU_PALLAS_PAIR=0 disables, =1 forces, =interpret forces the
+    Mosaic interpreter (hermetic CPU parity tests); otherwise it is on
+    for the TPU backend only, alongside KMCP_TPU_PALLAS_COUNT=0 as the
+    global kill switch."""
+    if t_block != 4096:
+        return None
+    if os.environ.get("KMCP_TPU_PALLAS_COUNT", "").lower() in ("0", "off"):
+        return None
+    env = os.environ.get("KMCP_TPU_PALLAS_PAIR", "").lower()
+    if env in ("0", "off"):
+        return None
+    if env == "interpret":
+        return "interpret"
+    s8 = -(-(s_block + 1) // 8)
+    if s8 * 8 * 128 * 4 > (8 << 20) or n_blocks * 16 * 1024 > (4 << 20):
+        return None
+    import jax
+
+    if env == "1" or jax.default_backend() == "tpu":
+        return "pair"
+    return None
+
+
 @functools.lru_cache(maxsize=None)
 def _make_screened_tail(
     cand_budget: int,
@@ -1062,6 +1091,7 @@ def _make_screened_tail(
     t_block: int,
     s_block: int,
     n_pair_chunks: int,
+    pair_pc=None,
 ):
     """Two-pass wide-T tail (single-hash): per-block union screen, then a
     dense count of ONLY the active (read, block) pairs.
@@ -1083,10 +1113,33 @@ def _make_screened_tail(
     [P_c, K, W_b] gathered-rows intermediate stays bounded; chunk-major
     splicing preserves pair order.  Overflow of either the pair budget or
     any chunk's candidate share reports n_cand = cand_budget + 1 so the
-    caller's standard 4x retry (which scales both budgets) kicks in."""
+    caller's standard 4x retry (which scales both budgets) kicks in.
+
+    With ``pair_pc`` = (K, interpret) pass 2 runs as the block-stationary
+    Mosaic pair kernel instead (pallas_count.make_pallas_pair_count):
+    pairs sort by block id so each block's bit slab is DMA'd into VMEM
+    at most once per batch, the per-pair count folds VMEM-resident rows
+    through the Harley-Seal counter (no HBM row gather at all), and the
+    thresholds fuse in-kernel into a packed candidate bitmask — the tail
+    then scans P*128 mask words instead of P*4096 count lanes.  The
+    sorted outputs are restored to read-major pair order before the
+    word scan, so candidates still emit in ascending (read, block,
+    target) order and the (meta, aux) layout is byte-identical to the
+    XLA pass 2.  ``bits_ext`` must then be the prepacked per-block slab
+    array from pallas_count.pack_pair_blocks."""
     import jax
     import jax.numpy as jnp
     from jax import lax
+
+    pair_fn = None
+    if pair_pc is not None:
+        from .pallas_count import make_pallas_pair_count, thr_table_pairs
+
+        pp_K, pp_interp = pair_pc
+        pair_fn = make_pallas_pair_count(
+            pp_K, s_block, n_blocks, interpret=pp_interp
+        )
+        assert pair_budget % pair_fn.pairs_per_step == 0, pair_budget
 
     def pair_chunk(bits_ext, loc_t, nkmers, pb_c, pg_c, pv_c, cmin, tmin2,
                    spos2, budget_c):
@@ -1154,6 +1207,90 @@ def _make_screened_tail(
         pidx = jnp.minimum(pairs, B * n_blocks - 1)
         pb = pidx // n_blocks
         pg = pidx % n_blocks
+
+        if pair_fn is not None:
+            # ---- pass 2: block-stationary Mosaic pair kernel
+            W_b = t_block // 32  # 128 (asserted by pack_pair_blocks)
+            P = pair_budget
+            # sort pairs by block id (padding last) so the kernel re-DMAs
+            # a block slab at most n_blocks+1 times per batch
+            key = jnp.where(pv, pg, jnp.int32(n_blocks))
+            order = jnp.argsort(key)
+            rank = jnp.argsort(order)  # read-major pair -> sorted slot
+            pb_s = jnp.take(pb, order)
+            pg_s = jnp.take(key, order)
+            locp = jnp.take(loc_t, pb_s, axis=1).T  # [P, K] block rows
+            c_thresh = jnp.take(
+                cmin, jnp.minimum(nkmers, cmin.shape[0] - 1)
+            )
+            # per-read floor; ~2^30 on padding pairs zeroes their mask
+            cthr_p = jnp.where(
+                pg_s < n_blocks,
+                jnp.take(c_thresh, pb_s),
+                jnp.int32(2**30),
+            )
+            tab = jnp.concatenate(
+                [locp, pg_s[:, None], cthr_p[:, None]], axis=1
+            ).astype(jnp.int32)
+            thr = thr_table_pairs(tmin, sizes_pos, n_blocks)
+            counts_s, mask_s = pair_fn(bits_ext, tab, thr)
+            mask_rm = jnp.take(mask_s, rank, axis=0)  # read-major pairs
+            total = lax.population_count(mask_rm).astype(jnp.int32).sum()
+
+            # word-level candidate scan (a nonzero word holds >=1
+            # candidate, so nonzero words > budget implies total >
+            # budget and the retry fires before any word is dropped)
+            nw_total = P * W_b
+            wid, _nw = _nonzero_asc(
+                (mask_rm != 0).reshape(-1), cand_budget, nw_total
+            )
+            wv = jnp.where(
+                wid < nw_total,
+                jnp.take(
+                    mask_rm.reshape(-1), jnp.minimum(wid, nw_total - 1)
+                ),
+                jnp.uint32(0),
+            )
+            p_rm = jnp.minimum(wid // W_b, P - 1)
+            jbits = jnp.arange(32, dtype=jnp.uint32)
+            bset = (wv[:, None] >> jbits[None, :]) & jnp.uint32(1)
+            q_w = jnp.take(pb, p_rm)  # [budget] read id per word slot
+            t_w = jnp.take(pg, p_rm) * t_block + (wid % W_b) * 32
+            # per-candidate counts gather from the kernel's sorted-order
+            # counts array: pair row rank[p], lane j*128 + word
+            crow = jnp.take(rank, p_rm)
+            cmat = jnp.take(
+                counts_s.reshape(-1),
+                jnp.minimum(
+                    crow[:, None] * (32 * W_b)
+                    + jnp.arange(32, dtype=jnp.int32)[None, :] * W_b
+                    + (wid % W_b)[:, None],
+                    P * 32 * W_b - 1,
+                ),
+            )
+            cidx2, _n2 = _nonzero_asc(
+                (bset != 0).reshape(-1), cand_budget, cand_budget * 32
+            )
+            v2 = cidx2 < cand_budget * 32
+            c2 = jnp.minimum(cidx2, cand_budget * 32 - 1)
+            out_q = jnp.where(v2, jnp.take(q_w, c2 // 32), jnp.int32(B))
+            out_t = jnp.where(
+                v2, jnp.take(t_w, c2 // 32) + c2 % 32, jnp.int32(0)
+            )
+            out_cnt = jnp.where(v2, jnp.take(cmat.reshape(-1), c2), 0)
+            n_rep = jnp.where(
+                (total > cand_budget) | (n_pairs > pair_budget),
+                jnp.int32(cand_budget) + jnp.int32(1),
+                total,
+            )
+            meta = jnp.concatenate([n_rep[None], out_q, out_t])
+            aux = jnp.concatenate(
+                [
+                    jnp.clip(out_cnt, 0, 65535).astype(jnp.uint16),
+                    jnp.clip(nkmers, 0, 65535).astype(jnp.uint16),
+                ]
+            )
+            return meta, aux
 
         # ---- pass 2: dense count of active pairs only (chunked)
         C = n_pair_chunks
@@ -1925,6 +2062,7 @@ class DeviceDB:
         )
         self._tmin = jax.device_put(jnp.asarray(self._tmin_np), repl)
         self._perm_tabs = None  # bit-major (tmin, sizes_pos) for pallas_count
+        self._bits6 = None  # per-block VMEM slabs for the pair kernel
         self._cmin_cache: dict[int, object] = {}
         self._dev = repl
         # two-pass block screen (multi-block wide DBs; _make_screened_tail
@@ -2149,6 +2287,18 @@ class DeviceDB:
             )
         return self._perm_tabs
 
+    def _pair_slabs(self):
+        """Per-block [nb, S8, 8, 128] VMEM slab packing of the stacked
+        bit matrix for the screened pair kernel (pack_pair_blocks);
+        built once, lives on device."""
+        if self._bits6 is None:
+            from .pallas_count import pack_pair_blocks
+
+            self._bits6 = pack_pair_blocks(
+                self.bits_ext, self.n_blocks, self.screen["s_block"]
+            )
+        return self._bits6
+
     def _search_reads_screened(
         self, reads_u8, lens, cand_budget, k, lmax, max_hash,
         interpret=False,
@@ -2170,24 +2320,41 @@ class DeviceDB:
         B = reads_u8.shape[0]
         K = lmax - k + 1
         pair_budget = min(B * self.n_blocks, max(256, 2 * cand_budget))
-        n_chunks = 1
-        while (
-            (pair_budget // n_chunks) * K * self.w > 150_000_000
-            and n_chunks < pair_budget
-        ):
-            n_chunks *= 2
-        pair_budget = -(-pair_budget // n_chunks) * n_chunks
-        tail = _make_screened_tail(
-            cand_budget, pair_budget, opt.min_query_len,
-            opt.kmer_dedup_threshold, self.n_blocks, self.t_per_block,
-            s_block, n_chunks,
+        pair_mode = _pair_pc_mode(
+            self.t_per_block, s_block, self.n_blocks
         )
+        if pair_mode:
+            # block-stationary Mosaic pass 2: no [P_c, K, W] gathered
+            # intermediate exists, so no pair chunking either; the pair
+            # count must divide the kernel's pairs-per-step grid
+            pair_budget = -(-pair_budget // 8) * 8
+            tail = _make_screened_tail(
+                cand_budget, pair_budget, opt.min_query_len,
+                opt.kmer_dedup_threshold, self.n_blocks,
+                self.t_per_block, s_block, 1,
+                pair_pc=(K, pair_mode == "interpret" or interpret),
+            )
+            bits_arg = self._pair_slabs()
+        else:
+            n_chunks = 1
+            while (
+                (pair_budget // n_chunks) * K * self.w > 150_000_000
+                and n_chunks < pair_budget
+            ):
+                n_chunks *= 2
+            pair_budget = -(-pair_budget // n_chunks) * n_chunks
+            tail = _make_screened_tail(
+                cand_budget, pair_budget, opt.min_query_len,
+                opt.kmer_dedup_threshold, self.n_blocks,
+                self.t_per_block, s_block, n_chunks,
+            )
+            bits_arg = self.bits_ext
         cmin = self.cmin_for(max(K, 1))
         theta = self._theta_for(max(K, 1))
         if isinstance(lens, np.ndarray) or not hasattr(lens, "dtype"):
             lens = jnp.asarray(np.asarray(lens).astype(np.int32))
         return tail(
-            self.bits_ext, screen["u_ext"], loc_t, locu_t, nk, lens,
+            bits_arg, screen["u_ext"], loc_t, locu_t, nk, lens,
             cmin, theta, self._tmin, self.sizes_pos,
         )
 
