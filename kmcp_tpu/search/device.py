@@ -587,9 +587,18 @@ def _dedup_value_planes(vhi, vlo, locs, nk, threshold: int, sentinel: int):
     vhi/vlo: [K, B] uint32 halves of the window's ntHash value, 0 for
     invalid windows (the kernel zeroes them; a valid window can never
     hash to 0 — h==0 is defined invalid).  locs: list of [K, B] int32
-    planes.  Window order within a plane is irrelevant downstream (the
-    count tail sums over K), so planes are returned value-sorted."""
+    planes.  ``sentinel`` is one int for all planes or a sequence of
+    per-plane sentinels (the screened path's Bloom and union planes
+    live in different modulus spaces).  Window order within a plane is
+    irrelevant downstream (the count tail sums over K), so planes are
+    returned value-sorted."""
     import jax.numpy as jnp
+
+    sents = (
+        list(sentinel)
+        if isinstance(sentinel, (tuple, list))
+        else [sentinel] * len(locs)
+    )
 
     o1 = jnp.argsort(vlo, axis=0, stable=True)
     hi1 = jnp.take_along_axis(vhi, o1, axis=0)
@@ -607,9 +616,9 @@ def _dedup_value_planes(vhi, vlo, locs, nk, threshold: int, sentinel: int):
     nk_eff = jnp.where(apply, nk - dup.sum(axis=0, dtype=nk.dtype), nk)
     out = [
         jnp.where(
-            drop, jnp.int32(sentinel), jnp.take_along_axis(loc, o, axis=0)
+            drop, jnp.int32(s), jnp.take_along_axis(loc, o, axis=0)
         )
-        for loc in locs
+        for loc, s in zip(locs, sents)
     ]
     return out, nk_eff
 
@@ -1092,6 +1101,7 @@ def _make_screened_tail(
     s_block: int,
     n_pair_chunks: int,
     pair_pc=None,
+    in_dedup: bool = False,
 ):
     """Two-pass wide-T tail (single-hash): per-block union screen, then a
     dense count of ONLY the active (read, block) pairs.
@@ -1126,7 +1136,16 @@ def _make_screened_tail(
     word scan, so candidates still emit in ascending (read, block,
     target) order and the (meta, aux) layout is byte-identical to the
     XLA pass 2.  ``bits_ext`` must then be the prepacked per-block slab
-    array from pallas_count.pack_pair_blocks."""
+    array from pallas_count.pack_pair_blocks.
+
+    With ``in_dedup`` the tail call takes ``vplanes`` = (vhi, vlo)
+    [K, B] uint32 window values and reads over the dedup threshold are
+    uniqued on device before BOTH passes (_dedup_value_planes over the
+    Bloom and union planes, per-plane sentinels) instead of excluded —
+    the paired streaming mode on multi-block screened DBs
+    (util-db-search.go:800-805,874-908): the union theta, cmin and the
+    reported qKmers all use the unique count, matching the host
+    backend's dedup-then-screen order."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -1188,9 +1207,17 @@ def _make_screened_tail(
         return lax.cond(pv_c.any(), heavy, empty, None)
 
     def tail(bits_ext, u_ext, loc_t, locu_t, nk, lens, cmin, theta_tab,
-             tmin, sizes_pos):
+             tmin, sizes_pos, vplanes=()):
         nkmers = nk[0]
         B = nkmers.shape[0]
+        if in_dedup:
+            # paired joined rows: unique the >threshold window sets over
+            # BOTH location planes (Bloom rows sentinel = s_block, union
+            # rows sentinel = u_ext's zero row) before either pass
+            (loc_t, locu_t), nkmers = _dedup_value_planes(
+                vplanes[0], vplanes[1], [loc_t, locu_t], nkmers,
+                dedup_threshold, (s_block, u_ext.shape[0] - 1),
+            )
 
         # ---- pass 1: per-block union-hit counts + screen threshold
         urows = jnp.take(u_ext, locu_t, axis=0)  # [K, B, Wu] k-major
@@ -1198,7 +1225,11 @@ def _make_screened_tail(
         theta = jnp.take(
             theta_tab, jnp.minimum(nkmers, theta_tab.shape[1] - 1), axis=1
         ).T  # [B, nb]
-        read_ok = (lens >= min_len) & (nkmers <= dedup_threshold)
+        read_ok = (
+            (lens >= min_len)
+            if in_dedup
+            else (lens >= min_len) & (nkmers <= dedup_threshold)
+        )
         active = (ucnt >= theta) & read_ok[:, None]
         pairs, n_pairs = _nonzero_asc(
             active.reshape(-1), pair_budget, B * n_blocks
@@ -2171,9 +2202,9 @@ class DeviceDB:
                     "multi-block device search needs the two-pass screen "
                     "(index --block-screen with uniform block geometry)"
                 )
-            assert not dedup_values  # paired streams single-block only
             return self._search_reads_screened(
-                reads_u8, lens, cand_budget, k, lmax, max_hash
+                reads_u8, lens, cand_budget, k, lmax, max_hash,
+                dedup_values=dedup_values,
             )
         hash_fn = make_pallas_hash_loc(
             k, lmax, self.total_rows, max_hash, num_hashes=h,
@@ -2301,10 +2332,12 @@ class DeviceDB:
 
     def _search_reads_screened(
         self, reads_u8, lens, cand_budget, k, lmax, max_hash,
-        interpret=False,
+        interpret=False, dedup_values=False,
     ):
         """Two-pass screened search of a multi-block DB (the GTDB-scale
-        wide-T regime); see _make_screened_tail."""
+        wide-T regime); see _make_screened_tail.  ``dedup_values``: the
+        paired streaming mode — window values ride along and over-
+        threshold joined rows are uniqued in-step before both passes."""
         import jax.numpy as jnp
 
         from .pallas_hash import make_pallas_hash_loc
@@ -2315,8 +2348,11 @@ class DeviceDB:
         hash_fn = make_pallas_hash_loc(
             k, lmax, s_block, max_hash, num_hashes=1,
             screen_sigs=screen["num_bits"], interpret=interpret,
+            emit_values=dedup_values,
         )
-        loc_t, locu_t, nk = hash_fn(reads_u8)
+        outs = hash_fn(reads_u8)
+        loc_t, locu_t, nk = outs[:3]
+        vplanes = tuple(outs[3:5]) if dedup_values else ()
         B = reads_u8.shape[0]
         K = lmax - k + 1
         pair_budget = min(B * self.n_blocks, max(256, 2 * cand_budget))
@@ -2333,6 +2369,7 @@ class DeviceDB:
                 opt.kmer_dedup_threshold, self.n_blocks,
                 self.t_per_block, s_block, 1,
                 pair_pc=(K, pair_mode == "interpret" or interpret),
+                in_dedup=dedup_values,
             )
             bits_arg = self._pair_slabs()
         else:
@@ -2347,6 +2384,7 @@ class DeviceDB:
                 cand_budget, pair_budget, opt.min_query_len,
                 opt.kmer_dedup_threshold, self.n_blocks,
                 self.t_per_block, s_block, n_chunks,
+                in_dedup=dedup_values,
             )
             bits_arg = self.bits_ext
         cmin = self.cmin_for(max(K, 1))
@@ -2355,7 +2393,7 @@ class DeviceDB:
             lens = jnp.asarray(np.asarray(lens).astype(np.int32))
         return tail(
             bits_arg, screen["u_ext"], loc_t, locu_t, nk, lens,
-            cmin, theta, self._tmin, self.sizes_pos,
+            cmin, theta, self._tmin, self.sizes_pos, vplanes,
         )
 
     def search_reads_async(

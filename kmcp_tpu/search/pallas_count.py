@@ -29,9 +29,12 @@ indices after compaction; output ordering is normalized downstream by
 the stream layer's lexsort over (t, size, -cnt, qi) (stream.py:513),
 so the permuted compaction order is invisible in the TSV.
 
-Single-hash only: with num_hashes == 1 there is no pand row-AND
-(util-db-search.go:6639-6645) to fuse; multi-hash DBs keep the XLA
-tail, where the AND folds into the gather.
+Multi-hash DBs fuse the pand row-AND (util-db-search.go:6639-6645)
+into the same kernel: each k-mer's ``num_hashes`` Bloom rows are
+gathered and ANDed in VMEM before the plane enters the CSA tree
+(``make_pallas_count(num_hashes=...)``;
+test_pallas_count_multihash_pand), so one kernel replaces the
+reference's pand+pospop pair for every hash count.
 """
 
 from __future__ import annotations

@@ -241,13 +241,11 @@ class StreamSearcher:
         if paired:
             # paired mates join into one hash row; the >256-k-mer sets
             # dedup in-kernel (host C++) / in-step (device value sort,
-            # device.py::_dedup_value_planes).  --try-se needs the
-            # object engine's retry plan; the multi-block screened
-            # device tail carries no in-step dedup, so paired multi-
-            # block stays host-only.
+            # device.py::_dedup_value_planes — the screened multi-block
+            # tail dedups BOTH location planes in-step, so paired
+            # wide-T streams on the device too).  --try-se needs the
+            # object engine's retry plan.
             if engine.opt.try_se:
-                return False
-            if engine.opt.backend != "host" and len(db.blocks) != 1:
                 return False
         if native.get_lib() is None:
             return False

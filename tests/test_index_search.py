@@ -954,6 +954,122 @@ def test_device_two_pass_screen_matches_host(tmp_path):
     assert np.all(np.diff(didx) >= 0) or dn <= 1
 
 
+def test_screened_paired_dedup_matches_host(tmp_path):
+    """Paired streaming on a MULTI-BLOCK screened DB — the flagship
+    profiling workload at its production shape (paired reads x wide-T,
+    util-db-search.go:800-805): the two-pass device tail's in-step
+    dedup (BOTH location planes uniqued over the window values,
+    device.py::_dedup_value_planes with per-plane sentinels) must
+    produce exactly the host backend's candidates and unique k-mer
+    counts for joined mate rows over the dedup threshold
+    (util-db-search.go:874-908), including fully-duplicate mates,
+    sub-threshold rows that keep duplicates, junk and empty mates."""
+    from kmcp_tpu.kmer import native as _nat
+
+    if _nat.get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    from kmcp_tpu.commands.compute import ComputeOptions, run_compute
+    from kmcp_tpu.index.build import run_index
+    from kmcp_tpu.search.device import DeviceDB, HostDB, two_pass_ready
+    from kmcp_tpu.search.engine import SearchEngine, SearchOptions
+    from kmcp_tpu.search.stream import StreamSearcher, _unpack_result
+
+    rng = np.random.default_rng(77)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genomes = []
+    for g in range(4):
+        seq = rng.choice(bases, size=30000).tobytes()
+        (tmp_path / f"g{g}.fa").write_text(f">g{g}\n{seq.decode()}\n")
+        genomes.append(seq)
+    run_compute(
+        out_dir=str(tmp_path / "ks"),
+        files=[str(tmp_path / f"g{g}.fa") for g in range(4)],
+        opt=ComputeOptions(ks=[21], split_number=4, split_overlap=100),
+        force=True,
+    )
+    db_dir = str(tmp_path / "db")
+    run_index(
+        in_dir=str(tmp_path / "ks"), out_dir=db_dir, num_hashes=1,
+        fpr=0.3, force=True, tpu_native=True, native_block_targets=4,
+        block_screen=True, uniform_sigs=True,
+    )
+
+    rc = bytes.maketrans(b"ACGT", b"TGCA")
+    B = 256
+    pairs = []
+    for i in range(B):
+        g = genomes[int(rng.integers(0, 4))]
+        p = int(rng.integers(0, len(g) - 500))
+        r1 = g[p : p + 150]
+        r2 = g[p + 200 : p + 350].translate(rc)[::-1]
+        if i % 7 == 6:  # fully-duplicate mates: every window repeats
+            r2 = r1
+        elif i % 11 == 10:  # overlapping mates: partial duplication
+            r2 = g[p + 50 : p + 200]
+        elif i % 23 == 22:  # junk mate
+            r2 = rng.choice(bases, size=150).tobytes()
+        elif i % 31 == 30:  # empty mate
+            r2 = b""
+        elif i % 13 == 12:  # sub-threshold row WITH duplicate windows:
+            # 40+40 bp joined = 60 windows <= threshold 70 -> the
+            # duplicates must be KEPT (the reference quirk)
+            r1 = g[p : p + 40] + g[p : p + 40]
+            r2 = b""
+        pairs.append((r1, r2))
+    joined = [r1 + b"N" + r2 if r2 else r1 for r1, r2 in pairs]
+    jlens = np.array([len(s) for s in joined], dtype=np.int64)
+    eff = np.array(
+        [max(len(r1), len(r2)) for r1, r2 in pairs], dtype=np.int64
+    )
+    lmax = -(-int(jlens.max()) // 32) * 32
+    mat = _nat.pack_rows(joined, jlens, lmax)
+
+    thr = 70
+    opt = SearchOptions(
+        backend="jax", batch_size=B, kmer_dedup_threshold=thr,
+        paired_fpr_buf=True,
+    )
+    eng = SearchEngine([db_dir], opt)
+    db = eng.dbs[0]
+    assert len(db.blocks) > 1 and two_pass_ready(db)
+    # paired multi-block is admitted by usable() now (on real TPU; the
+    # CPU mesh in this suite still rejects for lack of Mosaic kernels)
+    assert StreamSearcher.usable(eng, paired=True) is False
+
+    budget = 8 * B
+    hd = HostDB(db, opt)
+    T = hd.t_per_block * hd.n_blocks
+    host_res = hd.search_reads_async(
+        (B, lmax), jlens, budget, seqs=joined, dedup_threshold=thr,
+        eff_lens=eff,
+    )
+    hn, hqi, ht, hcnt, hnk = _unpack_result(host_res, budget, B, T)
+    hidx = np.asarray(hqi).astype(np.int64) * T + np.asarray(ht)
+    assert hn > 0
+    # the dedup must have bitten: joined rows carry ~260 raw windows
+    assert int(np.asarray(hnk).max()) > thr
+
+    dev = DeviceDB(db, opt)
+    assert dev.screen is not None
+    meta_aux = dev._search_reads_screened(
+        mat, eff, budget, 21, lmax, (1 << 64) - 1, interpret=True,
+        dedup_values=True,
+    )
+    dn, dqi, dt_, dcnt, dnk = _unpack_result(meta_aux, budget, B, T)
+    didx = np.asarray(dqi).astype(np.int64) * T + np.asarray(dt_)
+
+    assert dn == hn
+    ho = np.argsort(hidx, kind="stable")
+    do = np.argsort(didx, kind="stable")
+    np.testing.assert_array_equal(didx[do], hidx[ho])
+    np.testing.assert_array_equal(
+        np.asarray(dcnt)[do], np.asarray(hcnt)[ho]
+    )
+    # unique (post-dedup) k-mer counts, incl. kept-duplicate rows
+    np.testing.assert_array_equal(dnk, hnk)
+
+
 def test_screened_tail_chunked_pairs_match_unchunked(tmp_path):
     """The screened tail's pair chunking (lax.map + lax.cond skip of
     all-padding chunks) must produce the unchunked tail's exact output,
