@@ -228,6 +228,124 @@ def main() -> None:
             # persistent cache usually makes the child far faster
             "jax": max(int(timeout_env or "0") or 0, 540),
         }
+
+        def run_child(child_backend, attempts):
+            timeout = timeouts[child_backend]
+            for _ in range(attempts):
+                env = dict(
+                    os.environ, BENCH_CHILD="1", BENCH_BACKEND=child_backend
+                )
+                # TPU child uses the Pallas rolling-hash kernel by default
+                env.setdefault("KMCP_TPU_DEVICE_HASH", "1")
+                proc = subprocess.Popen(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                    text=True,
+                )
+                timed_out = False
+                try:
+                    stdout, stderr = proc.communicate(timeout=timeout)
+                except subprocess.TimeoutExpired:
+                    # salvage any partial JSON the child already printed
+                    # (the jax child emits the device-step line as soon
+                    # as it's measured, before the longer e2e passes)
+                    timed_out = True
+                    proc.kill()
+                    stdout, stderr = proc.communicate()
+                    print(
+                        f"[bench] {child_backend} child timed out after "
+                        f"{timeout}s (TPU tunnel wedged?)", file=sys.stderr,
+                    )
+                line = [
+                    l for l in stdout.splitlines() if l.startswith("{")
+                ]
+                if line:
+                    # accept the last JSON line even from a timed-out or
+                    # crashed child: a partial measurement beats none
+                    res = json.loads(line[-1])
+                    prev = results.get(child_backend)
+                    if prev is None or res["value"] > prev["value"]:
+                        results[child_backend] = res
+                    if child_backend == "jax":
+                        break  # don't re-load the tunnel
+                elif not timed_out:
+                    print(
+                        f"[bench] {child_backend} child failed "
+                        f"(rc={proc.returncode})", file=sys.stderr,
+                    )
+                    print(stderr[-1500:], file=sys.stderr)
+                    # a fast crash is worth one retry; fall through
+                if timed_out:
+                    # a wedged tunnel stays wedged for hours (observed);
+                    # retrying after a full-timeout wait only doubles the
+                    # loss, so give up on this backend
+                    break
+
+        def emit_record(tunnel_ok, tunnel_health, probe_record):
+            # a salvaged partial record (pure device-step rate, no
+            # end-to-end run) must not displace a full measurement as
+            # the headline; it only contributes its device-step field
+            full = [r for r in results.values() if not r.get("partial")]
+            best = dict(max(
+                full or results.values(), key=lambda r: r["value"]
+            ))
+            best["all_backends"] = {
+                k: v["value"] for k, v in results.items()
+            }
+            jd = results.get("jax", {})
+            if jd.get("device_step_reads_per_s"):
+                # on-chip rate always comes from the jax child, even
+                # when the host backend wins end-to-end
+                best["device_step_reads_per_s"] = jd[
+                    "device_step_reads_per_s"
+                ]
+            hd = results.get("host", {})
+            if hd.get("large_t_reads_per_s") and not best.get(
+                "large_t_reads_per_s"
+            ):
+                best["large_t_reads_per_s"] = hd["large_t_reads_per_s"]
+            for extra in (
+                "large_t_device_reads_per_s",
+                "large_t_dense_device_reads_per_s",
+                "large_t_dense_step_reads_per_s",
+                "large_t_device_524k_reads_per_s",
+                "gbit_and_s",
+                "profile_reads_per_s_device",
+                "paired_pairs_per_s_device",
+            ):
+                if jd.get(extra):
+                    best[extra] = jd[extra]
+            for hfield in ("profile_reads_per_s", "paired_pairs_per_s"):
+                if hd.get(hfield) and not best.get(hfield):
+                    best[hfield] = hd[hfield]
+            if tunnel_health is not None:
+                best["tunnel"] = tunnel_health
+            # probe telemetry rides the record EITHER WAY — on failure
+            # it is the evidence of what the tunnel did (round-3 lesson:
+            # a prose note is not a health record)
+            best["tunnel_probe"] = probe_record
+            if not jd:
+                best["device_note"] = (
+                    "TPU tunnel unreachable at bench time; last "
+                    "builder-measured device rates in docs/PERF.md"
+                    if not tunnel_ok
+                    else "jax child produced no result"
+                )
+            print(json.dumps(best), flush=True)
+
+        # HOST FIRST, and emit an interim host-only record BEFORE the
+        # probe loop: if the driver's own watchdog kills this process
+        # mid-probe (the probe retries can run ~15 min on a wedged
+        # tunnel), the last JSON line on stdout is still a complete
+        # host measurement rather than nothing.
+        run_child("host", 2)
+        if results:
+            emit_record(
+                False, None,
+                {"ok": False, "attempts": [],
+                 "note": "interim record emitted before the probe loop"},
+            )
+
         # pre-probe the TPU tunnel: when it is wedged (observed for
         # hours at a stretch) the jax child would hang on jax.devices()
         # until the watchdog — skip it and say so instead.  The probe
@@ -311,109 +429,10 @@ def main() -> None:
             print(f"[bench] tunnel health: {tunnel_health} "
                   f"(attempt {len(probe_attempts)})", file=sys.stderr)
 
-        for child_backend, attempts in (("host", 2), ("jax", 2)):
-            if child_backend == "jax" and not tunnel_ok:
-                continue
-            timeout = timeouts[child_backend]
-            for _ in range(attempts):
-                env = dict(
-                    os.environ, BENCH_CHILD="1", BENCH_BACKEND=child_backend
-                )
-                # TPU child uses the Pallas rolling-hash kernel by default
-                env.setdefault("KMCP_TPU_DEVICE_HASH", "1")
-                proc = subprocess.Popen(
-                    [sys.executable, os.path.abspath(__file__)],
-                    env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-                    text=True,
-                )
-                timed_out = False
-                try:
-                    stdout, stderr = proc.communicate(timeout=timeout)
-                except subprocess.TimeoutExpired:
-                    # salvage any partial JSON the child already printed
-                    # (the jax child emits the device-step line as soon
-                    # as it's measured, before the longer e2e passes)
-                    timed_out = True
-                    proc.kill()
-                    stdout, stderr = proc.communicate()
-                    print(
-                        f"[bench] {child_backend} child timed out after "
-                        f"{timeout}s (TPU tunnel wedged?)", file=sys.stderr,
-                    )
-                line = [
-                    l for l in stdout.splitlines() if l.startswith("{")
-                ]
-                if line:
-                    # accept the last JSON line even from a timed-out or
-                    # crashed child: a partial measurement beats none
-                    res = json.loads(line[-1])
-                    prev = results.get(child_backend)
-                    if prev is None or res["value"] > prev["value"]:
-                        results[child_backend] = res
-                    if child_backend == "jax":
-                        break  # don't re-load the tunnel
-                elif not timed_out:
-                    print(
-                        f"[bench] {child_backend} child failed "
-                        f"(rc={proc.returncode})", file=sys.stderr,
-                    )
-                    print(stderr[-1500:], file=sys.stderr)
-                    # a fast crash is worth one retry; fall through
-                if timed_out:
-                    # a wedged tunnel stays wedged for hours (observed);
-                    # retrying after a full-timeout wait only doubles the
-                    # loss, so give up on this backend
-                    break
+        if tunnel_ok:
+            run_child("jax", 2)
         if results:
-            # a salvaged partial record (pure device-step rate, no
-            # end-to-end run) must not displace a full measurement as
-            # the headline; it only contributes its device-step field
-            full = [r for r in results.values() if not r.get("partial")]
-            best = max(
-                full or results.values(), key=lambda r: r["value"]
-            )
-            best["all_backends"] = {
-                k: v["value"] for k, v in results.items()
-            }
-            jd = results.get("jax", {})
-            if jd.get("device_step_reads_per_s"):
-                # on-chip rate always comes from the jax child, even
-                # when the host backend wins end-to-end
-                best["device_step_reads_per_s"] = jd[
-                    "device_step_reads_per_s"
-                ]
-            hd = results.get("host", {})
-            if hd.get("large_t_reads_per_s") and not best.get(
-                "large_t_reads_per_s"
-            ):
-                best["large_t_reads_per_s"] = hd["large_t_reads_per_s"]
-            for extra in (
-                "large_t_device_reads_per_s",
-                "large_t_dense_device_reads_per_s",
-                "large_t_dense_step_reads_per_s",
-                "gbit_and_s",
-                "profile_reads_per_s_device",
-                "paired_pairs_per_s_device",
-            ):
-                if jd.get(extra):
-                    best[extra] = jd[extra]
-            for hfield in ("profile_reads_per_s", "paired_pairs_per_s"):
-                if hd.get(hfield) and not best.get(hfield):
-                    best[hfield] = hd[hfield]
-            if tunnel_health is not None:
-                best["tunnel"] = tunnel_health
-            # probe telemetry rides the record EITHER WAY — on failure
-            # it is the evidence of what the tunnel did (round-3 lesson:
-            # a prose note is not a health record)
-            best["tunnel_probe"] = probe_record
-            if not jd:
-                best["device_note"] = (
-                    "TPU tunnel unreachable at bench time; last "
-                    "builder-measured device rates in docs/PERF.md"
-                    if not tunnel_ok
-                    else "jax child produced no result"
-                )
-            print(json.dumps(best))
+            emit_record(tunnel_ok, tunnel_health, probe_record)
             return
         os.environ["BENCH_BACKEND"] = backend = "numpy"
 
@@ -688,6 +707,30 @@ def main() -> None:
         except Exception as e:
             print(
                 f"[bench] dense wide-row extra failed: {e}",
+                file=sys.stderr,
+            )
+        # 524k-target screened extra: the reference's FULL GTDB
+        # profiling chunk scale (~479k chunks,
+        # docs/database-time-and-mem-v2021.12.md:8-33).  Only runs when
+        # the (large, slow to build) 524k cache exists — never built
+        # inline here; tools/bench_large_t.py --targets 524288 builds it.
+        try:
+            lt524 = os.path.join(CACHE, "large_t-524288")
+            lt_db = os.path.join(lt524, "db-uniform")
+            lt_gdir = os.path.join(lt524, "genomes")
+            if os.path.isfile(os.path.join(lt_db, "db.json")):
+                from tools.bench_large_t import bench_device as _lt_dev
+                from tools.bench_large_t import make_reads as _lt_reads
+
+                lt = _lt_dev(lt_db, _lt_reads(lt_gdir, 16384, 10.0),
+                             batch=4096)
+                record["large_t_device_524k_reads_per_s"] = max(
+                    lt.get("step_reads_per_s") or 0, lt["reads_per_s"]
+                )
+                print(json.dumps(record), flush=True)
+        except Exception as e:
+            print(
+                f"[bench] 524k screened extra failed: {e}",
                 file=sys.stderr,
             )
 
