@@ -128,10 +128,16 @@ def _worker():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument(
+        "--trials", type=int, default=1,
+        help="repeat the (1-proc, 2-proc) pair N times, interleaved, "
+        "and report medians + spread (this box swings +-15% with "
+        "machine state; a single trial cannot support two significant "
+        "digits of efficiency — VERDICT r3 weak item 3)",
+    )
     args = ap.parse_args()
 
-    results = {}
-    for nprocs in (1, 2):
+    def run_once(nprocs):
         jobs = []  # (popen, is_reporting)
         if nprocs == 1:
             # two INDEPENDENT 1-proc jobs, one per core pair, running
@@ -178,15 +184,35 @@ def main():
         rec["step_s"] = round(
             sum(r["step_s"] for r in recs) / len(recs), 4
         )
-        results[nprocs] = rec
         print(json.dumps(rec))
-    eff = results[1]["step_s"] / results[2]["step_s"]
+        return rec
+
+    trials = []
+    for t in range(args.trials):
+        # interleave configs so slow machine phases hit both equally
+        s1 = run_once(1)["step_s"]
+        s2 = run_once(2)["step_s"]
+        trials.append((s1, s2))
+        print(f"[trial {t + 1}/{args.trials}] 1proc {s1}s  2proc {s2}s "
+              f" eff {s1 / s2:.3f}", file=sys.stderr)
+    import statistics as st
+
+    t1 = sorted(s for s, _ in trials)
+    t2 = sorted(s for _, s in trials)
+    effs = sorted(s1 / s2 for s1, s2 in trials)
     print(json.dumps({
         "metric": "multihost_weak_scaling_efficiency",
-        "value": round(eff, 3),
-        "note": "mean step_time(2 concurrent 1proc jobs, 65k targets "
-                "each) / step_time(2proc Gloo job, 131k targets); 2 "
-                "pinned cores + 2 devices per job either way",
+        "value": round(st.median(effs), 3),
+        "trials": len(trials),
+        "eff_range": [round(effs[0], 3), round(effs[-1], 3)],
+        "step_1proc_s": {"median": round(st.median(t1), 3),
+                         "range": [t1[0], t1[-1]]},
+        "step_2proc_s": {"median": round(st.median(t2), 3),
+                         "range": [t2[0], t2[-1]]},
+        "note": "per-trial eff = mean step_time(2 concurrent 1proc "
+                "jobs, 65k targets each) / step_time(2proc Gloo job, "
+                "131k targets); 2 pinned cores + 2 devices per job "
+                "either way; median over interleaved trials",
     }))
 
 
