@@ -130,12 +130,17 @@ def _device_step_rate(st, queries, opt) -> float | None:
         seqs = [q[1] for q in queries[:B]]
         lens = np.array([len(s) for s in seqs], dtype=np.int64)
         lmax = max(-(-int(lens.max()) // 32) * 32, st.k + 31)
-        mat = _native.pack_rows(seqs, lens, lmax)
+        pack4 = os.environ.get("KMCP_TPU_PACK4", "1") == "1"
+        mat = (
+            _native.pack_rows_4bit(seqs, lens, lmax)
+            if pack4
+            else _native.pack_rows(seqs, lens, lmax)
+        )
         xt = jax.device_put(mat)
         lt = jax.device_put(lens.astype(np.int32))
         jax.block_until_ready((xt, lt))
         budget = B + B // 2
-        r = dev.search_reads_pallas(xt, lt, budget)
+        r = dev.search_reads_pallas(xt, lt, budget, packed4=pack4)
         np.asarray(r[0][:1])  # data pull: compile barrier
         # chained dispatch with ONE in-order barrier pull at the end:
         # per-rep pulls — even pipelined — floor the measurement at the
@@ -152,7 +157,9 @@ def _device_step_rate(st, queries, opt) -> float | None:
         t0 = time.time()
         m = None
         for i in range(reps):
-            m, _ = dev.search_reads_pallas(xts[i % 3], lts[i % 3], budget)
+            m, _ = dev.search_reads_pallas(
+                xts[i % 3], lts[i % 3], budget, packed4=pack4
+            )
         np.asarray(m[:1])
         return round(B * reps / (time.time() - t0), 1)
     except Exception as e:
@@ -365,14 +372,18 @@ def main() -> None:
             "import json, time, numpy as np, jax;"
             "x = jax.device_put(np.arange(4));"
             "assert float(x.sum()) == 6.0;"
-            "big = jax.device_put("
-            "    np.zeros(1 << 22, dtype=np.float32)) + 1;"
+            "src = np.zeros(1 << 22, dtype=np.float32);"
+            "t0 = time.time();"
+            "big = jax.block_until_ready(jax.device_put(src));"
+            "h2d = 16.0 / max(time.time() - t0, 1e-9);"
+            "big = big + 1;"
             "t0 = time.time(); _ = np.asarray(big);"
             "d2h = 16.0 / max(time.time() - t0, 1e-9);"
             "t0 = time.time();"
             "[np.asarray(x + i)[:1] for i in range(5)];"
             "rtt = (time.time() - t0) / 5 * 1e3;"
             "print(json.dumps({'d2h_mb_s': round(d2h, 1),"
+            "                  'h2d_mb_s': round(h2d, 1),"
             "                  'pull_rtt_ms': round(rtt, 1)}))"
         )
         while True:

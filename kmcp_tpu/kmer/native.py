@@ -190,6 +190,9 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.kt_pack_rows.restype = None
+        if hasattr(lib, "kt_pack_rows_4bit"):
+            lib.kt_pack_rows_4bit.argtypes = lib.kt_pack_rows.argtypes
+            lib.kt_pack_rows_4bit.restype = None
         _lib = lib
         return _lib
 
@@ -282,6 +285,48 @@ def pack_rows(reads: list[bytes], lens: np.ndarray, stride: int):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out
+
+
+_P4_LUT = None
+
+
+def pack_rows_4bit(reads: list[bytes], lens: np.ndarray, stride: int):
+    """Pack reads into [B, stride//2] uint8 with two 4-bit base codes
+    per byte (A=1 C=2 G=3 T=4, case-insensitive, else 0; low nibble
+    first) — half the H2D bytes of pack_rows for the device hash path
+    (pallas_hash packed4 decodes on device).  NumPy fallback when the
+    native library predates kt_pack_rows_4bit."""
+    assert stride % 2 == 0
+    lib = get_lib()
+    B = len(reads)
+    if lib is not None and hasattr(lib, "kt_pack_rows_4bit"):
+        concat = b"".join(reads)
+        offs = np.zeros(B + 1, dtype=np.int64)
+        np.cumsum(np.asarray(lens, dtype=np.int64), out=offs[1:])
+        out = np.empty((B, stride // 2), dtype=np.uint8)
+        lib.kt_pack_rows_4bit(
+            concat,
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            B, stride,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return out
+    global _P4_LUT
+    if _P4_LUT is None:
+        lut = np.zeros(256, dtype=np.uint8)
+        for c, v in zip(b"ACGTacgt", (1, 2, 3, 4, 1, 2, 3, 4)):
+            lut[c] = v
+        _P4_LUT = lut
+    mat = pack_rows(reads, lens, stride)
+    if mat is None:
+        mat = np.zeros((B, stride), dtype=np.uint8)
+        for i, r in enumerate(reads):
+            ln = min(len(r), stride)
+            mat[i, :ln] = np.frombuffer(r[:ln], np.uint8)
+    codes = _P4_LUT[mat]
+    return (codes[:, 0::2] | (codes[:, 1::2] << np.uint8(4))).astype(
+        np.uint8
+    )
 
 
 def hash_reads_loc(

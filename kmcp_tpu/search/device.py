@@ -2169,7 +2169,8 @@ class DeviceDB:
         return t
 
     def search_reads_pallas(self, reads_u8, lens, cand_budget,
-                            dedup_values: bool = False):
+                            dedup_values: bool = False,
+                            packed4: bool = False):
         """Pallas rolling-hash kernel + jitted count tail (num_hashes==1).
 
         reads_u8: [B, lmax] uint8 (B multiple of 256); the kernel's
@@ -2182,7 +2183,11 @@ class DeviceDB:
         streaming mode, whose joined mate rows routinely exceed the
         256-k-mer threshold (util-db-search.go:800-805,874-908).  For
         paired reads callers pass max(len1, len2) as ``lens`` (it only
-        feeds the min-query-length filter)."""
+        feeds the min-query-length filter).
+
+        With ``packed4`` reads_u8 is the [B, lmax//2] 4-bit-packed
+        layout (native.pack_rows_4bit) — half the H2D bytes; decoded
+        on device ahead of the hash kernel."""
         import jax.numpy as jnp
 
         from .pallas_hash import make_pallas_hash_loc
@@ -2192,7 +2197,7 @@ class DeviceDB:
         assert self.mesh is None
         h = db.info.num_hashes
         k = sorted(db.info.ks)[-1]
-        lmax = reads_u8.shape[1]
+        lmax = reads_u8.shape[1] * (2 if packed4 else 1)
         max_hash = (
             int(db.max_hash) if db.max_hash is not None else (1 << 64) - 1
         )
@@ -2204,11 +2209,11 @@ class DeviceDB:
                 )
             return self._search_reads_screened(
                 reads_u8, lens, cand_budget, k, lmax, max_hash,
-                dedup_values=dedup_values,
+                dedup_values=dedup_values, packed4=packed4,
             )
         hash_fn = make_pallas_hash_loc(
             k, lmax, self.total_rows, max_hash, num_hashes=h,
-            emit_values=dedup_values,
+            emit_values=dedup_values, packed4=packed4,
         )
         outs = hash_fn(reads_u8)
         loc_ts, nk = outs[:h], outs[h]
@@ -2332,7 +2337,7 @@ class DeviceDB:
 
     def _search_reads_screened(
         self, reads_u8, lens, cand_budget, k, lmax, max_hash,
-        interpret=False, dedup_values=False,
+        interpret=False, dedup_values=False, packed4=False,
     ):
         """Two-pass screened search of a multi-block DB (the GTDB-scale
         wide-T regime); see _make_screened_tail.  ``dedup_values``: the
@@ -2348,7 +2353,7 @@ class DeviceDB:
         hash_fn = make_pallas_hash_loc(
             k, lmax, s_block, max_hash, num_hashes=1,
             screen_sigs=screen["num_bits"], interpret=interpret,
-            emit_values=dedup_values,
+            emit_values=dedup_values, packed4=packed4,
         )
         outs = hash_fn(reads_u8)
         loc_t, locu_t, nk = outs[:3]

@@ -42,6 +42,7 @@ def make_pallas_hash_loc(
     num_hashes: int = 1,
     screen_sigs: int = 0,
     emit_values: bool = False,
+    packed4: bool = False,
 ):
     """Build fn(reads_u8[B, lmax]) -> (loc_t int32 [kmax, B] per hash
     function, ..., nk int32 [1, B]).  B must be a multiple of 256.
@@ -61,7 +62,12 @@ def make_pallas_hash_loc(
     With ``emit_values`` two uint32 planes (h_hi, h_lo) of the raw
     64-bit window value follow the nk output (invalid windows emit 0 —
     h==0 is itself defined invalid), feeding the device-side >threshold
-    k-mer dedup of paired streaming (device.py::_dedup_value_planes)."""
+    k-mer dedup of paired streaming (device.py::_dedup_value_planes).
+
+    With ``packed4`` the input is [B, lmax//2] uint8 holding two 4-bit
+    base codes per byte (native.pack_rows_4bit: A=1 C=2 G=3 T=4,
+    anything else 0=invalid; low nibble first) — half the H2D bytes;
+    decoded to the ASCII plane on device before the kernel."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -260,9 +266,27 @@ def make_pallas_hash_loc(
         final = jax.lax.fori_loop(0, lmax // 8, blk, init)
         nk_ref[0, :] = final[5]
 
+    # 4-bit packed input: two base CODES per byte (A=1 C=2 G=3 T=4,
+    # invalid=0; native.pack_rows_4bit) — HALF the H2D bytes of the
+    # ASCII layout through the tunnel, whose bandwidth is the scarce
+    # resource (~150 B/read was the largest remaining per-read
+    # transfer).  The nibble decode + code->ASCII LUT runs on device
+    # as plain XLA ops ahead of the kernel (fused, VPU-trivial), so
+    # the Mosaic kernel itself is unchanged.
+    _LUT = np.zeros(16, dtype=np.int32)
+    _LUT[1:5] = [ord("A"), ord("C"), ord("G"), ord("T")]
+
     @jax.jit
     def run(reads_bl):
-        widened = reads_bl.T.astype(jnp.int32)
+        if packed4:
+            B = reads_bl.shape[0]
+            codes = jnp.stack(
+                [reads_bl & jnp.uint8(15), reads_bl >> jnp.uint8(4)],
+                axis=-1,
+            ).reshape(B, lmax)
+            widened = jnp.take(jnp.asarray(_LUT), codes.T.astype(jnp.int32))
+        else:
+            widened = reads_bl.T.astype(jnp.int32)
         B = reads_bl.shape[0]
         loc_spec = pl.BlockSpec((lmax, TILE_B), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)
@@ -291,7 +315,7 @@ def make_pallas_hash_loc(
         import jax.numpy as jnp
 
         B, L = reads_bl.shape
-        assert L == lmax and B % TILE_B == 0
+        assert L == (lmax // 2 if packed4 else lmax) and B % TILE_B == 0
         return run(jnp.asarray(reads_bl))
 
     return call

@@ -406,13 +406,23 @@ class StreamSearcher:
                     **state["host_extra"],
                 )
             elif use_pallas:
-                mat = _pack_reads_matrix(seqs, lens, lmax)
+                # 4-bit packed H2D (two base codes/byte, decoded on
+                # device) halves the largest per-read transfer on the
+                # tunnel; KMCP_TPU_PACK4=0 ships raw ASCII instead
+                pack4 = os.environ.get("KMCP_TPU_PACK4", "1") == "1"
+                mat = (
+                    native.pack_rows_4bit(seqs, lens, lmax)
+                    if pack4
+                    else _pack_reads_matrix(seqs, lens, lmax)
+                )
                 state["reads_bl"] = mat
                 state["counts"] = None
                 # paired: min-len filters on max(len1, len2); joined
                 # rows dedup in-step past the >256-k-mer threshold
                 state["dev_lens"] = eff if paired else lens
-                state["dev_kwargs"] = {"dedup_values": paired}
+                state["dev_kwargs"] = {
+                    "dedup_values": paired, "packed4": pack4,
+                }
                 state["fut"] = _copy_async(
                     dev.search_reads_pallas(
                         mat, state["dev_lens"], budget,

@@ -282,4 +282,36 @@ void kt_pack_rows(const uint8_t* concat, const int64_t* offs, int64_t n,
   }
 }
 
+// 4-bit packed variant: two base CODES per output byte (A=1 C=2 G=3
+// T=4, case-insensitive, anything else 0 = invalid; low nibble =
+// earlier base).  Halves the H2D bytes of a device read batch — the
+// largest remaining per-read transfer on the TPU tunnel; the device
+// decodes nibbles back to the ASCII plane before the hash kernel
+// (kmcp_tpu/search/pallas_hash.py packed4).
+void kt_pack_rows_4bit(const uint8_t* concat, const int64_t* offs,
+                       int64_t n, int64_t stride, uint8_t* out) {
+  static uint8_t code[256];
+  static bool init = false;
+  if (!init) {  // benign race: all writers store identical values
+    code[(int)'A'] = code[(int)'a'] = 1;
+    code[(int)'C'] = code[(int)'c'] = 2;
+    code[(int)'G'] = code[(int)'g'] = 3;
+    code[(int)'T'] = code[(int)'t'] = 4;
+    init = true;
+  }
+  const int64_t half = stride / 2;
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; i++) {
+    int64_t len = offs[i + 1] - offs[i];
+    if (len > stride) len = stride;
+    const uint8_t* src = concat + offs[i];
+    uint8_t* dst = out + i * half;
+    int64_t p = 0;
+    for (; p + 1 < len; p += 2)
+      dst[p / 2] = (uint8_t)(code[src[p]] | (code[src[p + 1]] << 4));
+    if (p < len) dst[p / 2] = code[src[p]];
+    std::memset(dst + (len + 1) / 2, 0, half - (len + 1) / 2);
+  }
+}
+
 }  // extern "C"

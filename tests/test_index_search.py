@@ -471,6 +471,32 @@ def test_pallas_hash_kernel_interpret():
         want[:n_w][valid & (h != 0)] = h[valid & (h != 0)]
         np.testing.assert_array_equal(got_v[:, i], want, err_msg=str(i))
 
+    # packed4 variant: the 4-bit packed H2D layout (two base codes per
+    # byte, device-side nibble decode) must reproduce the ASCII path's
+    # outputs exactly, incl. lowercase and N (code 0 = invalid)
+    lens = np.array([len(r) for r in reads], dtype=np.int64)
+    mat4 = native.pack_rows_4bit(reads, lens, L)
+    assert mat4.shape == (B, L // 2)
+    fn4 = make_pallas_hash_loc(
+        k, L, S, (1 << 64) - 1, interpret=True, packed4=True
+    )
+    loc_t4, nk4 = fn4(mat4)
+    np.testing.assert_array_equal(np.asarray(loc_t4), loc_p.T)
+    np.testing.assert_array_equal(np.asarray(nk4)[0], nk)
+    # the NumPy fallback packer must agree with the C++ packer
+    import kmcp_tpu.kmer.native as _n
+
+    lib_save = _n._lib
+    try:
+        _n._lib = None
+        import unittest.mock as _mock
+
+        with _mock.patch.object(_n, "get_lib", lambda: None):
+            mat4_np = _n.pack_rows_4bit(reads, lens, L)
+    finally:
+        _n._lib = lib_save
+    np.testing.assert_array_equal(mat4_np, mat4)
+
 
 def test_stream_keep_top_scores_parity(tmp_path):
     """keep-top-scores in the stream python writer matches the engine's

@@ -194,17 +194,21 @@ def bench_device(db: str, reads, batch: int = 1024):
     lens_all = np.array([len(s) for s in seqs], dtype=np.int64)
     lmax = max(-(-int(lens_all.max()) // 32) * 32, 21 + 31)
 
+    pack4 = os.environ.get("KMCP_TPU_PACK4", "1") == "1"
+    packer = native.pack_rows_4bit if pack4 else native.pack_rows
     mats = []
     for lo in range(0, n, batch):
         mats.append(
             (
-                native.pack_rows(seqs[lo : lo + batch],
-                                 lens_all[lo : lo + batch], lmax),
+                packer(seqs[lo : lo + batch],
+                       lens_all[lo : lo + batch], lmax),
                 lens_all[lo : lo + batch],
             )
         )
     # warm compile
-    r = dev.search_reads_pallas(mats[0][0], mats[0][1], budget)
+    r = dev.search_reads_pallas(
+        mats[0][0], mats[0][1], budget, packed4=pack4
+    )
     jax.block_until_ready(r)
 
     # raw step rate: back-to-back dispatch of VARIED batches with ONE
@@ -220,7 +224,9 @@ def bench_device(db: str, reads, batch: int = 1024):
             t0 = time.time()
             m = None
             for mat, lens in mats:
-                m, _a = dev.search_reads_pallas(mat, lens, budget)
+                m, _a = dev.search_reads_pallas(
+                    mat, lens, budget, packed4=pack4
+                )
             np.asarray(m[:1])
             r = round(n / (time.time() - t0), 1)
             step_rps = r if step_rps is None else max(step_rps, r)
@@ -237,7 +243,9 @@ def bench_device(db: str, reads, batch: int = 1024):
         pending = deque()
         got = 0
         for mat, lens in mats:
-            meta, aux = dev.search_reads_pallas(mat, lens, budget)
+            meta, aux = dev.search_reads_pallas(
+                mat, lens, budget, packed4=pack4
+            )
             try:
                 meta.copy_to_host_async()
                 aux.copy_to_host_async()

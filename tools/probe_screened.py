@@ -43,13 +43,17 @@ def main():
     seqs = [r[1] for r in reads]
     lens_all = np.array([len(s) for s in seqs], dtype=np.int64)
     lmax = max(-(-int(lens_all.max()) // 32) * 32, 21 + 31)
+    pack4 = os.environ.get("KMCP_TPU_PACK4", "1") == "1"
+    packer = native.pack_rows_4bit if pack4 else native.pack_rows
     mats = [
-        (native.pack_rows(seqs[lo:lo + B], lens_all[lo:lo + B], lmax),
+        (packer(seqs[lo:lo + B], lens_all[lo:lo + B], lmax),
          lens_all[lo:lo + B])
         for lo in range(0, len(seqs), B)
     ]
     t0 = time.time()
-    m, _ = dev.search_reads_pallas(mats[0][0], mats[0][1], budget)
+    m, _ = dev.search_reads_pallas(
+        mats[0][0], mats[0][1], budget, packed4=pack4
+    )
     n0 = int(np.asarray(m[:1])[0])
     print(f"[screened] compile+first {time.time()-t0:.1f}s "
           f"n_cand={n0}", file=sys.stderr)
@@ -58,7 +62,9 @@ def main():
         t0 = time.time()
         m = None
         for mat, lens in mats:
-            m, _a = dev.search_reads_pallas(mat, lens, budget)
+            m, _a = dev.search_reads_pallas(
+                mat, lens, budget, packed4=pack4
+            )
         np.asarray(m[:1])
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
