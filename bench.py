@@ -366,7 +366,11 @@ def main() -> None:
         tunnel_ok = False
         tunnel_health = None
         probe_attempts = []
-        probe_budget = float(os.environ.get("BENCH_PROBE_BUDGET", "900"))
+        # 25 min default: the interim host record above makes a long
+        # probe window harmless (a driver kill mid-probe still leaves a
+        # complete JSON line), and round-3/4 wedges lasted 1-3 h — the
+        # wider the window, the better the odds of catching a recovery
+        probe_budget = float(os.environ.get("BENCH_PROBE_BUDGET", "1500"))
         probe_t0 = time.time()
         probe_src = (
             "import json, time, numpy as np, jax;"
