@@ -591,8 +591,15 @@ def _dedup_value_planes(vhi, vlo, locs, nk, threshold: int, sentinel: int):
     per-plane sentinels (the screened path's Bloom and union planes
     live in different modulus spaces).  Window order within a plane is
     irrelevant downstream (the count tail sums over K), so planes are
-    returned value-sorted."""
+    returned value-sorted.
+
+    ONE multi-operand lax.sort (num_keys=2, the location planes riding
+    as payloads) replaces two chained stable argsorts + per-plane
+    take_along_axis gathers: duplicates only need to land ADJACENT,
+    and every copy of a duplicated window carries identical locations,
+    so neither stability nor which copy survives matters."""
     import jax.numpy as jnp
+    from jax import lax
 
     sents = (
         list(sentinel)
@@ -600,12 +607,10 @@ def _dedup_value_planes(vhi, vlo, locs, nk, threshold: int, sentinel: int):
         else [sentinel] * len(locs)
     )
 
-    o1 = jnp.argsort(vlo, axis=0, stable=True)
-    hi1 = jnp.take_along_axis(vhi, o1, axis=0)
-    o2 = jnp.argsort(hi1, axis=0, stable=True)
-    o = jnp.take_along_axis(o1, o2, axis=0)
-    hi_s = jnp.take_along_axis(vhi, o, axis=0)
-    lo_s = jnp.take_along_axis(vlo, o, axis=0)
+    sorted_ops = lax.sort(
+        (vhi, vlo, *locs), dimension=0, num_keys=2, is_stable=False
+    )
+    hi_s, lo_s = sorted_ops[0], sorted_ops[1]
     valid = (hi_s != 0) | (lo_s != 0)
     prev_same = jnp.zeros_like(valid).at[1:].set(
         (hi_s[1:] == hi_s[:-1]) & (lo_s[1:] == lo_s[:-1])
@@ -615,10 +620,8 @@ def _dedup_value_planes(vhi, vlo, locs, nk, threshold: int, sentinel: int):
     drop = dup & apply[None, :]
     nk_eff = jnp.where(apply, nk - dup.sum(axis=0, dtype=nk.dtype), nk)
     out = [
-        jnp.where(
-            drop, jnp.int32(s), jnp.take_along_axis(loc, o, axis=0)
-        )
-        for loc, s in zip(locs, sents)
+        jnp.where(drop, jnp.int32(s), loc_s)
+        for loc_s, s in zip(sorted_ops[2:], sents)
     ]
     return out, nk_eff
 

@@ -352,11 +352,16 @@ class StreamSearcher:
             # budget size).  Host results never cross a transfer link,
             # so a generous 3 matches/read is free; device results ride
             # the tunnel where D2H bytes are the scarce resource, so
-            # size those for ~1.1 matches/read plus headroom.
+            # size those for ~1.1 matches/read plus headroom.  Paired
+            # rows carry two mates' matches (~2x the per-row hits when
+            # mates disagree), so they get 2x reads-worth of budget —
+            # the extra D2H is ~6 B/pair, far cheaper than the full
+            # re-dispatch an overflow retry costs.
             budget = (
                 3 * batch_size
                 if host_backend
-                else batch_size + batch_size // 2
+                else (2 * batch_size if paired
+                      else batch_size + batch_size // 2)
             )
             state = {
                 "real_b": real_b,
