@@ -251,6 +251,17 @@ def _compact_candidates(ok, counts, budget: int, cnt_fill):
     B, T = ok.shape
     n_slots = min(T, max(8, -(-4 * budget) // max(B, 1)))
     if T <= 4096 and B >= 4096:
+        if T <= 512:
+            # full-width slots: a read cannot match more than T targets,
+            # so the per-read poison path is unreachable and n_rep is
+            # the EXACT global count.  The old 4*budget/B slot cap (= 8
+            # at demo shape) silently poisoned every demo-scale batch —
+            # the oracle's per-read hit tail reaches 32+ there — and
+            # each poison cost TWO hidden full-batch retries (4x then
+            # 16x budget) before n_slots grew past the tail; the per-
+            # read sort is over all T lanes regardless, so full-width
+            # slots only widen the cheap downstream gathers.
+            n_slots = T
         return _nonzero_per_read(ok, counts, budget, n_slots, cnt_fill)
     idx, n = _nonzero_asc(ok.reshape(-1), budget, B * T)
     cnt = jnp.take(counts.reshape(-1), jnp.minimum(idx, B * T - 1))

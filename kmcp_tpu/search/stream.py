@@ -351,17 +351,17 @@ class StreamSearcher:
             # budget: overflow retries with 4x (recompile cached per
             # budget size).  Host results never cross a transfer link,
             # so a generous 3 matches/read is free; device results ride
-            # the tunnel where D2H bytes are the scarce resource, so
-            # size those for ~1.1 matches/read plus headroom.  Paired
-            # rows carry two mates' matches (~2x the per-row hits when
-            # mates disagree), so they get 2x reads-worth of budget —
-            # the extra D2H is ~6 B/pair, far cheaper than the full
-            # re-dispatch an overflow retry costs.
+            # the tunnel where D2H bytes are the scarce resource —
+            # but a retry costs a FULL re-dispatch, which dwarfs the
+            # ~6 B/slot of extra D2H, so budgets are sized for the
+            # real hit distributions: single-end demo-shape reads
+            # average ~1.65 matches/read (overlap chunks + Bloom FPs
+            # at fpr 0.3), paired rows carry two mates' matches — both
+            # get 2 slots/row (the old 1.5 retried every demo batch).
             budget = (
                 3 * batch_size
                 if host_backend
-                else (2 * batch_size if paired
-                      else batch_size + batch_size // 2)
+                else 2 * batch_size
             )
             state = {
                 "real_b": real_b,
