@@ -187,82 +187,23 @@ def _nonzero_asc(flat_ok, budget: int, fill):
     return jnp.where(j <= n, idx, jnp.int32(fill)), n
 
 
-def _nonzero_per_read(ok, counts, budget: int, n_slots: int, cnt_fill):
-    """Two-level candidate compaction over a [B, T] mask, equivalent to
-    ``_nonzero_asc(ok.reshape(-1), budget, B*T)`` plus the count gather
-    but O(B) instead of O(B*T) in the search/extract stages.  At demo
-    scale (B=131k reads x T=160 targets) the flat scheme's binary
-    search + gathers walk a 21M-lane cumsum from HBM (~71 ms of the
-    196 ms step); here each read first selects its own candidates with
-    one per-row sort over T lanes (ok lanes keyed by t sort ascending
-    ahead of the T-keyed padding), then the global splice searches a
-    B-element, cache-resident table.
-
-    Each read keeps at most ``n_slots`` candidates; a read exceeding
-    that reports n = budget+1 so the caller's standard 4x budget retry
-    (which scales n_slots with it) re-runs the batch.  Output order is
-    ascending global flat index — byte-identical to the flat scheme
-    whenever nothing overflows.
-
-    Returns (idx int32 [budget] padded with B*T, cnt int32 [budget]
-    padded with ``cnt_fill``, n_rep int32)."""
-    import jax.numpy as jnp
-
-    B, T = ok.shape
-    tvals = jnp.arange(T, dtype=jnp.int32)[None, :]
-    t_slot = jnp.sort(jnp.where(ok, tvals, jnp.int32(T)), axis=1)[
-        :, :n_slots
-    ]  # [B, R]
-    c_slot = jnp.take_along_axis(counts, jnp.minimum(t_slot, T - 1), axis=1)
-    nc = ok.sum(axis=1, dtype=jnp.int32)
-    nc_r = jnp.minimum(nc, n_slots)
-    c = jnp.cumsum(nc_r)
-    n = c[-1]
-    j = jnp.arange(1, budget + 1, dtype=jnp.int32)
-    b_of = jnp.searchsorted(c, j, side="left").astype(jnp.int32)
-    b_cap = jnp.minimum(b_of, B - 1)
-    r_of = jnp.clip(j - 1 - (jnp.take(c, b_cap) - jnp.take(nc_r, b_cap)),
-                    0, n_slots - 1)
-    flat = b_cap * n_slots + r_of
-    valid = j <= n
-    idx = jnp.where(
-        valid, b_cap * T + jnp.take(t_slot.reshape(-1), flat),
-        jnp.int32(B * T),
-    )
-    cnt = jnp.where(
-        valid, jnp.take(c_slot.reshape(-1), flat), cnt_fill
-    ).astype(jnp.int32)
-    n_rep = jnp.where(
-        (nc > n_slots).any(), jnp.int32(budget) + jnp.int32(1), n
-    )
-    return idx, cnt, n_rep
-
-
 def _compact_candidates(ok, counts, budget: int, cnt_fill):
     """Global candidate compaction of a [B, T] threshold mask: ascending
-    flat indices + their counts + the true candidate total (or an
-    overflow poison > budget).  Statically picks the per-read two-level
-    scheme in the many-reads x few-targets regime (demo-scale batches,
-    where the flat cumsum+search dominated the device step) and the
-    flat ``_nonzero_asc`` everywhere else (wide-T chunks arrive here
-    with small B, where one sort per read would be pure overhead)."""
+    flat indices + their counts + the EXACT candidate total (callers
+    retry with a larger budget when it exceeds the budget).
+
+    Always the flat ``_nonzero_asc`` cumsum+search.  A per-read
+    two-level scheme (_nonzero_per_read) served the demo shape in
+    rounds 2-3, but its per-read slot cap (4*budget/B = 8 slots at
+    demo shape) poisoned every batch whose hit tail exceeded it — the
+    oracle's per-read tail reaches 32+ there — costing two hidden
+    full-batch retries per batch; widening the slots to T for
+    correctness made it 5.3x SLOWER than flat (302 vs 57 ms at
+    B=131k, T=160, measured on chip), so flat — which is exact by
+    construction — wins everywhere."""
     import jax.numpy as jnp
 
     B, T = ok.shape
-    n_slots = min(T, max(8, -(-4 * budget) // max(B, 1)))
-    if T <= 4096 and B >= 4096:
-        if T <= 512:
-            # full-width slots: a read cannot match more than T targets,
-            # so the per-read poison path is unreachable and n_rep is
-            # the EXACT global count.  The old 4*budget/B slot cap (= 8
-            # at demo shape) silently poisoned every demo-scale batch —
-            # the oracle's per-read hit tail reaches 32+ there — and
-            # each poison cost TWO hidden full-batch retries (4x then
-            # 16x budget) before n_slots grew past the tail; the per-
-            # read sort is over all T lanes regardless, so full-width
-            # slots only widen the cheap downstream gathers.
-            n_slots = T
-        return _nonzero_per_read(ok, counts, budget, n_slots, cnt_fill)
     idx, n = _nonzero_asc(ok.reshape(-1), budget, B * T)
     cnt = jnp.take(counts.reshape(-1), jnp.minimum(idx, B * T - 1))
     cnt = jnp.where(idx < B * T, cnt, cnt_fill).astype(jnp.int32)
