@@ -145,7 +145,10 @@ def _device_step_rate(st, queries, opt) -> float | None:
         xt = jax.device_put(mat)
         lt = jax.device_put(lens.astype(np.int32))
         jax.block_until_ready((xt, lt))
-        budget = B + B // 2
+        # 2 slots/read: the demo workload's true demand is ~1.65
+        # matches/read — a 1.5 budget would overflow, and a step rate
+        # whose results need a retry is not a production rate
+        budget = 2 * B
         r = dev.search_reads_pallas(xt, lt, budget, packed4=pack4)
         np.asarray(r[0][:1])  # data pull: compile barrier
         # chained dispatch with ONE in-order barrier pull at the end:
