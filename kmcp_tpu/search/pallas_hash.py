@@ -166,11 +166,12 @@ def make_pallas_hash_loc(
     # at a constant intra-block offset (k is static).
     OFF = (-k) % 8  # (base - k) mod 8, constant
 
-    def kernel(reads_ref, *out_refs):
+    def make_kernel(TB):
+      def kernel(reads_ref, *out_refs):
         loc_refs = out_refs[:n_planes]
         nk_ref = out_refs[n_planes]
         val_refs = out_refs[n_planes + 1 :]  # (hi, lo) if emit_values
-        B = TILE_B
+        B = TB
         zero = jnp.zeros((B,), jnp.uint32)
 
         def blk(bidx, carry):
@@ -261,10 +262,12 @@ def make_pallas_hash_loc(
             return (fh_hi, fh_lo, rh_hi, rh_lo, run, nk)
 
         init = (zero, zero, zero, zero,
-                jnp.zeros((TILE_B,), jnp.int32),
-                jnp.zeros((TILE_B,), jnp.int32))
+                jnp.zeros((TB,), jnp.int32),
+                jnp.zeros((TB,), jnp.int32))
         final = jax.lax.fori_loop(0, lmax // 8, blk, init)
         nk_ref[0, :] = final[5]
+
+      return kernel
 
     # 4-bit packed input: two base CODES per byte (A=1 C=2 G=3 T=4,
     # invalid=0; native.pack_rows_4bit) — HALF the H2D bytes of the
@@ -288,20 +291,32 @@ def make_pallas_hash_loc(
         else:
             widened = reads_bl.T.astype(jnp.int32)
         B = reads_bl.shape[0]
-        loc_spec = pl.BlockSpec((lmax, TILE_B), lambda i: (0, i),
+        # widest tile the batch divides: a (1024,) state vector maps to
+        # a full native (8, 128) VPU tile, where the module-default 256
+        # runs at a quarter of the lane width (measured 1.5x on the
+        # 2-plane screened hash at B=4096); small test batches keep
+        # 256, and the many-plane paired variants (2 loc + 2 value
+        # planes at joined-row lmax) step down so the double-buffered
+        # VMEM blocks stay under ~12 MB
+        per_lane = (n_planes + (2 if emit_values else 0) + 2) * lmax * 4
+        TB = next(
+            t for t in (1024, 512, 256)
+            if B % t == 0 and (t == 256 or t * per_lane * 2 <= 12 << 20)
+        )
+        loc_spec = pl.BlockSpec((lmax, TB), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)
         n_vals = 2 if emit_values else 0
         fn = pl.pallas_call(
-            kernel,
+            make_kernel(TB),
             out_shape=tuple(
                 [jax.ShapeDtypeStruct((lmax, B), jnp.int32)] * n_planes
             ) + (jax.ShapeDtypeStruct((1, B), jnp.int32),) + tuple(
                 [jax.ShapeDtypeStruct((lmax, B), jnp.uint32)] * n_vals
             ),
-            grid=(B // TILE_B,),
+            grid=(B // TB,),
             in_specs=[loc_spec],
             out_specs=tuple([loc_spec] * n_planes) + (
-                pl.BlockSpec((1, TILE_B), lambda i: (0, i),
+                pl.BlockSpec((1, TB), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ) + tuple([loc_spec] * n_vals),
             interpret=interpret,
