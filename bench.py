@@ -325,6 +325,7 @@ def main() -> None:
                 "large_t_dense_device_reads_per_s",
                 "large_t_dense_step_reads_per_s",
                 "large_t_device_524k_reads_per_s",
+                "paired_large_t_pairs_per_s_device",
                 "gbit_and_s",
                 "profile_reads_per_s_device",
                 "paired_pairs_per_s_device",
@@ -742,6 +743,49 @@ def main() -> None:
         except Exception as e:
             print(
                 f"[bench] dense wide-row extra failed: {e}",
+                file=sys.stderr,
+            )
+        # paired wide-T extra: the flagship profiling workload at
+        # production scale (paired reads x 131k-target screened DB,
+        # util-db-search.go:800-805) streaming on the device with
+        # in-step dedup.  Mate-shaped pairs (mate 2 starts 350 bp
+        # after mate 1 in the same genome).
+        try:
+            lt_gdir = os.path.join(lt_root, "genomes")
+            lt_db = os.path.join(lt_root, "db-uniform")
+            if os.path.isfile(os.path.join(lt_db, "db.json")):
+                from kmcp_tpu.seqio.fastx import read_fastx
+
+                prng = np.random.default_rng(7)
+                files = sorted(os.listdir(lt_gdir))
+                pool = [files[i] for i in prng.choice(
+                    len(files), size=min(40, len(files)), replace=False
+                )]
+                gs = [
+                    b"".join(r.seq for r in read_fastx(
+                        os.path.join(lt_gdir, f)
+                    ))
+                    for f in pool
+                ]
+                pq = []
+                for i in range(32768):
+                    g = gs[int(prng.integers(0, len(gs)))]
+                    p = int(prng.integers(0, len(g) - 550))
+                    pq.append((f"p{i}", g[p:p + 150], g[p + 350:p + 500]))
+                lopt = SearchOptions(backend="jax", batch_size=16384)
+                leng = SearchEngine([lt_db], lopt)
+                if StreamSearcher.usable(leng, paired=True):
+                    lst = StreamSearcher(leng)
+                    lst.run(iter(pq[:16384]), out, paired=True)  # warm
+                    t0 = time.time()
+                    tp, _m = lst.run(iter(pq), out, paired=True)
+                    record["paired_large_t_pairs_per_s_device"] = round(
+                        tp / (time.time() - t0), 1
+                    )
+                    print(json.dumps(record), flush=True)
+        except Exception as e:
+            print(
+                f"[bench] paired wide-T extra failed: {e}",
                 file=sys.stderr,
             )
         # 524k-target screened extra: the reference's FULL GTDB
