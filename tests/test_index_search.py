@@ -471,6 +471,20 @@ def test_pallas_hash_kernel_interpret():
         want[:n_w][valid & (h != 0)] = h[valid & (h != 0)]
         np.testing.assert_array_equal(got_v[:, i], want, err_msg=str(i))
 
+    # adaptive lane tile: a 512-read batch takes the TB=512 kernel
+    # (full-width VPU tiles on real TPU); its outputs must equal the
+    # 256-tile path's, batch-halves concatenated
+    mat512 = np.concatenate([mat, mat[::-1]], axis=0)
+    loc512, nk512 = fn(mat512)
+    np.testing.assert_array_equal(
+        np.asarray(loc512), np.concatenate(
+            [loc_p.T, np.asarray(loc_t)[:, ::-1]], axis=1
+        ),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(nk512)[0], np.concatenate([nk, nk[::-1]])
+    )
+
     # packed4 variant: the 4-bit packed H2D layout (two base codes per
     # byte, device-side nibble decode) must reproduce the ASCII path's
     # outputs exactly, incl. lowercase and N (code 0 = invalid)
