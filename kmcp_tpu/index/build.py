@@ -226,15 +226,34 @@ SCREEN_FPR_U = 0.25
 
 def _union_screen_bits(targets, fpr_u: float = SCREEN_FPR_U) -> int:
     """Bit count for a block's k-mer-union Bloom screen (1 hash,
-    fpr_u) — the large-T block screen: reads sharing no k-mers with a
-    block's union skip its dense count entirely (kmcp-tpu native
-    extension; the reference counts every block for every read).  The
-    union itself accumulates inside build_block_bits' single pass over
-    the kset files."""
+    fpr_u <= SCREEN_FPR_U) — the large-T block screen: reads sharing
+    no k-mers with a block's union skip its dense count entirely
+    (kmcp-tpu native extension; the reference counts every block for
+    every read).  The union itself accumulates inside
+    build_block_bits' single pass over the kset files.
+
+    Rounded UP to a power of two (<= 2x the designed size): the device
+    hash kernel's screen modulus then lowers to a single AND instead
+    of a ~150-op fold-and-double chain (pallas_hash.make_mod_pair),
+    and the oversize only LOWERS the screen's false-positive rate —
+    the stored fpr is the exact value for the rounded size, so the
+    theta band tightens to match on both backends."""
     from .sizing import calc_signature_size
 
     total = sum(t.kmers for t in targets)
-    return -(-calc_signature_size(max(total, 1), 1, fpr_u) // 64) * 64
+    bits = calc_signature_size(max(total, 1), 1, fpr_u)
+    return 1 << max(6, (int(bits) - 1).bit_length())
+
+
+def _union_screen_fpr(union_bits: int, targets) -> float:
+    """Exact 1-hash Bloom FPR of the (power-of-two-rounded) union
+    screen: 1 - (1 - 1/m)^n.  Stored in the union header and consumed
+    by the identical float64 theta math on both backends
+    (HostDB.screen_active / DeviceDB._theta_for)."""
+    import math
+
+    total = max(sum(t.kmers for t in targets), 1)
+    return -math.expm1(total * math.log1p(-1.0 / union_bits))
 
 
 def run_index(
@@ -350,7 +369,8 @@ def run_index(
                 from .format import write_block_union
 
                 write_block_union(
-                    out_dir, bid, union_words, union_bits, SCREEN_FPR_U
+                    out_dir, bid, union_words, union_bits,
+                    _union_screen_fpr(union_bits, targets),
                 )
         else:
             bits = build_block_bits(targets, num_sigs, num_hashes)

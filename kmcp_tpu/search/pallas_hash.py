@@ -125,7 +125,36 @@ def make_pallas_hash_loc(
         return s_hi, s_lo, sc_hi, sc_lo, ok
 
     def make_mod_pair(sigs: int):
-        """(hi*2^32 + lo) mod sigs, exactly, in uint32 arithmetic."""
+        """(hi*2^32 + lo) mod sigs, exactly, in uint32 arithmetic.
+
+        Three lowerings by modulus shape (the general fold-and-double
+        chain costs ~150 VPU ops per position and dominated the hash
+        kernel in the screened wide-T regime):
+        - power of two: 2^32 mod sigs == 0, so the answer is one AND
+          on the low word (union screens are sized to powers of two at
+          index build since round 4 for exactly this);
+        - sigs <= 65536: (hi mod M)*(2^32 mod M) + (lo mod M) stays
+          below 2^32 ((M-1)^2 + (M-1) < 2^32 at M = 65536), so one
+          16x16 multiply + three constant mods (XLA lowers % by a
+          constant to multiply-shift) replace the fold — the screened
+          path's per-block Bloom moduli (s_block ~ 3.6k rows) take
+          this;
+        - otherwise: the exact fold-and-double reduction."""
+        if sigs & (sigs - 1) == 0:
+            MASK = np.uint32(sigs - 1)
+
+            def mod_pow2(hi, lo):
+                return lo & MASK
+
+            return mod_pow2
+        if sigs <= 65536:
+            M32s = np.uint32(sigs)
+            P32s = np.uint32((1 << 32) % sigs)
+
+            def mod_small(hi, lo):
+                return ((hi % M32s) * P32s + (lo % M32s)) % M32s
+
+            return mod_small
         M32 = np.uint32(sigs)
         pow32 = (1 << 32) % sigs
 

@@ -448,6 +448,17 @@ def test_pallas_hash_kernel_interpret():
         b = sorted(x for x in loc_p[i].tolist() if x != S)
         assert a == b and counts_ref[i] == nk[i], i
 
+    # the fast modulus lowerings (pow2 single-AND; <=65536 multiply
+    # path — make_mod_pair) must be exact vs the C++ generic modulo
+    for S2 in (4096, 3578, 65536):
+        loc_ref2, _c2 = native.hash_reads_loc(reads, k, L - k + 1, S2, 1)
+        fn2 = make_pallas_hash_loc(k, L, S2, (1 << 64) - 1, interpret=True)
+        loc2 = np.asarray(fn2(mat)[0]).T
+        for i in range(B):
+            a = sorted(x for x in loc_ref2[i, :, 0].tolist() if x != S2)
+            b = sorted(x for x in loc2[i].tolist() if x != S2)
+            assert a == b, (S2, i)
+
     # emit_values variant: the (hi, lo) value planes must equal the
     # canonical ntHash of every valid window (oracle: the NumPy
     # prefix-XOR twin), 0 elsewhere — the dedup key of the paired
