@@ -272,6 +272,71 @@ def test_sharded_device_search_matches_host(tmp_path):
     m.dryrun_multichip(8)
 
 
+def test_stream_budget_overflow_retry(tmp_path):
+    """The drain's 4x-budget retry loop must preserve byte parity when
+    a batch's candidate count exceeds the device budget (2 slots/read).
+    Eight near-identical genomes make every read match 8+ targets —
+    forcing the overflow path that production reads only hit in the
+    tail (stream.py::drain `while qi is None`)."""
+    from kmcp_tpu.kmer import native as _nat
+
+    if _nat.get_lib() is None:
+        pytest.skip("native library unavailable (streaming needs it)")
+    import io
+
+    from kmcp_tpu.commands.compute import ComputeOptions, run_compute
+    from kmcp_tpu.index.build import run_index
+    from kmcp_tpu.search.engine import SearchEngine, SearchOptions
+    from kmcp_tpu.search.stream import StreamSearcher
+    from kmcp_tpu.search.tsv import write_results
+
+    rng = np.random.default_rng(17)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    base_seq = bytearray(rng.choice(bases, size=20000).tobytes())
+    files = []
+    for g in range(8):
+        seq = bytearray(base_seq)
+        # a few point mutations so targets are distinct but every read
+        # still matches all 8 copies
+        for pos in rng.integers(0, len(seq), size=5):
+            seq[pos] = bases[int(rng.integers(0, 4))]
+        p = tmp_path / f"g{g}.fa"
+        p.write_text(f">g{g}\n{bytes(seq).decode()}\n")
+        files.append(str(p))
+    run_compute(
+        out_dir=str(tmp_path / "ks"), files=files,
+        opt=ComputeOptions(ks=[21], split_number=2, split_overlap=100),
+        force=True,
+    )
+    run_index(
+        in_dir=str(tmp_path / "ks"), out_dir=str(tmp_path / "db"),
+        num_hashes=1, fpr=0.3, force=True, tpu_native=True,
+    )
+
+    reads = []
+    for i in range(200):
+        p = int(rng.integers(0, len(base_seq) - 150))
+        reads.append((f"r{i}", bytes(base_seq[p : p + 150]), None))
+
+    opt_np = SearchOptions(backend="numpy")
+    buf1 = io.StringIO()
+    res = SearchEngine([str(tmp_path / "db")], opt_np).search_batch(
+        reads, 0
+    )
+    # every read must indeed exceed the 2-slots/read device budget
+    assert min(len(r.matches) for r in res) >= 8
+    write_results(buf1, res, False)
+
+    for backend in ("host", "jax"):
+        opt = SearchOptions(backend=backend, batch_size=64)
+        eng = SearchEngine([str(tmp_path / "db")], opt)
+        assert StreamSearcher.usable(eng)
+        buf2 = io.StringIO()
+        total, _ = StreamSearcher(eng).run(iter(reads), buf2)
+        assert total == 200
+        assert buf1.getvalue() == buf2.getvalue(), backend
+
+
 def test_stream_path_with_mixed_read_lengths(tmp_path):
     """Streaming device path (on CPU) must stay byte-identical to the
     general engine path, including >dedup-threshold reads routed through
