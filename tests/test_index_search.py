@@ -1437,6 +1437,26 @@ def test_block_screen_union(tmp_path):
     got = native.union_count(words, num_bits, hs[:256].reshape(1, -1))
     assert int(got[0]) == 256  # every member k-mer must be present
 
+    # round-4 sizing: num_bits is a power of two (the device screen
+    # modulus lowers to one AND) and the stored fpr is the EXACT
+    # 1-hash Bloom FPR for that size — both backends' theta bands
+    # derive from it (build.py::_union_screen_fpr); the rounding can
+    # only LOWER the fpr vs the designed band
+    import math
+
+    from kmcp_tpu.index.build import SCREEN_FPR_U
+
+    assert num_bits & (num_bits - 1) == 0 and num_bits >= 64
+    assert 0.0 < fpr_u <= SCREEN_FPR_U + 1e-12
+    # exactness: recompute from the block's total k-mer count
+    eng_scr = SearchEngine(
+        [str(tmp_path / "db_scr")], SearchOptions(backend="numpy")
+    )
+    db0 = eng_scr.dbs[0]
+    total = int(sum(int(s) for s in db0.blocks[0].sizes))
+    want = -math.expm1(total * math.log1p(-1.0 / num_bits))
+    assert abs(fpr_u - want) < 1e-12
+
 
 @pytest.mark.parametrize("num_hashes", [1, 3])
 def test_low_mem_row_seek_matches_resident(tmp_path, num_hashes):
