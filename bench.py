@@ -26,6 +26,12 @@ import numpy as np
 
 REF = "/root/reference/demo-profiling/refs"
 BASELINE_READS_PER_S = 14.671e6 / 60.0  # mock.kmcp.gz.log
+# The reference's FASTEST per-host GTDB short-read search rate
+# (benchmarks/searching/README.md:176-229: NC_002695.2, 1,374,608
+# reads / 62.255 s on 40 threads, hot start, --load-whole-db) — the
+# denominator for the wide-T device multiple.  Using the reference's
+# best run makes the multiple conservative.
+REF_GTDB_PER_HOST_READS_PER_S = 1374608 / 62.255
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
 
 
@@ -322,6 +328,7 @@ def main() -> None:
                 best["large_t_reads_per_s"] = hd["large_t_reads_per_s"]
             for extra in (
                 "large_t_device_reads_per_s",
+                "large_t_device_vs_ref_per_host",
                 "large_t_dense_device_reads_per_s",
                 "large_t_dense_step_reads_per_s",
                 "large_t_device_524k_reads_per_s",
@@ -701,6 +708,12 @@ def main() -> None:
                 lt = _lt_dev(lt_db, _lt_reads(lt_gdir, 20000, 10.0),
                              batch=4096)
                 record["large_t_device_reads_per_s"] = lt["reads_per_s"]
+                # per-host multiple vs the reference's best GTDB run
+                # (our 131k chunk targets vs its 47,894 genome targets
+                # — 2.7x the targets; see docs/PERF.md ledger)
+                record["large_t_device_vs_ref_per_host"] = round(
+                    lt["reads_per_s"] / REF_GTDB_PER_HOST_READS_PER_S, 2
+                )
                 print(json.dumps(record), flush=True)
         except Exception as e:
             print(

@@ -37,18 +37,17 @@ CHUNK_BP = 1000  # ~1000 k-mers per chunk target
 READ_LEN = 150
 
 
-def build_db(n_targets: int, force: bool = False) -> tuple[str, str]:
-    """Synthetic genomes -> kset -> two wide DBs (with/without screen).
-    Returns (db_screen, genome_dir)."""
+def prepare_ks(n_targets: int, force: bool = False) -> tuple[str, str]:
+    """Synthetic genomes + the compute stage (chunk .kset files) every
+    index layout at this target count shares.  Idempotent: skips when
+    the compute stage's _info.tsv already exists."""
     from kmcp_tpu.commands.compute import ComputeOptions, run_compute
-    from kmcp_tpu.index.build import run_index
 
     root = os.path.join(CACHE, f"large_t-{n_targets}")
     gdir = os.path.join(root, "genomes")
     kdir = os.path.join(root, "ks")
-    db = os.path.join(root, "db")
-    if os.path.isfile(os.path.join(db, "db.json")) and not force:
-        return db, gdir
+    if os.path.isfile(os.path.join(kdir, "_info.tsv")) and not force:
+        return kdir, gdir
     os.makedirs(gdir, exist_ok=True)
     n_genomes = n_targets // CHUNKS_PER_GENOME
     glen = CHUNK_BP * CHUNKS_PER_GENOME + 150 * (CHUNKS_PER_GENOME - 1)
@@ -74,8 +73,21 @@ def build_db(n_targets: int, force: bool = False) -> tuple[str, str]:
                            split_overlap=150),
         force=True,
     )
+    print(f"[large-t] compute: {time.time()-t1:.1f}s", file=sys.stderr)
+    return kdir, gdir
+
+
+def build_db(n_targets: int, force: bool = False) -> tuple[str, str]:
+    """Synthetic genomes -> kset -> screened wide DB.
+    Returns (db_screen, genome_dir)."""
+    from kmcp_tpu.index.build import run_index
+
+    root = os.path.join(CACHE, f"large_t-{n_targets}")
+    db = os.path.join(root, "db")
+    kdir, gdir = prepare_ks(n_targets, force=force)
+    if os.path.isfile(os.path.join(db, "db.json")) and not force:
+        return db, gdir
     t2 = time.time()
-    print(f"[large-t] compute: {t2-t1:.1f}s", file=sys.stderr)
     run_index(
         in_dir=kdir, out_dir=db, num_hashes=1, fpr=0.3, force=True,
         tpu_native=True, block_screen=True,
@@ -145,10 +157,10 @@ def build_wide_db(n_targets: int) -> str:
     from kmcp_tpu.index.build import run_index
 
     root = os.path.join(CACHE, f"large_t-{n_targets}")
-    kdir = os.path.join(root, "ks")
     db = os.path.join(root, "db-wide")
     if os.path.isfile(os.path.join(db, "db.json")):
         return db
+    kdir, _ = prepare_ks(n_targets)
     run_index(
         in_dir=kdir, out_dir=db, num_hashes=1, fpr=0.3, force=True,
         tpu_native=True, native_block_targets=n_targets,
@@ -162,10 +174,10 @@ def build_uniform_db(n_targets: int) -> str:
     from kmcp_tpu.index.build import run_index
 
     root = os.path.join(CACHE, f"large_t-{n_targets}")
-    kdir = os.path.join(root, "ks")
     db = os.path.join(root, "db-uniform")
     if os.path.isfile(os.path.join(db, "db.json")):
         return db
+    kdir, _ = prepare_ks(n_targets)
     run_index(
         in_dir=kdir, out_dir=db, num_hashes=1, fpr=0.3, force=True,
         tpu_native=True, block_screen=True, uniform_sigs=True,
