@@ -577,9 +577,16 @@ def main() -> None:
             if StreamSearcher.usable(peng, paired=True):
                 stp = StreamSearcher(peng)
                 stp.run(iter(pq[:p_bs]), out, paired=True)  # warm
-                t0 = time.time()
-                tot_p, _m = stp.run(iter(pq), out, paired=True)
-                paired_rps = round(tot_p / (time.time() - t0), 1)
+                # best-of-2: a single timed pass through a bursty
+                # tunnel once recorded 18k pairs/s where back-to-back
+                # reps measure 95-169k (bench-shape try8 postmortem)
+                best_p = None
+                for _ in range(2):
+                    t0 = time.time()
+                    tot_p, _m = stp.run(iter(pq), out, paired=True)
+                    dt_p = time.time() - t0
+                    best_p = dt_p if best_p is None else min(best_p, dt_p)
+                paired_rps = round(tot_p / best_p, 1)
         except Exception as e:
             print(f"[bench] paired extra failed: {e}", file=sys.stderr)
 
@@ -793,10 +800,16 @@ def main() -> None:
                 if StreamSearcher.usable(leng, paired=True):
                     lst = StreamSearcher(leng)
                     lst.run(iter(pq[:16384]), out, paired=True)  # warm
-                    t0 = time.time()
-                    tp, _m = lst.run(iter(pq), out, paired=True)
+                    best_lt = None
+                    for _ in range(2):  # best-of-2 (bursty tunnel)
+                        t0 = time.time()
+                        tp, _m = lst.run(iter(pq), out, paired=True)
+                        dt_lt = time.time() - t0
+                        best_lt = (
+                            dt_lt if best_lt is None else min(best_lt, dt_lt)
+                        )
                     record["paired_large_t_pairs_per_s_device"] = round(
-                        tp / (time.time() - t0), 1
+                        tp / best_lt, 1
                     )
                     print(json.dumps(record), flush=True)
         except Exception as e:
