@@ -28,9 +28,10 @@ REF = "/root/reference/demo-profiling/refs"
 BASELINE_READS_PER_S = 14.671e6 / 60.0  # mock.kmcp.gz.log
 # The reference's FASTEST per-host GTDB short-read search rate
 # (benchmarks/searching/README.md:176-229: NC_002695.2, 1,374,608
-# reads / 62.255 s on 40 threads, hot start, --load-whole-db) — the
-# denominator for the wide-T device multiple.  Using the reference's
-# best run makes the multiple conservative.
+# reads / 62.255 s on 40 threads, hot start) — the denominator for the
+# wide-T device multiple.  Using the reference's best run makes the
+# multiple conservative (the --load-whole-db variant was slower,
+# 67.339 s).
 REF_GTDB_PER_HOST_READS_PER_S = 1374608 / 62.255
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
 

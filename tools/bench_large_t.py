@@ -84,9 +84,13 @@ def build_db(n_targets: int, force: bool = False) -> tuple[str, str]:
 
     root = os.path.join(CACHE, f"large_t-{n_targets}")
     db = os.path.join(root, "db")
-    kdir, gdir = prepare_ks(n_targets, force=force)
-    if os.path.isfile(os.path.join(db, "db.json")) and not force:
+    gdir = os.path.join(root, "genomes")
+    # Check db.json BEFORE invoking prepare_ks (matching build_wide_db /
+    # build_uniform_db ordering) so a cached db survives a pruned ks/.
+    if (os.path.isfile(os.path.join(db, "db.json")) and os.path.isdir(gdir)
+            and not force):
         return db, gdir
+    kdir, gdir = prepare_ks(n_targets, force=force)
     t2 = time.time()
     run_index(
         in_dir=kdir, out_dir=db, num_hashes=1, fpr=0.3, force=True,
