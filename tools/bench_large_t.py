@@ -189,43 +189,57 @@ def build_uniform_db(n_targets: int) -> str:
     return db
 
 
-def bench_device(db: str, reads, batch: int = 1024):
+def bench_device(db: str, reads, batch: int = 1024, ctx: dict | None = None,
+                 keep_ctx: bool = False):
     """Direct DeviceDB drive (the stream layer forces >=16k batches,
     whose [B, K, T/32] gather would not fit HBM at T=131k; the search
     core is what's being measured — row formatting is benched at demo
     scale).  Reports tunnel-bound end-to-end throughput AND the pure
-    device-step rate."""
+    device-step rate.
+
+    ``keep_ctx=True`` returns the device engine + packed batches under
+    ``"_ctx"`` so a DEFERRED re-measurement minutes later (after other
+    extras have run) costs only the timed passes — back-to-back
+    best-of-2 shares one tunnel-health window, which is how BENCH_r04
+    under-reported the large-T fields by ~35% (VERDICT r4 item 2)."""
     import jax
 
     from kmcp_tpu.kmer import native
     from kmcp_tpu.search.device import DeviceDB
     from kmcp_tpu.search.engine import SearchEngine, SearchOptions
 
-    opt = SearchOptions(backend="jax", batch_size=batch)
-    engine = SearchEngine([db], opt)
-    dev = DeviceDB(engine.dbs[0], opt)
-    budget = batch + batch // 2
-    n = len(reads) - len(reads) % batch
-    seqs = [r[1] for r in reads[:n]]
-    lens_all = np.array([len(s) for s in seqs], dtype=np.int64)
-    lmax = max(-(-int(lens_all.max()) // 32) * 32, 21 + 31)
+    if ctx is None:
+        opt = SearchOptions(backend="jax", batch_size=batch)
+        engine = SearchEngine([db], opt)
+        dev = DeviceDB(engine.dbs[0], opt)
+        budget = batch + batch // 2
+        n = len(reads) - len(reads) % batch
+        seqs = [r[1] for r in reads[:n]]
+        lens_all = np.array([len(s) for s in seqs], dtype=np.int64)
+        lmax = max(-(-int(lens_all.max()) // 32) * 32, 21 + 31)
 
-    pack4 = os.environ.get("KMCP_TPU_PACK4", "1") == "1"
-    packer = native.pack_rows_4bit if pack4 else native.pack_rows
-    mats = []
-    for lo in range(0, n, batch):
-        mats.append(
-            (
-                packer(seqs[lo : lo + batch],
-                       lens_all[lo : lo + batch], lmax),
-                lens_all[lo : lo + batch],
+        pack4 = os.environ.get("KMCP_TPU_PACK4", "1") == "1"
+        packer = native.pack_rows_4bit if pack4 else native.pack_rows
+        mats = []
+        for lo in range(0, n, batch):
+            mats.append(
+                (
+                    packer(seqs[lo : lo + batch],
+                           lens_all[lo : lo + batch], lmax),
+                    lens_all[lo : lo + batch],
+                )
             )
+        ctx = {"dev": dev, "mats": mats, "budget": budget, "n": n,
+               "pack4": pack4, "batch": batch}
+        # warm compile
+        r = dev.search_reads_pallas(
+            mats[0][0], mats[0][1], budget, packed4=pack4
         )
-    # warm compile
-    r = dev.search_reads_pallas(
-        mats[0][0], mats[0][1], budget, packed4=pack4
+        jax.block_until_ready(r)
+    dev, mats, budget, n, pack4, batch = (
+        ctx["dev"], ctx["mats"], ctx["budget"], ctx["n"], ctx["pack4"],
+        ctx["batch"],
     )
-    jax.block_until_ready(r)
 
     # raw step rate: back-to-back dispatch of VARIED batches with ONE
     # in-order barrier pull at the end (per-batch pulls — even
@@ -277,7 +291,7 @@ def bench_device(db: str, reads, batch: int = 1024):
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
         matched = got
-    return {
+    result = {
         "backend": "jax",
         "reads_per_s": round(n / best, 1),
         "step_reads_per_s": step_rps,
@@ -285,6 +299,9 @@ def bench_device(db: str, reads, batch: int = 1024):
         "seconds": round(best, 2),
         "batch": batch,
     }
+    if keep_ctx:
+        result["_ctx"] = ctx
+    return result
 
 
 def main():
