@@ -112,6 +112,9 @@ from .device_step import (  # noqa: F401,E402
     _unpack_sum,
 )
 from .device_screened import (  # noqa: F401,E402
+    _build_u_digit,
+    _gemm_geometry,
+    _gemm_pc_mode,
     _make_screened_step_sharded,
     _make_screened_tail,
     _pair_pc_mode,
@@ -568,13 +571,14 @@ class DeviceDB:
         if packed is None:
             return None
         U, nb_u, fprs = packed
-        return {
-            "u_ext": jax.device_put(jnp.asarray(U), self._dev),
+        screen = {
             "num_bits": nb_u,
             "fprs": fprs,
             "theta": {},
             "s_block": int(db.blocks[0].bits.shape[0]),
         }
+        screen["u_ext"] = jax.device_put(jnp.asarray(U), self._dev)
+        return screen
 
     def _theta_for(self, n_max: int):
         """[nb, n_max+1] int32 screen thresholds — the same float64
@@ -782,6 +786,19 @@ class DeviceDB:
             )
         return self._bits6
 
+    def _gemm_slabs(self, S_pad: int):
+        """Unpacked per-block [nb, S_pad, 4096] int8 byte matrices for
+        the grouped-GEMM pass 2 (pack_gemm_blocks); built once, lives
+        on device (8x the packed bits — ~0.5 GB at 131k targets)."""
+        if getattr(self, "_bits8", None) is None:
+            from .pallas_count import pack_gemm_blocks
+
+            self._bits8 = pack_gemm_blocks(
+                self.bits_ext, self.n_blocks, self.screen["s_block"],
+                S_pad,
+            )
+        return self._bits8
+
     def _search_reads_screened(
         self, reads_u8, lens, cand_budget, k, lmax, max_hash,
         interpret=False, dedup_values=False, packed4=False,
@@ -808,10 +825,35 @@ class DeviceDB:
         B = reads_u8.shape[0]
         K = lmax - k + 1
         pair_budget = min(B * self.n_blocks, max(256, 2 * cand_budget))
+        gemm_mode = _gemm_pc_mode(
+            self.t_per_block, s_block, self.n_blocks,
+            opt.kmer_dedup_threshold,
+        )
         pair_mode = _pair_pc_mode(
             self.t_per_block, s_block, self.n_blocks
         )
-        if pair_mode:
+        if gemm_mode:
+            # MXU grouped-GEMM pass 2 (round 5): no pair chunking; the
+            # block-sorted groups pad to the kernel's tile inside the
+            # tail, so pair_budget needs no alignment of its own.  The
+            # pair budget runs tighter than the other modes' 2x (the
+            # GEMM + mask cost scales with padded pairs; overflow still
+            # poisons n_rep so the caller's 4x retry covers the tail of
+            # the hit distribution)
+            pair_budget = min(B * self.n_blocks, max(256, cand_budget))
+            gm_S_pad, gm_T_t = _gemm_geometry(s_block, self.t_per_block)
+            tail = _make_screened_tail(
+                cand_budget, pair_budget, opt.min_query_len,
+                opt.kmer_dedup_threshold, self.n_blocks,
+                self.t_per_block, s_block, 1,
+                in_dedup=dedup_values,
+                gemm_pc=(
+                    gm_S_pad, gm_T_t,
+                    gemm_mode == "interpret" or interpret,
+                ),
+            )
+            bits_arg = self._gemm_slabs(gm_S_pad)
+        elif pair_mode:
             # block-stationary Mosaic pass 2: no [P_c, K, W] gathered
             # intermediate exists, so no pair chunking either; the pair
             # count must divide the kernel's pairs-per-step grid

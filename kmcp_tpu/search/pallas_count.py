@@ -796,3 +796,124 @@ def thr_table_pairs(tmin, sizes_pos, n_blocks: int):
         sizes_pos, tmin.astype(jnp.int32), jnp.int32(2**30)
     )
     return eff.reshape(n_blocks, 128, 32).transpose(0, 2, 1)
+
+
+def pack_gemm_blocks(bits_ext, n_blocks: int, s_block: int, S_pad: int):
+    """Row-stacked screened DB [nb*s_block + 1, 128] uint32 -> unpacked
+    per-block byte matrices [nb, S_pad, 4096] uint8 (bit value 0/1) for
+    the grouped-GEMM pass 2 (make_pallas_group_count): target
+    g*4096 + w*32 + j lives at [g, :, w*32 + j].  Rows s_block..S_pad-1
+    are zero (the location sentinel and the sublane/lane padding), so
+    sentinel k-mers contribute nothing to the matmul.  Runs on device
+    (one-time per DB); the u8 matrix is 8x the packed bits — HBM rent
+    paid for moving the count contraction onto the MXU."""
+    import jax.numpy as jnp
+
+    W_b = bits_ext.shape[1]
+    assert W_b == 128, W_b
+    b = bits_ext[: n_blocks * s_block].reshape(n_blocks, s_block, W_b)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    u8 = (
+        (b[..., None] >> shifts) & jnp.uint32(1)
+    ).astype(jnp.int8).reshape(n_blocks, s_block, W_b * 32)
+    return jnp.pad(u8, ((0, 0), (0, S_pad - s_block), (0, 0)))
+
+
+@functools.lru_cache(maxsize=None)
+def make_pallas_group_count(
+    S_pad: int, n_blocks: int, t_block: int = 4096, T_t: int = 512,
+    P_t: int = 128, interpret: bool = False,
+):
+    """Grouped-GEMM pass 2 of the two-pass screened search: the count
+    contraction counts[p, t] = sum_s U[p, s] * bits[blk(p), s, t] runs
+    on the MXU as per-tile [P_t, S_pad] @ [S_pad, T_t] matmuls instead
+    of the VPU bit-fold — the round-5 answer to the pair kernel's 1/8
+    sublane occupancy (ROADMAP item 1): U rows carry each pair's k-mer
+    row MULTIPLICITIES (the reference's pospop counts each k-mer's row
+    independently, util-db-search.go:6728, so multiplicity-weighted row
+    sums are the identical contraction), bf16 holds multiplicities
+    <= 256 exactly, and f32 accumulation is exact below 2^24.
+
+    Pairs arrive block-sorted AND per-block padded to P_t multiples, so
+    every pair tile touches ONE block: tile block ids ride in SMEM; the
+    grid runs t-major-outer so consecutive pair tiles reuse the block
+    slab (re-DMA only on block change, <= nb + 1 per t sweep).
+
+    fn(bits8 [nb, S_pad, t_block] u8 (pack_gemm_blocks),
+       u_p bf16 [P_pad, S_pad] (zero rows on padding slots),
+       blk int32 [P_pad // P_t] (tile block id; n_blocks = all-padding))
+      -> counts int32 [P_pad, t_block] (natural target-major layout)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    NB = n_blocks
+    assert t_block % T_t == 0
+
+    def kernel(blk_ref, u_ref, bits_ref, out_ref, slab, slab_bf, sem, cur):
+        ti = pl.program_id(0)
+        pi = pl.program_id(1)
+        g = blk_ref[pi]
+
+        @pl.when(pi == 0)
+        def _():
+            cur[0] = jnp.int32(-1)
+
+        @pl.when(g < NB)
+        def _():
+            @pl.when(g != cur[0])
+            def _():
+                cp = pltpu.make_async_copy(
+                    bits_ref.at[jnp.clip(g, 0, NB - 1), :,
+                                pl.ds(ti * T_t, T_t)],
+                    slab, sem,
+                )
+                cp.start()
+                cp.wait()
+                slab_bf[...] = slab[...].astype(jnp.bfloat16)
+                cur[0] = g
+
+            out_ref[...] = jnp.dot(
+                u_ref[...], slab_bf[...],
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+
+        @pl.when(g >= NB)
+        def _():
+            out_ref[...] = jnp.zeros((P_t, T_t), jnp.int32)
+
+    @jax.jit
+    def _run(bits8, u_p, blk):
+        P_pad = u_p.shape[0]
+        assert P_pad % P_t == 0, (P_pad, P_t)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((P_pad, t_block), jnp.int32),
+            grid=(t_block // T_t, P_pad // P_t),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (P_t, S_pad), lambda t, p: (p, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (P_t, T_t), lambda t, p: (p, t),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((S_pad, T_t), jnp.int8),
+                pltpu.VMEM((S_pad, T_t), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SMEM((1,), jnp.int32),
+            ],
+            interpret=interpret,
+        )(blk, u_p, bits8)
+
+    def run(bits8, u_p, blk):
+        return _run(bits8, u_p, blk)
+
+    run.pairs_per_step = P_t
+    return run

@@ -81,3 +81,69 @@ def test_pair_kernel_overflow_agreement():
     bits, args = _synthetic(3)
     (m0, _), (m1, _) = _run_both(bits, args, 256, 96)
     assert int(m0[0]) == int(m1[0]) == 257
+
+
+def _run_gemm(bits, args, cand_budget, pair_budget):
+    """XLA pass-2 vs the grouped-GEMM Mosaic pass-2 (round 5), both in
+    hermetic interpret mode on the CPU mesh."""
+    from kmcp_tpu.search.device import _gemm_geometry
+    from kmcp_tpu.search.pallas_count import pack_gemm_blocks
+
+    xla = _make_screened_tail(
+        cand_budget, pair_budget, 10, 1000, NB, T_BLOCK, S_BLOCK, 1
+    )
+    m0, a0 = xla(jnp.asarray(bits), *args)
+    S_pad, T_t = _gemm_geometry(S_BLOCK, T_BLOCK)
+    gem = _make_screened_tail(
+        cand_budget, pair_budget, 10, 1000, NB, T_BLOCK, S_BLOCK, 1,
+        gemm_pc=(S_pad, T_t, True),  # interpret mode
+    )
+    m1, a1 = gem(
+        pack_gemm_blocks(jnp.asarray(bits), NB, S_BLOCK, S_pad), *args
+    )
+    return (np.asarray(m0), np.asarray(a0)), (np.asarray(m1), np.asarray(a1))
+
+
+def test_gemm_tail_parity():
+    """The MXU grouped-GEMM pass-2 must be byte-identical to the XLA
+    pass-2: same candidate order, counts, nkmers."""
+    bits, args = _synthetic(3)
+    (m0, a0), (m1, a1) = _run_gemm(bits, args, 65536, 96)
+    n = int(m0[0])
+    assert n == int(m1[0]) and 0 < n <= 65536
+    assert (m0[1 : 1 + n] == m1[1 : 1 + n]).all()
+    assert (
+        m0[1 + 65536 : 1 + 65536 + n] == m1[1 + 65536 : 1 + 65536 + n]
+    ).all()
+    assert (a0[:n] == a1[:n]).all()
+    assert (a0[65536:] == a1[65536:]).all()
+
+
+def test_gemm_tail_overflow_agreement():
+    bits, args = _synthetic(3)
+    (m0, _), (m1, _) = _run_gemm(bits, args, 256, 96)
+    assert int(m0[0]) == int(m1[0]) == 257
+
+
+def test_gemm_tail_matches_pair_kernel():
+    """Three-way: GEMM pass-2 == pair-kernel pass-2 on a second seed."""
+    bits, args = _synthetic(11)
+    (_, _), (mp, ap) = _run_both(bits, args, 65536, 96)
+    (_, _), (mg, ag) = _run_gemm(bits, args, 65536, 96)
+    np.testing.assert_array_equal(mp, mg)
+    np.testing.assert_array_equal(ap, ag)
+
+
+def test_build_u_digit_exact():
+    """Digit-GEMM multiplicity build == numpy bincount, incl. sentinel
+    rows and multiplicities > 1."""
+    from kmcp_tpu.search.device import _build_u_digit
+
+    rng = np.random.default_rng(5)
+    B2, K2, S_pad = 64, 200, 384
+    loc = rng.integers(0, 301, size=(B2, K2)).astype(np.int32)
+    loc[0, :] = 7  # multiplicity 200 on one row (homopolymer shape)
+    u = np.asarray(_build_u_digit(jnp.asarray(loc), S_pad)).astype(np.int32)
+    ref = np.zeros((B2, S_pad), np.int32)
+    np.add.at(ref, (np.arange(B2)[:, None], loc), 1)
+    np.testing.assert_array_equal(u, ref)
