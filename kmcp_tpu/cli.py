@@ -159,6 +159,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated clade prefixes for MetaPhlAn output")
     pr.add_argument("--line-chunk-size", type=int, default=5000,
                     help="accepted for CLI parity (parser is vectorized)")
+    pr.add_argument("--low-mem", action="store_true",
+                    help="bounded-memory chunked profiling (spills row "
+                         "groups to disk; identical output)")
     pr.add_argument("-C", "--cami-report", default=None)
     pr.add_argument("-M", "--metaphlan-report", default=None)
     pr.add_argument("--metaphlan-report-version", default="3", choices=["2", "3"])
@@ -523,6 +526,7 @@ def _dispatch(args) -> int:
             files=args.files,
             out_file=args.out_file,
             opt=opt,
+            low_mem=args.low_mem,
             taxid_map_files=args.taxid_map,
             taxdump_dir=args.taxdump,
             name_map_files=args.name_map,

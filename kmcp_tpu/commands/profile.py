@@ -46,6 +46,7 @@ def run_profile(
     rank_prefixes: list[str] | None = None,
     debug_file: str | None = None,
     verbose: bool = True,
+    low_mem: bool = False,
 ):
     opt = opt or ProfileOptions()
     if name_map_files:
@@ -95,7 +96,39 @@ def run_profile(
               file=sys.stderr)
     parsed = None
     flat = None
-    if use_fast:
+    store = None
+    if low_mem:
+        # bounded-memory chunked engine (profile/spill.py — the
+        # reference re-streams its TSV per stage for the same reason,
+        # profile.go:68); identical output to the in-memory engine
+        if binning_file:
+            raise SystemExit(
+                "kmcp-tpu profile: --low-mem does not support "
+                "-B/--binning-result (per-read binning needs the query "
+                "ids in memory); drop --low-mem for binning runs"
+            )
+        if not use_fast:
+            raise SystemExit(
+                "kmcp-tpu profile: --low-mem requires the fast engine "
+                "(no --debug, KMCP_TPU_PROFILE_ENGINE != reference)"
+            )
+        import tempfile
+
+        from ..profile.spill import spill_from_files
+
+        spill_dir = tempfile.mkdtemp(prefix="kmcp_profile_spill_")
+        store = spill_from_files(
+            files, opt.max_fpr, opt.min_qcov, spill_dir,
+            chunk_bytes=int(
+                os.environ.get("KMCP_TPU_PARSE_CHUNK", str(256 << 20))
+            ),
+        )
+        if store is None:
+            raise SystemExit(
+                "kmcp-tpu profile: --low-mem needs the native parser "
+                "(build native/ or drop --low-mem)"
+            )
+    elif use_fast:
         # columnar native parse, no per-row Python objects; query-id
         # offsets are retained when binning needs them
         flat = flat_from_files(
@@ -105,12 +138,13 @@ def run_profile(
                 os.environ.get("KMCP_TPU_PARSE_CHUNK", str(512 << 20))
             ),
         )
-    if flat is None:
+    if flat is None and store is None:
         parsed = parse_search_tsv(files, opt.max_fpr, opt.min_qcov)
     if verbose:
-        ng = flat.n_groups if flat is not None else len(parsed.groups)
+        src = store if store is not None else flat
+        ng = src.n_groups if src is not None else len(parsed.groups)
         nt = (
-            flat.n_targets if flat is not None
+            src.n_targets if src is not None
             else len(parsed.target_names)
         )
         print(
@@ -128,7 +162,15 @@ def run_profile(
             opt, taxdb=taxdb, taxid_map=taxid_map, debug_out=debug_out
         )
     try:
-        targets = prof.run(flat if flat is not None else parsed)
+        if store is not None:
+            from ..profile.spill import run_spilled
+
+            try:
+                targets = run_spilled(prof, store)
+            finally:
+                store.cleanup()
+        else:
+            targets = prof.run(flat if flat is not None else parsed)
     finally:
         if debug_out is not None:
             debug_out.close()

@@ -543,36 +543,7 @@ class FastProfiler:
         amb: dict[tuple[int, int], float] = {}
         st_allowed = self._stage_state(flat, allowed)
         if not opt.no_amb_corr:
-            gt_idx2 = st_allowed.gt_idx
-            ambig = st_allowed.n_t[flat.gt_group[gt_idx2]] > 1
-            gsel = gt_idx2[ambig]
-            order = np.lexsort((flat.gt_target[gsel], flat.gt_group[gsel]))
-            gsel = gsel[order]
-            gids = flat.gt_group[gsel]
-            tids = flat.gt_target[gsel].astype(np.int64)
-            starts = np.flatnonzero(
-                np.concatenate(([True], gids[1:] != gids[:-1]))
-            )
-            ends = np.concatenate((starts[1:], [len(gids)]))
-            sizes = ends - starts
-            # 2-target groups (the vast majority): targets ascend within
-            # a group (the lexsort above), so the pair key is already
-            # (min, max) — count all pairs with one np.unique
-            two = starts[sizes == 2]
-            if len(two):
-                C = int(flat.n_targets)
-                ks, cnts = np.unique(
-                    tids[two] * C + tids[two + 1], return_counts=True
-                )
-                for k, c in zip(ks.tolist(), cnts.tolist()):
-                    key = (k // C, k % C)
-                    amb[key] = amb.get(key, 0.0) + c
-            for s, e in zip(starts[sizes > 2], ends[sizes > 2]):
-                seg = tids[s:e]
-                for i in range(len(seg) - 1):
-                    for j in range(i + 1, len(seg)):
-                        k = (int(seg[i]), int(seg[j]))
-                        amb[k] = amb.get(k, 0.0) + 1
+            self._count_amb(flat, st_allowed, amb)
 
         # ---------------- stage 3: disambiguate + recount
         # dense per-target arrays (zeros are unreachable: stage-3 groups
@@ -757,6 +728,41 @@ class FastProfiler:
         np.add.at(uniq_hic, tf[hm], 1.0)
         np.add.at(match, flat.row_tf[st.row_sel], st.row_inv)
         return match, None, uniq, uniq_hic, sel, None
+
+    def _count_amb(self, flat, st_allowed: _StageState, amb: dict):
+        """Stage-2 pairwise co-occurrence counts over ambiguous reads
+        (profile.go:1118-1279), merged into ``amb`` (shared with the
+        spilled chunk runner, which calls this per chunk)."""
+        gt_idx2 = st_allowed.gt_idx
+        ambig = st_allowed.n_t[flat.gt_group[gt_idx2]] > 1
+        gsel = gt_idx2[ambig]
+        order = np.lexsort((flat.gt_target[gsel], flat.gt_group[gsel]))
+        gsel = gsel[order]
+        gids = flat.gt_group[gsel]
+        tids = flat.gt_target[gsel].astype(np.int64)
+        starts = np.flatnonzero(
+            np.concatenate(([True], gids[1:] != gids[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(gids)]))
+        sizes = ends - starts
+        # 2-target groups (the vast majority): targets ascend within
+        # a group (the lexsort above), so the pair key is already
+        # (min, max) — count all pairs with one np.unique
+        two = starts[sizes == 2]
+        if len(two):
+            C = int(flat.n_targets)
+            ks, cnts = np.unique(
+                tids[two] * C + tids[two + 1], return_counts=True
+            )
+            for k, c in zip(ks.tolist(), cnts.tolist()):
+                key = (k // C, k % C)
+                amb[key] = amb.get(key, 0.0) + c
+        for s, e in zip(starts[sizes > 2], ends[sizes > 2]):
+            seg = tids[s:e]
+            for i in range(len(seg) - 1):
+                for j in range(i + 1, len(seg)):
+                    k = (int(seg[i]), int(seg[j]))
+                    amb[k] = amb.get(k, 0.0) + 1
 
     def _megapath_deletions(self, flat, st: _StageState, amb, sum_match,
                             sum_uniq):

@@ -105,6 +105,39 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+@functools.lru_cache(maxsize=None)
+def make_jax_counter_genome(num_hashes: int, k_chunk: int = 32768):
+    """Chunked-accumulation counter for GENOME-SCALE containment queries
+    (`search -g`, /root/reference/kmcp/cmd/search.go:885-937): one query
+    carries millions of k-mers, which breaks the padded [B, K] batch
+    model (SURVEY §7 lists this k-mer-axis chunking as a hard part).
+    (bits_u32[S,W], loc_i32[C, Kc, h], mask[C, Kc]) -> [W*32] int32:
+    a lax.scan accumulates per-chunk positional popcounts, so the live
+    gather intermediate stays [Kc, W] regardless of the query size."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def counts_fn(bits, loc, mask):
+        def chunk(carry, xs):
+            loc_c, m_c = xs
+            rows = jnp.take(bits, loc_c[..., 0], axis=0)  # [Kc, W]
+            for j in range(1, num_hashes):
+                rows = rows & jnp.take(bits, loc_c[..., j], axis=0)
+            rows = jnp.where(m_c[:, None], rows, jnp.uint32(0))
+            shifts = jnp.arange(32, dtype=jnp.uint32)
+            bit = (rows[..., None] >> shifts) & jnp.uint32(1)  # [Kc,W,32]
+            return carry + bit.astype(jnp.int32).sum(axis=0).reshape(-1), None
+
+        W = bits.shape[1]
+        counts, _ = lax.scan(
+            chunk, jnp.zeros((W * 32,), jnp.int32), (loc, mask)
+        )
+        return counts
+
+    return jax.jit(counts_fn)
+
+
 class JaxBlockCounter:
     """Per-block device counter with resident bit matrix.
 
@@ -127,6 +160,16 @@ class JaxBlockCounter:
         import jax.numpy as jnp
 
         B, K = hashes.shape
+        if K >= 262144:
+            # genome-scale containment queries (`search -g`): the padded
+            # [B -> 1024, K] batch model would allocate K * 8 KB; chunk
+            # the k-mer axis per query instead (make_jax_counter_genome)
+            return np.stack(
+                [
+                    self._call_genome(hashes[b], mask[b])
+                    for b in range(B)
+                ]
+            )
         Bp, Kp = _round_up(max(B, 1), 1024), _round_up(max(K, 1), 32)
         if (Bp, Kp) != (B, K):
             h2 = np.zeros((Bp, Kp), dtype=np.uint64)
@@ -137,6 +180,26 @@ class JaxBlockCounter:
         loc = self._locations(hashes)
         out = self._fn(self.bits, jnp.asarray(loc), jnp.asarray(mask))
         return np.asarray(out)[:B]
+
+    def _call_genome(self, hashes: np.ndarray, mask: np.ndarray):
+        """One genome-scale query row -> [T] counts via the chunked
+        scan; locations derive on the host C++ path as usual."""
+        import jax.numpy as jnp
+
+        KC = 32768
+        (K,) = hashes.shape
+        C = max(1, -(-K // KC))
+        Kp = C * KC
+        h2 = np.zeros((1, Kp), dtype=np.uint64)
+        m2 = np.zeros((1, Kp), dtype=bool)
+        h2[0, :K] = hashes
+        m2[0, :K] = mask
+        loc = self._locations(h2).reshape(C, KC, self.num_hashes)
+        fn = make_jax_counter_genome(self.num_hashes)
+        out = fn(
+            self.bits, jnp.asarray(loc), jnp.asarray(m2.reshape(C, KC))
+        )
+        return np.asarray(out)
 
     def _locations(self, hashes: np.ndarray) -> np.ndarray:
         """int32 Bloom positions; C++ fast path (NumPy uint64 modulo is

@@ -2235,3 +2235,49 @@ def test_low_mem_jax_warns(tmp_path, capsys):
     # host backend with low_mem stays silent (the flag is honored there)
     SearchEngine([db], SearchOptions(backend="host", low_mem=True))
     assert "--low-mem is ignored" not in capsys.readouterr().err
+
+
+def test_whole_file_query_jax_matches_numpy(tmp_path):
+    """Genome-scale containment queries (`search -g`,
+    search.go:885-937) on the jax backend: the chunked k-mer-axis
+    accumulation (kernel.make_jax_counter_genome) must give the numpy
+    backend's counts bit-for-bit.  300 kb query -> ~280k k-mers, over
+    the 262144 chunked-path threshold."""
+    from kmcp_tpu.commands.compute import ComputeOptions, run_compute
+    from kmcp_tpu.commands.search import run_search
+    from kmcp_tpu.index.build import run_index
+    from kmcp_tpu.search.engine import SearchOptions
+
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genomes = []
+    for g in range(3):
+        seq = rng.choice(bases, size=300_000).tobytes()
+        (tmp_path / f"g{g}.fa").write_text(f">g{g}\n{seq.decode()}\n")
+        genomes.append(seq)
+    run_compute(
+        out_dir=str(tmp_path / "ks"),
+        files=[str(tmp_path / f"g{g}.fa") for g in range(3)],
+        opt=ComputeOptions(ks=[21], split_number=1),
+        force=True,
+    )
+    run_index(in_dir=str(tmp_path / "ks"), out_dir=str(tmp_path / "db"),
+              num_hashes=1, fpr=0.1, force=True)
+    # query = genome 0 + a mutated copy of genome 1's first half
+    q = tmp_path / "q.fa"
+    q.write_text(f">q\n{genomes[0].decode()}{genomes[1][:150000].decode()}\n")
+
+    outs = {}
+    for backend in ("numpy", "jax"):
+        out_path = tmp_path / f"{backend}.tsv"
+        run_search(
+            db_dir=str(tmp_path / "db"),
+            out_file=str(out_path),
+            files=[str(q)],
+            whole_file=True,
+            opt=SearchOptions(backend=backend, min_query_cov=0.3),
+            verbose=False,
+        )
+        outs[backend] = out_path.read_text()
+    assert outs["numpy"] == outs["jax"]
+    assert "g0" in outs["numpy"]  # the full genome must match itself
