@@ -621,7 +621,8 @@ class DeviceDB:
 
     def search_reads_pallas(self, reads_u8, lens, cand_budget,
                             dedup_values: bool = False,
-                            packed4: bool = False):
+                            packed4: bool = False,
+                            interpret: bool = False):
         """Pallas rolling-hash kernel + jitted count tail (num_hashes==1).
 
         reads_u8: [B, lmax] uint8 (B multiple of 256); the kernel's
@@ -660,15 +661,52 @@ class DeviceDB:
                 )
             return self._search_reads_screened(
                 reads_u8, lens, cand_budget, k, lmax, max_hash,
-                dedup_values=dedup_values, packed4=packed4,
+                interpret=interpret, dedup_values=dedup_values,
+                packed4=packed4,
             )
-        hash_fn = make_pallas_hash_loc(
-            k, lmax, self.total_rows, max_hash, num_hashes=h,
-            emit_values=dedup_values, packed4=packed4,
-        )
-        outs = hash_fn(reads_u8)
-        loc_ts, nk = outs[:h], outs[h]
-        vplanes = tuple(outs[h + 1 : h + 3]) if dedup_values else ()
+        if db.is_sketch:
+            # sketch DBs: hash unscaled with value planes, select the
+            # minimizer/syncmer windows on device, THEN scale-filter —
+            # the host's order (sketches.py; the reference's in-engine
+            # sketch path is util-db-search.go:1050-1106)
+            from .sketch_device import make_sketch_transform
+
+            hash_fn = make_pallas_hash_loc(
+                k, lmax, self.total_rows, (1 << 64) - 1, num_hashes=h,
+                emit_values=True, packed4=packed4, interpret=interpret,
+            )
+            outs = hash_fn(reads_u8)
+            loc_ts, vhi, vlo = outs[:h], outs[h + 1], outs[h + 2]
+            s_planes = ()
+            if db.info.syncmer:
+                s = db.info.syncmer_s
+                s_hash = make_pallas_hash_loc(
+                    s, lmax, 1, (1 << 64) - 1, emit_values=True,
+                    packed4=packed4, interpret=interpret,
+                )
+                s_outs = s_hash(reads_u8)
+                s_planes = (s_outs[2], s_outs[3])
+                kind, param = "syncmer", s
+            else:
+                kind, param = "minimizer", db.info.minimizer_w
+            if isinstance(lens, np.ndarray) or not hasattr(lens, "dtype"):
+                lens = jnp.asarray(np.asarray(lens).astype(np.int32))
+            transform = make_sketch_transform(
+                kind, k, param, self.total_rows, max_hash
+            )
+            loc_ts, nk, vhi, vlo = transform(
+                tuple(loc_ts), vhi, vlo, s_planes, lens
+            )
+            vplanes = (vhi, vlo) if dedup_values else ()
+        else:
+            hash_fn = make_pallas_hash_loc(
+                k, lmax, self.total_rows, max_hash, num_hashes=h,
+                emit_values=dedup_values, packed4=packed4,
+                interpret=interpret,
+            )
+            outs = hash_fn(reads_u8)
+            loc_ts, nk = outs[:h], outs[h]
+            vplanes = tuple(outs[h + 1 : h + 3]) if dedup_values else ()
         B = reads_u8.shape[0]
         K = lmax - k + 1
         S_ext = self.total_rows + 1

@@ -199,11 +199,30 @@ class StreamSearcher:
         db = engine.dbs[0]
         if db.is_sketch:
             # minimizer and closed-syncmer queries stream on the host
-            # backend (C++ selection, bit-identical to sketches.py);
-            # paired sketch mates hash as separate rows whose location
+            # backend (C++ selection, bit-identical to sketches.py) and,
+            # since round 5, on the jax backend for SINGLE-BLOCK DBs
+            # (on-device window selection, search/sketch_device.py).
+            # Paired sketch mates hash as separate rows whose location
             # lists merge per pair (selection windows must not cross the
-            # mate junction — engine.py:408-414 sketches each mate alone)
-            if engine.opt.backend != "host":
+            # mate junction — engine.py:408-414 sketches each mate
+            # alone), which the joined-row device path cannot express.
+            if engine.opt.backend == "jax":
+                if paired or len(db.blocks) != 1:
+                    return False
+                if db.info.syncmer and db.info.syncmer_s >= max(
+                    db.info.ks
+                ):
+                    return False
+                # selection rides the Pallas hash kernel's value planes
+                # (search_reads_pallas); the XLA scan fallback has no
+                # sketch branch
+                if os.environ.get("KMCP_TPU_DEVICE_HASH", "1") != "1":
+                    return False
+                import jax
+
+                if jax.devices()[0].platform in ("cpu",):
+                    return False
+            elif engine.opt.backend != "host":
                 return False
         if engine.opt.backend not in ("jax", "host"):
             return False

@@ -2281,3 +2281,97 @@ def test_whole_file_query_jax_matches_numpy(tmp_path):
         outs[backend] = out_path.read_text()
     assert outs["numpy"] == outs["jax"]
     assert "g0" in outs["numpy"]  # the full genome must match itself
+
+
+@pytest.mark.parametrize("sketch", ["minimizer", "syncmer"])
+def test_device_sketch_selection_matches_host(tmp_path, sketch):
+    """On-device minimizer/closed-syncmer selection
+    (search/sketch_device.py) must produce the host backend's exact
+    candidate set — same (read, target, count) triples and the same
+    sketch sizes (qKmers) — through the full pallas path in interpret
+    mode (util-db-search.go:1050-1106 is the reference's in-engine
+    sketch branch)."""
+    from kmcp_tpu.kmer import native as _nat
+
+    if _nat.get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    from kmcp_tpu.commands.compute import ComputeOptions, run_compute
+    from kmcp_tpu.index.build import run_index
+    from kmcp_tpu.search.device import DeviceDB, HostDB
+    from kmcp_tpu.search.engine import SearchEngine, SearchOptions
+    from kmcp_tpu.search.stream import _unpack_result
+
+    rng = np.random.default_rng(31)
+    bases = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    genomes = []
+    for g in range(3):
+        seq = rng.choice(
+            bases[:4], size=30000
+        ).tobytes()
+        (tmp_path / f"g{g}.fa").write_text(f">g{g}\n{seq.decode()}\n")
+        genomes.append(seq)
+    skw = (
+        dict(minimizer_w=5) if sketch == "minimizer"
+        else dict(syncmer_s=11)
+    )
+    run_compute(
+        out_dir=str(tmp_path / "ks"),
+        files=[str(tmp_path / f"g{g}.fa") for g in range(3)],
+        opt=ComputeOptions(ks=[21], split_number=2, split_overlap=100,
+                           **skw),
+        force=True,
+    )
+    run_index(in_dir=str(tmp_path / "ks"), out_dir=str(tmp_path / "db"),
+              num_hashes=1, fpr=0.3, force=True, tpu_native=True)
+
+    B = 256
+    reads = []
+    for i in range(B):
+        if i % 6 == 5:
+            reads.append(rng.choice(bases[:4], size=150).tobytes())
+        elif i % 17 == 16:
+            reads.append(b"ACGTACGT")  # too short
+        elif i % 11 == 10:
+            # shorter than one minimizer window's worth of k-mers
+            g = genomes[int(rng.integers(0, 3))]
+            p = int(rng.integers(0, len(g) - 24))
+            reads.append(g[p : p + 24])
+        else:
+            g = genomes[int(rng.integers(0, 3))]
+            p = int(rng.integers(0, len(g) - 150))
+            r = bytearray(g[p : p + 150])
+            if i % 13 == 12:
+                r[70] = ord("N")
+            reads.append(bytes(r))
+    lens = np.array([len(s) for s in reads], dtype=np.int64)
+    lmax = 160
+    mat = _nat.pack_rows(reads, lens, lmax)
+
+    opt = SearchOptions(backend="jax", batch_size=B)
+    eng = SearchEngine([str(tmp_path / "db")], opt)
+    db = eng.dbs[0]
+    assert db.is_sketch and len(db.blocks) == 1
+
+    budget = 8 * B
+    hd = HostDB(db, opt)
+    T = hd.t_per_block * hd.n_blocks
+    host_res = hd.search_reads_async(
+        (B, lmax), lens, budget, seqs=reads,
+        dedup_threshold=opt.kmer_dedup_threshold,
+    )
+    hn, hqi, ht, hcnt, hnk = _unpack_result(host_res, budget, B, T)
+
+    dev = DeviceDB(db, opt)
+    meta_aux = dev.search_reads_pallas(
+        mat, lens, budget, interpret=True
+    )
+    dn, dqi, dt_, dcnt, dnk = _unpack_result(meta_aux, budget, B, T)
+
+    assert dn == hn
+    hidx = np.asarray(hqi).astype(np.int64) * T + np.asarray(ht)
+    didx = np.asarray(dqi).astype(np.int64) * T + np.asarray(dt_)
+    ho, do = np.argsort(hidx, kind="stable"), np.argsort(didx, kind="stable")
+    np.testing.assert_array_equal(didx[do], hidx[ho])
+    np.testing.assert_array_equal(np.asarray(dcnt)[do], np.asarray(hcnt)[ho])
+    np.testing.assert_array_equal(dnk, hnk)  # sketch sizes (qKmers)
