@@ -29,7 +29,10 @@ print(json.dumps({'h2d_mb_s': round(h2d,1), 'd2h_mb_s': round(d2h,1), 'pull_rtt_
     # 3. sketch device A/B (parity + throughput)
     timeout 1800 python tools/probe_sketch_device.py \
       > /tmp/battery_r5/sketch_ab.log 2>&1
-    # 4. full driver-shape bench (demo + extras + deferred re-measure)
+    # 4. device index-build experiment (ROADMAP item 8 evidence)
+    timeout 900 python tools/probe_index_build_device.py \
+      > /tmp/battery_r5/build_ab.log 2>&1
+    # 5. full driver-shape bench (demo + extras + deferred re-measure)
     timeout 3000 python bench.py > /tmp/battery_r5/bench.json 2>/tmp/battery_r5/bench.err
     echo "battery done at $(date)" >> /tmp/battery_r5/recovered.txt
     exit 0
