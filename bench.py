@@ -865,8 +865,13 @@ def main() -> None:
 
         # deferred second measurement of every large-T device field,
         # minutes after the first (see `deferred` comment above);
-        # per-field max merges into the record
-        for name, ctx in deferred:
+        # per-field max merges into the record.  NOTE: the kept
+        # contexts pin their DeviceDBs (incl. the ~0.5 GB GEMM slabs)
+        # in HBM while later extras build — ~5-6 GB total at these
+        # geometries, within a v5e's 16 GB but worth releasing as each
+        # re-measure completes (the loop below drops refs as it goes)
+        while deferred:
+            name, ctx = deferred.pop(0)
             try:
                 from tools.bench_large_t import bench_device as _lt_dev
 
@@ -880,8 +885,10 @@ def main() -> None:
                         v,
                     )
                     print(json.dumps(record), flush=True)
+                    ctx = lst = None
                     continue
                 lt = _lt_dev("", None, ctx=ctx)
+                ctx = None  # release the DeviceDB + batches
                 e2e, step = lt["reads_per_s"], lt.get("step_reads_per_s")
                 if name == "screened131k":
                     v = max(record.get("large_t_device_reads_per_s", 0),

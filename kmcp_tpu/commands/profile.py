@@ -117,13 +117,23 @@ def run_profile(
         from ..profile.spill import spill_from_files
 
         spill_dir = tempfile.mkdtemp(prefix="kmcp_profile_spill_")
-        store = spill_from_files(
-            files, opt.max_fpr, opt.min_qcov, spill_dir,
-            chunk_bytes=int(
-                os.environ.get("KMCP_TPU_PARSE_CHUNK", str(256 << 20))
-            ),
-        )
+        try:
+            store = spill_from_files(
+                files, opt.max_fpr, opt.min_qcov, spill_dir,
+                chunk_bytes=int(
+                    os.environ.get("KMCP_TPU_PARSE_CHUNK", str(256 << 20))
+                ),
+            )
+        except BaseException:
+            # a parse failure must not leak partially-written chunks
+            import shutil
+
+            shutil.rmtree(spill_dir, ignore_errors=True)
+            raise
         if store is None:
+            import shutil
+
+            shutil.rmtree(spill_dir, ignore_errors=True)
             raise SystemExit(
                 "kmcp-tpu profile: --low-mem needs the native parser "
                 "(build native/ or drop --low-mem)"

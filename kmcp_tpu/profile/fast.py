@@ -618,7 +618,13 @@ class FastProfiler:
                 break
             dom_prev = targets[0].percentage
 
-        # final sort + low-pct filter + taxonomy (same as core)
+        return self._finalize_targets(targets)
+
+    def _finalize_targets(self, targets):
+        """Final sort + low-pct tail filter + name map / taxonomy —
+        shared with the spilled chunk runner (profile/spill.py) so the
+        two engines cannot silently diverge here."""
+        opt = self.opt
         if opt.mode == 0:
             targets.sort(
                 key=lambda t: (-(t.score * t.frags_prop), -t.score,

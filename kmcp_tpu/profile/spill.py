@@ -99,11 +99,9 @@ class FlatChunkStore:
             yield v
 
     def cleanup(self):
-        for p in self.chunk_paths:
-            try:
-                os.remove(p)
-            except OSError:
-                pass
+        import shutil
+
+        shutil.rmtree(self.spill_dir, ignore_errors=True)
 
 
 def _write_chunk(store: FlatChunkStore, group, target, frag, qlen, qcov):
@@ -218,8 +216,15 @@ def spill_from_files(
                             for p, b in zip(pending, blk)
                         )
                         blk = tuple(b[~cont] for b in blk)
-                    _write_chunk(store, *pending)
-                pending = blk
+                    if len(blk[0]) > 0 or not fuse:
+                        _write_chunk(store, *pending)
+                        pending = blk
+                    # else: this whole parse block continued the pending
+                    # chunk's last group (a group spanning 3+ blocks) —
+                    # keep accumulating so the group never splits across
+                    # chunks (the invariant every stage relies on)
+                else:
+                    pending = blk
                 if ng:
                     o = int(d["grp_off"][ng - 1])
                     prev_tail_qid = buf[o : o + int(d["grp_len"][ng - 1])]
@@ -431,34 +436,6 @@ def run_spilled(prof, store: FlatChunkStore):
             break
         dom_prev = targets[0].percentage
 
-    # final sort + low-pct filter + taxonomy (same as FastProfiler.run)
-    if opt.mode == 0:
-        targets.sort(
-            key=lambda t: (-(t.score * t.frags_prop), -t.score,
-                           -t.frags_prop, -t.sum_match)
-        )
-    else:
-        targets.sort(key=lambda t: (-t.coverage, -t.frags_prop))
-    if opt.filter_low_pct > 0 and len(targets) > 1:
-        acc = 0.0
-        n = 0
-        for t in reversed(targets):
-            acc += t.percentage
-            if acc > opt.filter_low_pct:
-                break
-            n += 1
-        if n > 0:
-            targets = targets[: len(targets) - n]
-            sc = sum(t.coverage for t in targets)
-            for t in targets:
-                t.percentage = t.coverage / sc * 100
-    for t in targets:
-        if opt.name_map:
-            t.refname = opt.name_map.get(t.name, "")
-        if prof.taxid_map and prof.taxdb:
-            taxid = prof.taxid_map.get(t.name)
-            if taxid is not None:
-                from .core import Profiler
-
-                Profiler._add_taxonomy(prof, t, taxid)
-    return targets
+    # final sort + low-pct filter + taxonomy: the exact code the
+    # in-memory engine runs (fast.FastProfiler._finalize_targets)
+    return prof._finalize_targets(targets)

@@ -105,20 +105,27 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+GENOME_SUPER_CHUNK = 64  # scan steps per fixed-shape call
+
+
 @functools.lru_cache(maxsize=None)
 def make_jax_counter_genome(num_hashes: int, k_chunk: int = 32768):
     """Chunked-accumulation counter for GENOME-SCALE containment queries
     (`search -g`, /root/reference/kmcp/cmd/search.go:885-937): one query
     carries millions of k-mers, which breaks the padded [B, K] batch
     model (SURVEY §7 lists this k-mer-axis chunking as a hard part).
-    (bits_u32[S,W], loc_i32[C, Kc, h], mask[C, Kc]) -> [W*32] int32:
-    a lax.scan accumulates per-chunk positional popcounts, so the live
-    gather intermediate stays [Kc, W] regardless of the query size."""
+    (bits_u32[S,W], carry[W*32] i32, loc_i32[C, Kc, h], mask[C, Kc]) ->
+    [W*32] int32: a lax.scan accumulates per-chunk positional popcounts,
+    so the live gather intermediate stays [Kc, W] regardless of query
+    size.  C is FIXED at GENOME_SUPER_CHUNK (the caller loops over
+    fixed-shape super-chunks, threading the carry): the chunk count
+    must not be an input shape, or every distinct genome length would
+    recompile — measured 170 s per compile through the axon tunnel."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    def counts_fn(bits, loc, mask):
+    def counts_fn(bits, carry0, loc, mask):
         def chunk(carry, xs):
             loc_c, m_c = xs
             rows = jnp.take(bits, loc_c[..., 0], axis=0)  # [Kc, W]
@@ -129,10 +136,7 @@ def make_jax_counter_genome(num_hashes: int, k_chunk: int = 32768):
             bit = (rows[..., None] >> shifts) & jnp.uint32(1)  # [Kc,W,32]
             return carry + bit.astype(jnp.int32).sum(axis=0).reshape(-1), None
 
-        W = bits.shape[1]
-        counts, _ = lax.scan(
-            chunk, jnp.zeros((W * 32,), jnp.int32), (loc, mask)
-        )
+        counts, _ = lax.scan(chunk, carry0, (loc, mask))
         return counts
 
     return jax.jit(counts_fn)
@@ -183,23 +187,33 @@ class JaxBlockCounter:
 
     def _call_genome(self, hashes: np.ndarray, mask: np.ndarray):
         """One genome-scale query row -> [T] counts via the chunked
-        scan; locations derive on the host C++ path as usual."""
+        scan; locations derive on the host C++ path as usual.  The jit
+        sees only the FIXED [GENOME_SUPER_CHUNK, KC] shape (one compile
+        serves every genome size; persistent-cached across processes)
+        and the [W*32] carry threads across super-chunk calls."""
         import jax.numpy as jnp
 
+        from .device import enable_compilation_cache
+
+        enable_compilation_cache()
         KC = 32768
+        SC = GENOME_SUPER_CHUNK
         (K,) = hashes.shape
-        C = max(1, -(-K // KC))
-        Kp = C * KC
+        n_super = max(1, -(-K // (KC * SC)))
+        Kp = n_super * SC * KC
         h2 = np.zeros((1, Kp), dtype=np.uint64)
         m2 = np.zeros((1, Kp), dtype=bool)
         h2[0, :K] = hashes
         m2[0, :K] = mask
-        loc = self._locations(h2).reshape(C, KC, self.num_hashes)
+        loc = self._locations(h2).reshape(n_super, SC, KC, self.num_hashes)
+        m3 = m2.reshape(n_super, SC, KC)
         fn = make_jax_counter_genome(self.num_hashes)
-        out = fn(
-            self.bits, jnp.asarray(loc), jnp.asarray(m2.reshape(C, KC))
-        )
-        return np.asarray(out)
+        carry = jnp.zeros((self.num_words * 32,), jnp.int32)
+        for i in range(n_super):
+            carry = fn(
+                self.bits, carry, jnp.asarray(loc[i]), jnp.asarray(m3[i])
+            )
+        return np.asarray(carry)
 
     def _locations(self, hashes: np.ndarray) -> np.ndarray:
         """int32 Bloom positions; C++ fast path (NumPy uint64 modulo is

@@ -215,8 +215,14 @@ class StreamSearcher:
                     return False
                 # selection rides the Pallas hash kernel's value planes
                 # (search_reads_pallas); the XLA scan fallback has no
-                # sketch branch
+                # sketch branch, so EVERY use_pallas precondition must
+                # hold here or run() would silently count un-selected
+                # windows
                 if os.environ.get("KMCP_TPU_DEVICE_HASH", "1") != "1":
+                    return False
+                if engine.opt.batch_size % 256 != 0:
+                    return False
+                if engine.opt.kmer_dedup_threshold >= 65535:
                     return False
                 import jax
 

@@ -515,3 +515,44 @@ def test_spilled_profiler_bounded_rss(tmp_path):
     # this ceiling at these row counts; at 1B rows they'd need ~50 GB.
     assert peak_kb < 150_000, peak_kb
     assert (tmp_path / "big.profile").read_text().count("\n") > 1
+
+
+def test_spilled_profiler_group_spanning_blocks(tmp_path):
+    """A query group larger than the parse block must NOT split across
+    spill chunks (it would double-count the group — caught by round-5
+    self-review, reproduced before the fix: n_reads 5.0 vs 3.0)."""
+    from kmcp_tpu.kmer import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    tsv = tmp_path / "wide.tsv"
+    with open(tsv, "w") as f:
+        f.write("#query\tqLen\tqKmers\tFPR\thits\ttarget\tchunkIdx\t"
+                "chunks\ttLen\tkSize\tmKmers\tqCov\ttCov\tjacc\tqueryIdx\n")
+        # q0: small; q1: 400 rows (spans many 8 KB parse blocks); q2: small
+        rows = [("q0", 3), ("q1", 400), ("q2", 3)]
+        for qi, (qid, n) in enumerate(rows):
+            for j in range(n):
+                f.write(
+                    f"{qid}\t150\t130\t1.0e-10\t{n}\tT{j % 37:03d}\t"
+                    f"{j % 10}\t10\t1000000\t21\t100\t0.9000\t0.0010\t"
+                    f"0.0010\t{qi}\n"
+                )
+        f.write("# input queries: 3\n# matched queries: 3\n")
+
+    outs = {}
+    for mode, extra, env in (
+        ("mem", [], {}),
+        ("spill", ["--low-mem"], {"KMCP_TPU_PARSE_CHUNK": str(8 << 10)}),
+    ):
+        out = tmp_path / f"{mode}.profile"
+        for k, v in env.items():
+            os.environ[k] = v
+        try:
+            run_cli("-q", "profile", "--level", "strain", "-m", "1",
+                    *extra, str(tsv), "-o", str(out))
+        finally:
+            for k in env:
+                os.environ.pop(k, None)
+        outs[mode] = out.read_text()
+    assert outs["mem"] == outs["spill"]
