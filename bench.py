@@ -143,20 +143,24 @@ def _device_step_rate(st, queries, opt) -> float | None:
         seqs = [q[1] for q in queries[:B]]
         lens = np.array([len(s) for s in seqs], dtype=np.int64)
         lmax = max(-(-int(lens.max()) // 32) * 32, st.k + 31)
-        pack4 = os.environ.get("KMCP_TPU_PACK4", "1") == "1"
-        mat = (
-            _native.pack_rows_4bit(seqs, lens, lmax)
-            if pack4
-            else _native.pack_rows(seqs, lens, lmax)
+        pm = os.environ.get("KMCP_TPU_PACK") or (
+            "2" if os.environ.get("KMCP_TPU_PACK4", "1") == "1" else "0"
         )
-        xt = jax.device_put(mat)
+        if pm == "2":
+            codes, nmask = _native.pack_rows_2bit(seqs, lens, lmax)
+            xt = (jax.device_put(codes), jax.device_put(nmask))
+        elif pm == "4":
+            xt = jax.device_put(_native.pack_rows_4bit(seqs, lens, lmax))
+        else:
+            xt = jax.device_put(_native.pack_rows(seqs, lens, lmax))
+        kw = {"packed4": pm == "4", "packed2": pm == "2"}
         lt = jax.device_put(lens.astype(np.int32))
         jax.block_until_ready((xt, lt))
         # 2 slots/read: the demo workload's true demand is ~1.65
         # matches/read — a 1.5 budget would overflow, and a step rate
         # whose results need a retry is not a production rate
         budget = 2 * B
-        r = dev.search_reads_pallas(xt, lt, budget, packed4=pack4)
+        r = dev.search_reads_pallas(xt, lt, budget, **kw)
         np.asarray(r[0][:1])  # data pull: compile barrier
         # chained dispatch with ONE in-order barrier pull at the end:
         # per-rep pulls — even pipelined — floor the measurement at the
@@ -166,7 +170,12 @@ def _device_step_rate(st, queries, opt) -> float | None:
         # the axon relay.
         import jax.numpy as jnp
 
-        xts = [xt, jnp.roll(xt, 1, axis=0), jnp.roll(xt, 2, axis=0)]
+        def roll(x, i):
+            if isinstance(x, tuple):
+                return tuple(jnp.roll(a, i, axis=0) for a in x)
+            return jnp.roll(x, i, axis=0)
+
+        xts = [xt, roll(xt, 1), roll(xt, 2)]
         lts = [lt, jnp.roll(lt, 1), jnp.roll(lt, 2)]
         jax.block_until_ready((xts, lts))
         reps = 10
@@ -174,7 +183,7 @@ def _device_step_rate(st, queries, opt) -> float | None:
         m = None
         for i in range(reps):
             m, _ = dev.search_reads_pallas(
-                xts[i % 3], lts[i % 3], budget, packed4=pack4
+                xts[i % 3], lts[i % 3], budget, **kw
             )
         np.asarray(m[:1])
         return round(B * reps / (time.time() - t0), 1)

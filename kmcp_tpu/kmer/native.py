@@ -329,6 +329,61 @@ def pack_rows_4bit(reads: list[bytes], lens: np.ndarray, stride: int):
     )
 
 
+_P2_LUTS = None
+
+
+def pack_rows_2bit(reads: list[bytes], lens: np.ndarray, stride: int):
+    """Pack reads into (codes [B, stride//4] uint8, nmask [B, stride//8]
+    uint8): four 2-bit base codes per byte (A=0 C=1 G=2 T=3, low pair
+    first) plus an invalid bitmap (bit i%8 of byte i//8 set = not
+    ACGT; padding invalid) — 0.375x the ASCII bytes vs pack_rows_4bit's
+    0.5x, for the tunnel-H2D-bound demo-scale device path
+    (pallas_hash packed2 decodes on device).  NumPy fallback when the
+    native library predates kt_pack_rows_2bit."""
+    assert stride % 8 == 0
+    lib = get_lib()
+    B = len(reads)
+    if lib is not None and hasattr(lib, "kt_pack_rows_2bit"):
+        concat = b"".join(reads)
+        offs = np.zeros(B + 1, dtype=np.int64)
+        np.cumsum(np.asarray(lens, dtype=np.int64), out=offs[1:])
+        codes = np.empty((B, stride // 4), dtype=np.uint8)
+        nmask = np.empty((B, stride // 8), dtype=np.uint8)
+        lib.kt_pack_rows_2bit(
+            concat,
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            B, stride,
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            nmask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return codes, nmask
+    global _P2_LUTS
+    if _P2_LUTS is None:
+        c2 = np.zeros(256, dtype=np.uint8)
+        vl = np.zeros(256, dtype=bool)
+        for ch, v in zip(b"ACGTacgt", (0, 1, 2, 3, 0, 1, 2, 3)):
+            c2[ch] = v
+            vl[ch] = True
+        _P2_LUTS = (c2, vl)
+    c2, vl = _P2_LUTS
+    mat = pack_rows(reads, lens, stride)
+    if mat is None:
+        mat = np.zeros((B, stride), dtype=np.uint8)
+        for i, r in enumerate(reads):
+            ln = min(len(r), stride)
+            mat[i, :ln] = np.frombuffer(r[:ln], np.uint8)
+    # padding bytes are 0 -> invalid via the validity LUT
+    codes = c2[mat]
+    packed = (
+        codes[:, 0::4]
+        | (codes[:, 1::4] << np.uint8(2))
+        | (codes[:, 2::4] << np.uint8(4))
+        | (codes[:, 3::4] << np.uint8(6))
+    ).astype(np.uint8)
+    nmask = np.packbits(~vl[mat], axis=1, bitorder="little")
+    return packed, nmask
+
+
 def hash_reads_loc(
     reads: list[bytes],
     k: int,

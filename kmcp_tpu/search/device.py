@@ -622,6 +622,7 @@ class DeviceDB:
     def search_reads_pallas(self, reads_u8, lens, cand_budget,
                             dedup_values: bool = False,
                             packed4: bool = False,
+                            packed2: bool = False,
                             interpret: bool = False):
         """Pallas rolling-hash kernel + jitted count tail (num_hashes==1).
 
@@ -649,7 +650,10 @@ class DeviceDB:
         assert self.mesh is None
         h = db.info.num_hashes
         k = sorted(db.info.ks)[-1]
-        lmax = reads_u8.shape[1] * (2 if packed4 else 1)
+        if packed2:
+            lmax = reads_u8[0].shape[1] * 4  # (codes, nmask) tuple
+        else:
+            lmax = reads_u8.shape[1] * (2 if packed4 else 1)
         max_hash = (
             int(db.max_hash) if db.max_hash is not None else (1 << 64) - 1
         )
@@ -662,7 +666,7 @@ class DeviceDB:
             return self._search_reads_screened(
                 reads_u8, lens, cand_budget, k, lmax, max_hash,
                 interpret=interpret, dedup_values=dedup_values,
-                packed4=packed4,
+                packed4=packed4, packed2=packed2,
             )
         if db.is_sketch:
             # sketch DBs: hash unscaled with value planes, select the
@@ -673,7 +677,8 @@ class DeviceDB:
 
             hash_fn = make_pallas_hash_loc(
                 k, lmax, self.total_rows, (1 << 64) - 1, num_hashes=h,
-                emit_values=True, packed4=packed4, interpret=interpret,
+                emit_values=True, packed4=packed4, packed2=packed2,
+                interpret=interpret,
             )
             outs = hash_fn(reads_u8)
             loc_ts, vhi, vlo = outs[:h], outs[h + 1], outs[h + 2]
@@ -682,7 +687,8 @@ class DeviceDB:
                 s = db.info.syncmer_s
                 s_hash = make_pallas_hash_loc(
                     s, lmax, 1, (1 << 64) - 1, emit_values=True,
-                    packed4=packed4, interpret=interpret,
+                    packed4=packed4, packed2=packed2,
+                    interpret=interpret,
                 )
                 s_outs = s_hash(reads_u8)
                 s_planes = (s_outs[2], s_outs[3])
@@ -702,12 +708,12 @@ class DeviceDB:
             hash_fn = make_pallas_hash_loc(
                 k, lmax, self.total_rows, max_hash, num_hashes=h,
                 emit_values=dedup_values, packed4=packed4,
-                interpret=interpret,
+                packed2=packed2, interpret=interpret,
             )
             outs = hash_fn(reads_u8)
             loc_ts, nk = outs[:h], outs[h]
             vplanes = tuple(outs[h + 1 : h + 3]) if dedup_values else ()
-        B = reads_u8.shape[0]
+        B = (reads_u8[0] if packed2 else reads_u8).shape[0]
         K = lmax - k + 1
         S_ext = self.total_rows + 1
         pc = _pc_mode(h, self.w, S_ext)
@@ -840,6 +846,7 @@ class DeviceDB:
     def _search_reads_screened(
         self, reads_u8, lens, cand_budget, k, lmax, max_hash,
         interpret=False, dedup_values=False, packed4=False,
+        packed2=False,
     ):
         """Two-pass screened search of a multi-block DB (the GTDB-scale
         wide-T regime); see _make_screened_tail.  ``dedup_values``: the
@@ -855,12 +862,12 @@ class DeviceDB:
         hash_fn = make_pallas_hash_loc(
             k, lmax, s_block, max_hash, num_hashes=1,
             screen_sigs=screen["num_bits"], interpret=interpret,
-            emit_values=dedup_values, packed4=packed4,
+            emit_values=dedup_values, packed4=packed4, packed2=packed2,
         )
         outs = hash_fn(reads_u8)
         loc_t, locu_t, nk = outs[:3]
         vplanes = tuple(outs[3:5]) if dedup_values else ()
-        B = reads_u8.shape[0]
+        B = (reads_u8[0] if packed2 else reads_u8).shape[0]
         K = lmax - k + 1
         pair_budget = min(B * self.n_blocks, max(256, 2 * cand_budget))
         gemm_mode = _gemm_pc_mode(

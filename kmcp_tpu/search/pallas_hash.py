@@ -43,6 +43,7 @@ def make_pallas_hash_loc(
     screen_sigs: int = 0,
     emit_values: bool = False,
     packed4: bool = False,
+    packed2: bool = False,
 ):
     """Build fn(reads_u8[B, lmax]) -> (loc_t int32 [kmax, B] per hash
     function, ..., nk int32 [1, B]).  B must be a multiple of 256.
@@ -67,7 +68,13 @@ def make_pallas_hash_loc(
     With ``packed4`` the input is [B, lmax//2] uint8 holding two 4-bit
     base codes per byte (native.pack_rows_4bit: A=1 C=2 G=3 T=4,
     anything else 0=invalid; low nibble first) — half the H2D bytes;
-    decoded to the ASCII plane on device before the kernel."""
+    decoded to the ASCII plane on device before the kernel.
+
+    With ``packed2`` the input is a TUPLE (codes [B, lmax//4] uint8 —
+    four 2-bit base codes per byte, low pair first — and nmask
+    [B, lmax//8] uint8, bit i%8 of byte i//8 set = invalid base):
+    0.375x the ASCII bytes (native.pack_rows_2bit), for the
+    tunnel-H2D-bound demo-scale path."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -307,10 +314,29 @@ def make_pallas_hash_loc(
     # the Mosaic kernel itself is unchanged.
     _LUT = np.zeros(16, dtype=np.int32)
     _LUT[1:5] = [ord("A"), ord("C"), ord("G"), ord("T")]
+    _LUT2 = np.array(
+        [ord("A"), ord("C"), ord("G"), ord("T")], dtype=np.int32
+    )
 
     @jax.jit
-    def run(reads_bl):
-        if packed4:
+    def run(reads_bl, nmask=None):
+        if packed2:
+            B = reads_bl.shape[0]
+            codes = jnp.stack(
+                [(reads_bl >> jnp.uint8(2 * j)) & jnp.uint8(3)
+                 for j in range(4)],
+                axis=-1,
+            ).reshape(B, lmax)
+            inv = jnp.stack(
+                [(nmask >> jnp.uint8(j)) & jnp.uint8(1) for j in range(8)],
+                axis=-1,
+            ).reshape(B, lmax)
+            widened = jnp.where(
+                inv == 1,
+                jnp.int32(0),
+                jnp.take(jnp.asarray(_LUT2), codes.astype(jnp.int32)),
+            ).T
+        elif packed4:
             B = reads_bl.shape[0]
             codes = jnp.stack(
                 [reads_bl & jnp.uint8(15), reads_bl >> jnp.uint8(4)],
@@ -355,9 +381,14 @@ def make_pallas_hash_loc(
         vals = [o[k - 1 :, :] for o in outs[n_planes + 1 :]]
         return (*locs, outs[n_planes], *vals)
 
-    def call(reads_bl: np.ndarray):
+    def call(reads_bl):
         import jax.numpy as jnp
 
+        if packed2:
+            codes, nmask = reads_bl
+            B, L = codes.shape
+            assert L == lmax // 4 and B % TILE_B == 0
+            return run(jnp.asarray(codes), jnp.asarray(nmask))
         B, L = reads_bl.shape
         assert L == (lmax // 2 if packed4 else lmax) and B % TILE_B == 0
         return run(jnp.asarray(reads_bl))

@@ -439,19 +439,31 @@ class StreamSearcher:
                 # 4-bit packed H2D (two base codes/byte, decoded on
                 # device) halves the largest per-read transfer on the
                 # tunnel; KMCP_TPU_PACK4=0 ships raw ASCII instead
-                pack4 = os.environ.get("KMCP_TPU_PACK4", "1") == "1"
-                mat = (
-                    native.pack_rows_4bit(seqs, lens, lmax)
-                    if pack4
-                    else _pack_reads_matrix(seqs, lens, lmax)
-                )
+                # KMCP_TPU_PACK: 2 (default; 0.375x the ASCII bytes —
+                # codes + invalid bitmap), 4 (two nibbles/byte), 0
+                # (raw ASCII).  Legacy KMCP_TPU_PACK4=0 also forces
+                # ASCII.  The tunnel H2D is the demo-scale e2e bound.
+                pm = os.environ.get("KMCP_TPU_PACK")
+                if pm is None:
+                    pm = (
+                        "2"
+                        if os.environ.get("KMCP_TPU_PACK4", "1") == "1"
+                        else "0"
+                    )
+                if pm == "2":
+                    mat = native.pack_rows_2bit(seqs, lens, lmax)
+                elif pm == "4":
+                    mat = native.pack_rows_4bit(seqs, lens, lmax)
+                else:
+                    mat = _pack_reads_matrix(seqs, lens, lmax)
                 state["reads_bl"] = mat
                 state["counts"] = None
                 # paired: min-len filters on max(len1, len2); joined
                 # rows dedup in-step past the >256-k-mer threshold
                 state["dev_lens"] = eff if paired else lens
                 state["dev_kwargs"] = {
-                    "dedup_values": paired, "packed4": pack4,
+                    "dedup_values": paired,
+                    "packed4": pm == "4", "packed2": pm == "2",
                 }
                 state["fut"] = _copy_async(
                     dev.search_reads_pallas(

@@ -314,4 +314,47 @@ void kt_pack_rows_4bit(const uint8_t* concat, const int64_t* offs,
   }
 }
 
+
+// 2-bit packed variant + invalid bitmap: FOUR base codes per output
+// byte (A=0 C=1 G=2 T=3, low pair = earlier base) plus one INVALID
+// bit per base in a [n, stride/8] bitmap (bit i%8 of byte i/8 set =
+// not ACGT; padding past len is invalid).  Quarter the read bytes +
+// an eighth for the bitmap = 0.375x the ASCII layout, vs 0.5x for the
+// 4-bit form — the tunnel H2D is the demo-scale device e2e bound
+// (kmcp_tpu/search/pallas_hash.py packed2 decodes on device).
+void kt_pack_rows_2bit(const uint8_t* concat, const int64_t* offs,
+                       int64_t n, int64_t stride, uint8_t* out,
+                       uint8_t* nmask) {
+  static uint8_t code2[256];
+  static uint8_t valid2[256];
+  static bool init2 = false;
+  if (!init2) {  // benign race: all writers store identical values
+    code2[(int)'A'] = code2[(int)'a'] = 0;
+    code2[(int)'C'] = code2[(int)'c'] = 1;
+    code2[(int)'G'] = code2[(int)'g'] = 2;
+    code2[(int)'T'] = code2[(int)'t'] = 3;
+    valid2[(int)'A'] = valid2[(int)'a'] = 1;
+    valid2[(int)'C'] = valid2[(int)'c'] = 1;
+    valid2[(int)'G'] = valid2[(int)'g'] = 1;
+    valid2[(int)'T'] = valid2[(int)'t'] = 1;
+    init2 = true;
+  }
+  const int64_t q = stride / 4, e = stride / 8;
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; i++) {
+    int64_t len = offs[i + 1] - offs[i];
+    if (len > stride) len = stride;
+    const uint8_t* src = concat + offs[i];
+    uint8_t* dst = out + i * q;
+    uint8_t* nm = nmask + i * e;
+    std::memset(dst, 0, q);
+    std::memset(nm, 0xFF, e);
+    for (int64_t p = 0; p < len; p++) {
+      uint8_t c = src[p];
+      dst[p / 4] = (uint8_t)(dst[p / 4] | (code2[c] << (2 * (p % 4))));
+      if (valid2[c]) nm[p / 8] = (uint8_t)(nm[p / 8] & ~(1 << (p % 8)));
+    }
+  }
+}
+
 }  // extern "C"

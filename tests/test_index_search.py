@@ -2375,3 +2375,41 @@ def test_device_sketch_selection_matches_host(tmp_path, sketch):
     np.testing.assert_array_equal(didx[do], hidx[ho])
     np.testing.assert_array_equal(np.asarray(dcnt)[do], np.asarray(hcnt)[ho])
     np.testing.assert_array_equal(dnk, hnk)  # sketch sizes (qKmers)
+
+
+def test_hash_kernel_pack_modes_identical():
+    """ASCII, 4-bit, and 2-bit+bitmap packed inputs must produce
+    identical hash-kernel outputs (loc/nk/value planes) in interpret
+    mode — N-containing, short, and mixed-case reads included
+    (native.pack_rows_2bit is the round-5 tunnel-H2D cut)."""
+    from kmcp_tpu.kmer import native as _nat
+    from kmcp_tpu.search.pallas_hash import make_pallas_hash_loc
+
+    rng = np.random.default_rng(3)
+    bases = np.frombuffer(b"ACGTNacgt", dtype=np.uint8)
+    B, lmax, k = 256, 160, 21
+    reads = []
+    for i in range(B):
+        L = int(rng.integers(8, 161))
+        reads.append(rng.choice(bases, size=L).tobytes())
+    lens = np.array([len(r) for r in reads], np.int64)
+    mat = _nat.pack_rows(reads, lens, lmax)
+    if mat is None:
+        pytest.skip("native library unavailable")
+    m4 = _nat.pack_rows_4bit(reads, lens, lmax)
+    c2, nm = _nat.pack_rows_2bit(reads, lens, lmax)
+    S = 99991
+    outs = []
+    for kw, arg in (
+        ({}, mat),
+        ({"packed4": True}, m4),
+        ({"packed2": True}, (c2, nm)),
+    ):
+        fn = make_pallas_hash_loc(
+            k, lmax, S, (1 << 64) - 1, interpret=True, emit_values=True,
+            **kw,
+        )
+        outs.append([np.asarray(x) for x in fn(arg)])
+    for i in range(len(outs[0])):
+        np.testing.assert_array_equal(outs[0][i], outs[1][i])
+        np.testing.assert_array_equal(outs[0][i], outs[2][i])

@@ -218,8 +218,16 @@ def bench_device(db: str, reads, batch: int = 1024, ctx: dict | None = None,
         lens_all = np.array([len(s) for s in seqs], dtype=np.int64)
         lmax = max(-(-int(lens_all.max()) // 32) * 32, 21 + 31)
 
-        pack4 = os.environ.get("KMCP_TPU_PACK4", "1") == "1"
-        packer = native.pack_rows_4bit if pack4 else native.pack_rows
+        pm = os.environ.get("KMCP_TPU_PACK") or (
+            "2" if os.environ.get("KMCP_TPU_PACK4", "1") == "1" else "0"
+        )
+        if pm == "2":
+            packer = native.pack_rows_2bit
+        elif pm == "4":
+            packer = native.pack_rows_4bit
+        else:
+            packer = native.pack_rows
+        kw = {"packed4": pm == "4", "packed2": pm == "2"}
         mats = []
         for lo in range(0, n, batch):
             mats.append(
@@ -230,14 +238,14 @@ def bench_device(db: str, reads, batch: int = 1024, ctx: dict | None = None,
                 )
             )
         ctx = {"dev": dev, "mats": mats, "budget": budget, "n": n,
-               "pack4": pack4, "batch": batch}
+               "kw": kw, "batch": batch}
         # warm compile
         r = dev.search_reads_pallas(
-            mats[0][0], mats[0][1], budget, packed4=pack4
+            mats[0][0], mats[0][1], budget, **kw
         )
         jax.block_until_ready(r)
-    dev, mats, budget, n, pack4, batch = (
-        ctx["dev"], ctx["mats"], ctx["budget"], ctx["n"], ctx["pack4"],
+    dev, mats, budget, n, kw, batch = (
+        ctx["dev"], ctx["mats"], ctx["budget"], ctx["n"], ctx["kw"],
         ctx["batch"],
     )
 
@@ -255,7 +263,7 @@ def bench_device(db: str, reads, batch: int = 1024, ctx: dict | None = None,
             m = None
             for mat, lens in mats:
                 m, _a = dev.search_reads_pallas(
-                    mat, lens, budget, packed4=pack4
+                    mat, lens, budget, **kw
                 )
             np.asarray(m[:1])
             r = round(n / (time.time() - t0), 1)
@@ -274,7 +282,7 @@ def bench_device(db: str, reads, batch: int = 1024, ctx: dict | None = None,
         got = 0
         for mat, lens in mats:
             meta, aux = dev.search_reads_pallas(
-                mat, lens, budget, packed4=pack4
+                mat, lens, budget, **kw
             )
             try:
                 meta.copy_to_host_async()
