@@ -255,13 +255,14 @@ def main() -> None:
         timeout_env = os.environ.get("BENCH_TIMEOUT")
         timeouts = {
             "host": int(timeout_env or "240"),
-            # 660 s: a COLD compile cache through a degraded tunnel blew
-            # a 420 s budget once (the wide-T extras never printed); the
-            # persistent cache usually makes the child far faster.  +120
-            # over round 4 for the deferred re-measure round (every
-            # device field best-of-2 minutes apart; partial lines land
-            # either way)
-            "jax": max(int(timeout_env or "0") or 0, 660),
+            # 960 s: the axon relay charges a PER-PROCESS first-execution
+            # cost per program (measured 112 s for the demo step alone on
+            # a 46 MB/s tunnel — the persistent compile cache does NOT
+            # cover it), and the child runs ~6 distinct programs; a 660 s
+            # budget lost the whole jax record once.  Partial lines are
+            # salvaged on timeout either way, so the larger budget only
+            # buys more fields
+            "jax": max(int(timeout_env or "0") or 0, 960),
         }
 
         def run_child(child_backend, attempts):
