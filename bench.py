@@ -139,6 +139,11 @@ def _device_step_rate(st, queries, opt) -> float | None:
         from kmcp_tpu.kmer import native as _native
 
         dev = st.dev
+        # measured at the e2e batch size: the SAME program the warmup
+        # already first-executed (the axon relay charges a per-process
+        # first-execution per program shape — a second 131k-shape here
+        # would cost the child ~2 min on a degraded tunnel for ~2% of
+        # step rate)
         B = min(opt.batch_size, len(queries)) // 256 * 256  # pallas tile
         seqs = [q[1] for q in queries[:B]]
         lens = np.array([len(s) for s in seqs], dtype=np.int64)
@@ -490,13 +495,13 @@ def main() -> None:
     from kmcp_tpu.search.stream import StreamSearcher
     from kmcp_tpu.search.tsv import write_results
 
-    # Device batches want to be large: per-batch cost is dominated by
-    # tunnel round-trips (H2D + D2H latency), not compute (~1 ms/batch
-    # measured at B=131k), so fewer, bigger batches win.  Host batches
-    # stay cache-sized.
-    bs = int(os.environ.get("KMCP_TPU_BATCH", "0")) or (
-        131072 if backend == "jax" else 32768
-    )
+    # Device batch size: 32k beats 128k 1.7x end-to-end (427-430k vs
+    # 256k reads/s, interleaved A/B on a 54 MB/s tunnel) — with 2-bit
+    # packing and depth-4 pipelining, smaller batches overlap the wire
+    # with compute at finer grain.  (The round-2 'fewer, bigger
+    # batches' conclusion predates the packed formats and the deque
+    # pipeline.)  Host batches stay cache-sized.
+    bs = int(os.environ.get("KMCP_TPU_BATCH", "0")) or 32768
     opt = SearchOptions(backend=backend, batch_size=bs)
     engine = SearchEngine([db_dir], opt)
 
